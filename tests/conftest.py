@@ -1,0 +1,32 @@
+"""Test configuration: force an 8-device virtual CPU platform so sharding /
+mesh tests run without TPU hardware, and keep numerics in f32 for parity
+checks.
+
+Must set XLA_FLAGS before jax initializes — hence top of conftest.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(1701)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)

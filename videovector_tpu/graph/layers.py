@@ -1,0 +1,520 @@
+"""Layer registry: adapts the functional ops in `ops/` to prototxt-configured
+graph nodes.
+
+The reference dispatches via a switch factory over the LayerType enum
+(ref:src/caffe/layer_factory.cpp:177-309) to C++ classes with SetUp/Forward/
+Backward virtuals. Here a layer is a pair of pure functions:
+
+  init(key, cfg, in_shapes) -> params          (dict name -> array; may be {})
+  apply(params, inputs, ctx) -> outputs        (list of arrays)
+
+`cfg` is the LayerParameter `Message`; `ctx` carries phase / rng / static
+side-tables (e.g. id→class maps). Autodiff replaces every Backward. Data-layer
+types are NOT here — the Net treats their tops as graph inputs fed by the data
+pipeline (see graph/net.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videovector_tpu import ops
+from videovector_tpu.core import fillers
+from videovector_tpu.metrics import retrieval as retrieval_metrics
+from videovector_tpu.metrics.classification import classification_stats
+
+
+@dataclass
+class ApplyContext:
+    phase: str = "TRAIN"            # TRAIN or TEST
+    rng: Any = None                 # PRNGKey for stochastic layers (dropout)
+    side: dict = field(default_factory=dict)   # layer_name -> host-loaded tables
+
+
+@dataclass(frozen=True)
+class LayerDef:
+    init: Callable   # (key, cfg, in_shapes) -> params
+    apply: Callable  # (params, inputs, cfg, ctx) -> list[outputs]
+    # default loss weights per top; None => all zeros (not a loss layer)
+    default_loss_weights: tuple | None = None
+
+
+LAYERS: dict[str, LayerDef] = {}
+
+# Types whose tops come from the host data pipeline (the reference's data
+# layers, ref:include/caffe/data_layers.hpp) — the Net maps their tops to
+# graph inputs.
+DATA_LAYER_TYPES = {
+    "DATA", "IMAGE_DATA", "WINDOW_DATA", "MEMORY_DATA", "HDF5_DATA",
+    "VIDEO_SHOT_WINDOW_DATA", "VIDEO_SHOTS_DATA", "VIDEO_SAMPLED_SHOTS_DATA",
+    "VIDEO_SHOT_WINDOW_TEST_DATA", "FIXED_VIDEO_SHOT_TEST_DATA",
+    "FLEXIBLE_DATA", "TRACKING_WINDOWS_DATA", "TRACKING_WINDOWS_SOCIAL_DATA",
+}
+
+
+def register(name: str, *, loss_weights=None):
+    def deco(builder):
+        init_fn, apply_fn = builder()
+        LAYERS[name] = LayerDef(init_fn, apply_fn, loss_weights)
+        return builder
+    return deco
+
+
+def _no_params(key, cfg, in_shapes):
+    return {}
+
+
+def _shape_of(s):
+    return tuple(int(d) for d in s)
+
+
+def _flat_dim(shape):
+    out = 1
+    for d in shape[1:]:
+        out *= int(d)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Compute layers
+# ---------------------------------------------------------------------------
+
+@register("INNER_PRODUCT")
+def _inner_product():
+    def init(key, cfg, in_shapes):
+        p = cfg.get_msg("inner_product_param")
+        n = int(p.get("num_output"))
+        k = _flat_dim(in_shapes[0])
+        kw, kb = jax.random.split(key)
+        wfill = fillers.get_filler(p.get_msg("weight_filler") if p.has("weight_filler") else None)
+        # Caffe blob layout is (num_output, K); ours is (K, num_output) for
+        # x @ W — fill in Caffe layout then transpose so RNG streams that
+        # fill per-output-row stay comparable.
+        w = wfill(kw, (n, k), jnp.float32).T
+        params = {"w": w}
+        if p.get("bias_term", True):
+            bfill = fillers.get_filler(p.get_msg("bias_filler") if p.has("bias_filler") else None)
+            params["b"] = bfill(kb, (n,), jnp.float32)
+        return params
+
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("inner_product_param")
+        reg = float(p.get("regularization", 0.0))
+        return [ops.inner_product(inputs[0], params["w"], params.get("b"),
+                                  regularization=reg)]
+
+    return init, apply
+
+
+@register("ID_TO_WEIGHT_MAPPING")
+def _id_to_weight():
+    def init(key, cfg, in_shapes):
+        p = cfg.get_msg("id_to_weight_mapping_param")
+        num_ids = int(p.get("num_ids"))
+        dim = int(p.get("num_output"))
+        wfill = fillers.get_filler(p.get_msg("weight_filler") if p.has("weight_filler") else None)
+        return {"table": wfill(key, (num_ids, dim), jnp.float32)}
+
+    def apply(params, inputs, cfg, ctx):
+        return [ops.id_to_weight_lookup(inputs[0], params["table"])]
+
+    return init, apply
+
+
+# ---------------------------------------------------------------------------
+# Neuron layers
+# ---------------------------------------------------------------------------
+
+def _simple(fn):
+    def apply(params, inputs, cfg, ctx):
+        return [fn(inputs[0], cfg, ctx)]
+    return _no_params, apply
+
+
+@register("RELU")
+def _relu():
+    return _simple(lambda x, cfg, ctx: ops.relu(
+        x, float(cfg.get_msg("relu_param").get("negative_slope", 0.0))))
+
+
+@register("SIGMOID")
+def _sigmoid():
+    return _simple(lambda x, cfg, ctx: ops.sigmoid(x))
+
+
+@register("TANH")
+def _tanh():
+    return _simple(lambda x, cfg, ctx: ops.tanh(x))
+
+
+@register("BNLL")
+def _bnll():
+    return _simple(lambda x, cfg, ctx: ops.bnll(x))
+
+
+@register("ABSVAL")
+def _absval():
+    return _simple(lambda x, cfg, ctx: ops.absval(x))
+
+
+@register("POWER")
+def _power():
+    def f(x, cfg, ctx):
+        p = cfg.get_msg("power_param")
+        return ops.power(x, power=float(p.get("power", 1.0)),
+                         scale=float(p.get("scale", 1.0)),
+                         shift=float(p.get("shift", 0.0)))
+    return _simple(f)
+
+
+@register("THRESHOLD")
+def _threshold():
+    return _simple(lambda x, cfg, ctx: ops.threshold(
+        x, float(cfg.get_msg("threshold_param").get("threshold", 0.0))))
+
+
+@register("DROPOUT")
+def _dropout():
+    def apply(params, inputs, cfg, ctx):
+        rate = float(cfg.get_msg("dropout_param").get("dropout_ratio", 0.5))
+        deterministic = ctx.phase != "TRAIN" or ctx.rng is None
+        rng = ctx.rng if ctx.rng is not None else jax.random.PRNGKey(0)
+        # fold in the layer name so stacked dropouts decorrelate
+        rng = jax.random.fold_in(rng, hash(cfg.get("name", "dropout")) & 0x7FFFFFFF)
+        return [ops.dropout(inputs[0], rate=rate, rng=rng,
+                            deterministic=deterministic)]
+    return _no_params, apply
+
+
+@register("SOFTMAX")
+def _softmax():
+    def apply(params, inputs, cfg, ctx):
+        x = inputs[0]
+        n = x.shape[0]
+        return [jax.nn.softmax(x.reshape(n, -1), axis=-1).reshape(x.shape)]
+    return _no_params, apply
+
+
+# ---------------------------------------------------------------------------
+# Shape / glue layers
+# ---------------------------------------------------------------------------
+
+@register("CONCAT")
+def _concat():
+    def apply(params, inputs, cfg, ctx):
+        dim = int(cfg.get_msg("concat_param").get("concat_dim", 1))
+        return [jnp.concatenate(inputs, axis=dim)]
+    return _no_params, apply
+
+
+@register("SLICE")
+def _slice():
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("slice_param")
+        dim = int(p.get("slice_dim", 1))
+        points = [int(v) for v in p.get_list("slice_point")]
+        x = inputs[0]
+        n_out = len(cfg.get_list("top"))
+        if points:
+            bounds = [0] + points + [x.shape[dim]]
+        else:
+            step = x.shape[dim] // n_out
+            bounds = [i * step for i in range(n_out)] + [x.shape[dim]]
+        outs = []
+        for i in range(n_out):
+            idx = [slice(None)] * x.ndim
+            idx[dim] = slice(bounds[i], bounds[i + 1])
+            outs.append(x[tuple(idx)])
+        return outs
+    return _no_params, apply
+
+
+@register("SPLIT")
+def _split():
+    def apply(params, inputs, cfg, ctx):
+        n_out = len(cfg.get_list("top"))
+        return [inputs[0]] * n_out
+    return _no_params, apply
+
+
+@register("FLATTEN")
+def _flatten():
+    def apply(params, inputs, cfg, ctx):
+        x = inputs[0]
+        return [x.reshape(x.shape[0], -1)]
+    return _no_params, apply
+
+
+@register("FLATTEN_BATCH")
+def _flatten_batch():
+    def apply(params, inputs, cfg, ctx):
+        # ref:src/caffe/layers/flatten_batch_layer.cpp:10-28 — move channel
+        # axis into batch: (N, C, H, W) -> (N·C, H·W, 1, 1); with a
+        # batch_size param, regroup to (batch_size, (N·C·H·W)/batch_size).
+        x = inputs[0]
+        p = cfg.get_msg("flatten_batch_param")
+        bs = p.get("batch_size")
+        if bs:
+            return [x.reshape(int(bs), -1)]
+        n, c = x.shape[0], x.shape[1]
+        return [x.reshape(n * c, -1)]
+    return _no_params, apply
+
+
+@register("ELTWISE")
+def _eltwise():
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("eltwise_param")
+        op = p.get("operation", "SUM")
+        if op == "PROD":
+            return [ops.eltwise_prod(*inputs)]
+        if op == "MAX":
+            return [ops.eltwise_max(*inputs)]
+        coeffs = [float(c) for c in p.get_list("coeff")] or None
+        return [ops.eltwise_sum(*inputs, coeffs=coeffs)]
+    return _no_params, apply
+
+
+@register("SILENCE")
+def _silence():
+    def apply(params, inputs, cfg, ctx):
+        return []
+    return _no_params, apply
+
+
+@register("ARGMAX")
+def _argmax():
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("argmax_param")
+        x = inputs[0]
+        n = x.shape[0]
+        flat = x.reshape(n, -1)
+        idx = jnp.argmax(flat, axis=1).astype(jnp.float32)
+        if p.get("out_max_val", False):
+            mx = jnp.max(flat, axis=1)
+            return [jnp.stack([idx, mx], axis=1).reshape(n, 2, 1, 1)]
+        return [idx.reshape(n, 1, 1, 1)]
+    return _no_params, apply
+
+
+@register("MVN")
+def _mvn():
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("mvn_param")
+        return [ops.mvn(inputs[0],
+                        normalize_variance=bool(p.get("normalize_variance", True)),
+                        across_channels=bool(p.get("across_channels", False)))]
+    return _no_params, apply
+
+
+@register("NORMALIZATION")
+def _normalization():
+    return _simple(lambda x, cfg, ctx: ops.l2_normalize_rows(x))
+
+
+@register("SUM")
+def _sum():
+    def apply(params, inputs, cfg, ctx):
+        num_output = int(cfg.get_msg("sum_param").get("num_output", 1))
+        return [ops.sum_reduce(inputs[0], num_output)]
+    return _no_params, apply
+
+
+@register("WRITE_TO_FILE")
+def _write_to_file():
+    # Sink layer (ref:src/caffe/layers/write_to_file_layer.cpp): inside jit we
+    # pass data through unchanged; the Net marks these blobs for host-side csv
+    # dumping after the step (see graph/net.py host_sinks).
+    def apply(params, inputs, cfg, ctx):
+        return []
+    return _no_params, apply
+
+
+# ---------------------------------------------------------------------------
+# Loss layers
+# ---------------------------------------------------------------------------
+
+@register("MAX_MARGIN_LOSS", loss_weights=(1.0, 0.0))
+def _max_margin():
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("max_margin_loss_param")
+        margin = float(p.get("margin", 1.0))
+        norm = p.get("norm", "L2")
+        weights = None
+        if len(inputs) == 3:
+            third = inputs[2]
+            if p.get("use_direct_weight", False):
+                weights = third
+            else:
+                # id→weight csv loaded at net build into ctx.side
+                table = ctx.side.get(cfg.get("name"))
+                if table is not None:
+                    ids_sorted, w_sorted = table
+                    q = third.reshape(-1).astype(jnp.int32)
+                    pos = jnp.clip(jnp.searchsorted(ids_sorted, q), 0,
+                                   ids_sorted.shape[0] - 1)
+                    w = jnp.where(ids_sorted[pos] == q, w_sorted[pos], 0.0)
+                    weights = w.reshape(third.shape)
+        loss, violations = ops.max_margin_loss(
+            inputs[0], inputs[1], margin=margin, norm=norm, weights=weights)
+        return [loss, violations]
+    return _no_params, apply
+
+
+@register("EUCLIDEAN_LOSS", loss_weights=(1.0,))
+def _euclidean():
+    def apply(params, inputs, cfg, ctx):
+        l1 = bool(cfg.get_msg("euclidean_loss_param").get("l1", False))
+        return [ops.euclidean_loss(inputs[0], inputs[1], l1=l1)]
+    return _no_params, apply
+
+
+@register("HINGE_LOSS", loss_weights=(1.0,))
+def _hinge():
+    def apply(params, inputs, cfg, ctx):
+        norm = cfg.get_msg("hinge_loss_param").get("norm", "L1")
+        x = inputs[0]
+        return [ops.hinge_loss(x.reshape(x.shape[0], -1), inputs[1], norm=norm)]
+    return _no_params, apply
+
+
+@register("SOFTMAX_LOSS", loss_weights=(1.0,))
+def _softmax_loss():
+    def apply(params, inputs, cfg, ctx):
+        x = inputs[0]
+        return [ops.softmax_loss(x.reshape(x.shape[0], -1), inputs[1])]
+    return _no_params, apply
+
+
+@register("MULTINOMIAL_LOGISTIC_LOSS", loss_weights=(1.0,))
+def _mll():
+    def apply(params, inputs, cfg, ctx):
+        x = inputs[0]
+        return [ops.multinomial_logistic_loss(x.reshape(x.shape[0], -1), inputs[1])]
+    return _no_params, apply
+
+
+@register("SIGMOID_CROSS_ENTROPY_LOSS", loss_weights=(1.0,))
+def _sce():
+    def apply(params, inputs, cfg, ctx):
+        return [ops.sigmoid_cross_entropy_loss(inputs[0], inputs[1])]
+    return _no_params, apply
+
+
+@register("INFOGAIN_LOSS", loss_weights=(1.0,))
+def _infogain():
+    def apply(params, inputs, cfg, ctx):
+        H = ctx.side.get(cfg.get("name"))
+        if H is None:
+            raise ValueError("INFOGAIN_LOSS needs its infogain matrix in ctx.side")
+        x = inputs[0]
+        return [ops.infogain_loss(x.reshape(x.shape[0], -1), inputs[1], H)]
+    return _no_params, apply
+
+
+@register("CONTRASTIVE_LOSS", loss_weights=(1.0,))
+def _contrastive():
+    def apply(params, inputs, cfg, ctx):
+        margin = float(cfg.get_msg("contrastive_loss_param").get("margin", 1.0))
+        return [ops.contrastive_loss(inputs[0], inputs[1], inputs[2],
+                                     margin=margin)]
+    return _no_params, apply
+
+
+@register("ACCURACY", loss_weights=(0.0,))
+def _accuracy():
+    def apply(params, inputs, cfg, ctx):
+        top_k = int(cfg.get_msg("accuracy_param").get("top_k", 1))
+        x = inputs[0]
+        return [ops.accuracy(x.reshape(x.shape[0], -1), inputs[1], top_k=top_k)]
+    return _no_params, apply
+
+
+# ---------------------------------------------------------------------------
+# Eval-stats layers (jit metrics; multiple scalar tops like the reference)
+# ---------------------------------------------------------------------------
+
+@register("RETRIEVAL_STATS", loss_weights=(0.0, 0.0, 0.0))
+def _retrieval_stats():
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("retrieval_stats_param")
+        id_map = ctx.side.get(cfg.get("name"))
+        feats = inputs[0].reshape(inputs[0].shape[0], -1)
+        vids = inputs[1].reshape(-1).astype(jnp.int32)
+        classes = id_map.lookup(vids) if id_map is not None else vids
+        out = retrieval_metrics.retrieval_stats(
+            feats, vids, classes,
+            exclude_same_video_shots=bool(p.get("exclude_same_video_shots", False)))
+        return [out["mean_ap"], out["hit_at_1"], out["hit_at_5"]]
+    return _no_params, apply
+
+
+@register("RETRIEVAL_RANK_STATS", loss_weights=(0.0,) * 5)
+def _retrieval_rank_stats():
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("retrieval_rank_stats_param")
+        ctx_feats = inputs[0].reshape(inputs[0].shape[0], -1)
+        tgt_feats = inputs[1].reshape(inputs[1].shape[0], -1)
+        out = retrieval_metrics.retrieval_rank_stats(
+            ctx_feats, tgt_feats,
+            compute_ap=bool(p.get("compute_ap", False)),
+            positive_size=int(p.get("positive_size", 0)),
+            negative_size=int(p.get("negative_size", 0)))
+        return [out["median_rank"], out["recall_at_1"], out["recall_at_5"],
+                out["recall_at_10"], out["mean_ap"]]
+    return _no_params, apply
+
+
+@register("RETRIEVAL_RANK_STATS_FIXED_REF", loss_weights=(0.0,) * 5)
+def _retrieval_rank_stats_fixed():
+    def apply(params, inputs, cfg, ctx):
+        feats = inputs[0].reshape(inputs[0].shape[0], -1)
+        vids = inputs[1].reshape(-1).astype(jnp.int32)
+        ref_feats = inputs[2].reshape(inputs[2].shape[0], -1)
+        ref_vids = inputs[3].reshape(-1).astype(jnp.int32)
+        out = retrieval_metrics.retrieval_rank_stats_fixed_ref(
+            feats, vids, ref_feats, ref_vids)
+        return [out["median_rank"], out["recall_at_1"], out["recall_at_5"],
+                out["recall_at_10"], out["mean_ap"]]
+    return _no_params, apply
+
+
+@register("CLASSIFICATION_STATS", loss_weights=(0.0, 0.0, 0.0))
+def _classification_stats():
+    def apply(params, inputs, cfg, ctx):
+        num_classes = int(cfg.get_msg("classification_stats_param")
+                          .get("num_classes", inputs[0].shape[1]))
+        x = inputs[0].reshape(inputs[0].shape[0], -1)
+        out = classification_stats(x, inputs[1], num_classes=num_classes)
+        return [out["per_class_accuracy"], out["per_class_ap"], out["accuracy"]]
+    return _no_params, apply
+
+
+# DUMMY_DATA is an active layer (filler-driven), not a pipeline input
+# (ref:include/caffe/data_layers.hpp DummyDataLayer).
+@register("DUMMY_DATA")
+def _dummy_data():
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("dummy_data_param")
+        nums = [int(v) for v in p.get_list("num")]
+        chans = [int(v) for v in p.get_list("channels")]
+        heights = [int(v) for v in p.get_list("height")]
+        widths = [int(v) for v in p.get_list("width")]
+        n_top = len(cfg.get_list("top"))
+        fill_cfgs = p.get_list("data_filler")
+        outs = []
+        for i in range(n_top):
+            def dim(lst, i=i):
+                return lst[i] if i < len(lst) else lst[0]
+            shape = (dim(nums), dim(chans), dim(heights), dim(widths))
+            fcfg = fill_cfgs[i] if i < len(fill_cfgs) else (
+                fill_cfgs[0] if fill_cfgs else None)
+            fill = fillers.get_filler(fcfg)
+            outs.append(fill(jax.random.PRNGKey(0), shape, jnp.float32))
+        return outs
+    return _no_params, apply

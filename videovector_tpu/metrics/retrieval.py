@@ -1,0 +1,243 @@
+"""Retrieval evaluation metrics — mAP / hit@k / median-rank / recall@k.
+
+These replace the reference's per-row std::sort loops
+(ref:src/caffe/layers/retrieval_stats_layer.cpp,
+ref:src/caffe/layers/retrieval_rank_stats_layer.cpp) with fully vectorized,
+jit-compatible computations: one argsort over the (B, N) "distance" matrix and
+masked cumulative sums — no host loop, runs on TPU at batch scale.
+
+Distance convention preserved from the reference: d(i, j) = −2·xᵢ·xⱼᵀ (GEMM
+with alpha −2, no norm terms; rank-equivalent to Euclidean distance only when
+rows are L2-normalized, which the shipped configs guarantee via NORMALIZATION
+layers before the stats layer).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class IdToClassMap:
+    """video_id → class_id lookup table usable inside jit.
+
+    The reference reads a `video_id,class_id` csv
+    (ref:src/caffe/layers/retrieval_stats_layer.cpp:29-44) into a std::map;
+    lookups of unknown ids default-insert class 0 — we reproduce that default.
+    """
+
+    def __init__(self, ids, classes):
+        order = np.argsort(ids, kind="stable")
+        self.ids = jnp.asarray(np.asarray(ids)[order], dtype=jnp.int32)
+        self.classes = jnp.asarray(np.asarray(classes)[order], dtype=jnp.int32)
+
+    @classmethod
+    def from_csv(cls, path: str) -> "IdToClassMap":
+        ids, classes = [], []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                a, b = line.split(",")
+                ids.append(int(a))
+                classes.append(int(b))
+        return cls(ids, classes)
+
+    def lookup(self, query):
+        """query: int array → class ids (0 for unknown ids, matching the
+        reference's std::map::operator[] default-insert)."""
+        q = query.astype(jnp.int32)
+        pos = jnp.searchsorted(self.ids, q)
+        pos = jnp.clip(pos, 0, self.ids.shape[0] - 1)
+        found = self.ids[pos] == q
+        return jnp.where(found, self.classes[pos], 0)
+
+
+def video_level_average(features, video_ids, num_videos: int):
+    """Average shot features per video (ref video_level_retrieval mode,
+    ref:src/caffe/layers/retrieval_stats_layer.cpp:165-205). Returns
+    (video_features (num_videos, D), unique_video_ids (num_videos,)).
+    Host-side helper (dynamic unique), not jitted."""
+    video_ids = np.asarray(video_ids).astype(np.int64)
+    uniq = np.array(sorted(set(video_ids.tolist()), key=video_ids.tolist().index))
+    if len(uniq) != num_videos:
+        raise ValueError(f"expected {num_videos} videos, found {len(uniq)}")
+    feats = np.asarray(features)
+    out = np.stack([feats[video_ids == v].mean(axis=0) for v in uniq])
+    return jnp.asarray(out), jnp.asarray(uniq, dtype=jnp.int32)
+
+
+def retrieval_stats(features, video_ids, class_ids, *,
+                    exclude_same_video_shots: bool = False):
+    """Shot-to-shot retrieval mAP / hit@1 / hit@5.
+
+    ref:src/caffe/layers/retrieval_stats_layer.cpp:104-141 (ComputeStats) and
+    :143-355 (Forward_cpu). Per query row: rank all items by −2·x·xᵀ ascending
+    with the self item forced first (diagonal −1e15) and skipped; optionally
+    skip items from the same video; a retrieved item matches when its class
+    equals the query's; ap = Σ_match (ret/val) / ret_total; hit@1 = match in
+    first valid position; hit@5 = matches among first 5 valid / 5. Queries
+    with class < 0 are excluded from all means.
+
+    Args:
+      features: (N, D) — should be L2-normalized rows.
+      video_ids: (N,) int.
+      class_ids: (N,) int — per-item class (use IdToClassMap.lookup).
+    Returns dict(mean_ap, hit_at_1, hit_at_5) of f32 scalars.
+    """
+    n = features.shape[0]
+    dist = -2.0 * jnp.dot(features, features.T, preferred_element_type=jnp.float32)
+    dist = dist.at[jnp.arange(n), jnp.arange(n)].set(-1e15)
+    order = jnp.argsort(dist, axis=1, stable=True)  # ascending; self first
+
+    ranked_vid = video_ids[order]          # (N, N)
+    ranked_cls = class_ids[order]          # (N, N)
+    q_vid = video_ids[:, None]
+    q_cls = class_ids[:, None]
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    valid = pos >= 1                        # skip the self item at rank 0
+    if exclude_same_video_shots:
+        valid = valid & (ranked_vid != q_vid)
+    match = valid & (ranked_cls == q_cls)
+
+    vf = valid.astype(jnp.float32)
+    mf = match.astype(jnp.float32)
+    val = jnp.cumsum(vf, axis=1)
+    ret = jnp.cumsum(mf, axis=1)
+    ret_total = ret[:, -1]
+
+    ap = jnp.sum(mf * ret / jnp.maximum(val, 1.0), axis=1)
+    ap = jnp.where(ret_total > 0, ap / jnp.maximum(ret_total, 1.0), 0.0)
+    acc1 = jnp.sum(mf * (val <= 1.0), axis=1)
+    acc5 = jnp.sum(mf * (val <= 5.0), axis=1) / 5.0
+
+    include = (class_ids >= 0).astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(include), 1.0)
+    return {
+        "mean_ap": jnp.sum(ap * include) / denom,
+        "hit_at_1": jnp.sum(acc1 * include) / denom,
+        "hit_at_5": jnp.sum(acc5 * include) / denom,
+    }
+
+
+def _bucket_video_id(item_idx, num_videos: int, positive_size: int):
+    """ref GetVideoId (retrieval_rank_stats_layer.cpp:108-129): items are laid
+    out in buckets of num_videos; the first positive_size buckets are
+    positives (id = item % num_videos), the rest negatives
+    (id = −(item % num_videos)). Note −0 == 0: video 0's negatives alias its
+    positives — preserved deliberately for parity."""
+    bucket = item_idx // num_videos
+    vid = item_idx % num_videos
+    return jnp.where(bucket >= positive_size, -vid, vid)
+
+
+def retrieval_rank_stats(context, targets, *, compute_ap: bool = False,
+                         positive_size: int = 0, negative_size: int = 0):
+    """Context-vs-target retrieval: median rank, recall@1/5/10, mAP.
+
+    ref:src/caffe/layers/retrieval_rank_stats_layer.cpp. Scores are
+    −2·context·targetsᵀ, ranked ascending per query.
+
+    Without compute_ap (identity mode, B == F): rank of target i for query i;
+    recall@k = 1[rank ≤ k]; mean_ap output is 0.
+
+    With compute_ap: relevance via the positive/negative bucket layout (see
+    _bucket_video_id); ap = Σ ret/val over matches / ret_total; rank = first
+    match position; rec@5 normalized by min(ret, 5), rec@10 by min(ret, 10)
+    (ref ComputeApStats:131-182).
+
+    Returns dict(median_rank, recall_at_1, recall_at_5, recall_at_10, mean_ap).
+    """
+    b = context.shape[0]
+    f = targets.shape[0]
+    dist = -2.0 * jnp.dot(context, targets.T, preferred_element_type=jnp.float32)
+    order = jnp.argsort(dist, axis=1, stable=True)  # (B, F) ascending
+
+    if not compute_ap:
+        if b != f:
+            raise ValueError("identity mode requires batch == num_frames")
+        # rank of item i in row i (1-based)
+        pos = jax.lax.broadcasted_iota(jnp.int32, (b, f), 1)
+        rank = jnp.sum(jnp.where(order == jnp.arange(b)[:, None], pos, 0), axis=1) + 1
+        ranks_f = rank.astype(jnp.float32)
+        rec1 = (rank == 1).astype(jnp.float32)
+        rec5 = (rank <= 5).astype(jnp.float32)
+        rec10 = (rank <= 10).astype(jnp.float32)
+        mean_ap = jnp.float32(0.0)
+    else:
+        num_videos = f // max(positive_size + negative_size, 1)
+        gv = _bucket_video_id(order, num_videos, positive_size)  # (B, F)
+        match = (gv == jnp.arange(b)[:, None]).astype(jnp.float32)
+        val = jax.lax.broadcasted_iota(jnp.float32, (b, f), 1) + 1.0
+        ret = jnp.cumsum(match, axis=1)
+        ret_total = ret[:, -1]
+        ap = jnp.sum(match * ret / val, axis=1)
+        ap = jnp.where(ret_total > 0, ap / jnp.maximum(ret_total, 1.0), 0.0)
+        mean_ap = jnp.mean(ap)
+        # best rank = first match position (10000 when no match, ref :139)
+        first = jnp.min(jnp.where(match > 0, val, 1e4), axis=1)
+        ranks_f = first
+        rec1 = jnp.sum(match * (val <= 1.0), axis=1)
+        rec5_cnt = jnp.sum(match * (val <= 5.0), axis=1)
+        rec10_cnt = jnp.sum(match * (val <= 10.0), axis=1)
+        rec5 = jnp.where(ret_total > 0,
+                         rec5_cnt / jnp.minimum(jnp.maximum(ret_total, 1.0), 5.0), 0.0)
+        rec10 = jnp.where(ret_total > 0,
+                          rec10_cnt / jnp.minimum(jnp.maximum(ret_total, 1.0), 10.0), 0.0)
+
+    sorted_ranks = jnp.sort(ranks_f)
+    if b % 2 == 0:
+        median = (sorted_ranks[b // 2 - 1] + sorted_ranks[b // 2]) / 2.0
+    else:
+        median = sorted_ranks[b // 2]
+    return {
+        "median_rank": median,
+        "recall_at_1": jnp.mean(rec1),
+        "recall_at_5": jnp.mean(rec5),
+        "recall_at_10": jnp.mean(rec10),
+        "mean_ap": mean_ap,
+    }
+
+
+def retrieval_rank_stats_fixed_ref(features, video_ids, ref_features, ref_video_ids):
+    """Rank stats against a fixed reference gallery
+    (ref:src/caffe/layers/retrieval_rank_stats_fixed_ref_layer.cpp:116-233).
+    A gallery item is relevant for query i when its video id matches the
+    query's; gallery ids < 0 are global negatives.
+
+    Returns dict(median_rank, recall_at_1, recall_at_5, recall_at_10, mean_ap).
+    """
+    b = features.shape[0]
+    f = ref_features.shape[0]
+    dist = -2.0 * jnp.dot(features, ref_features.T, preferred_element_type=jnp.float32)
+    order = jnp.argsort(dist, axis=1, stable=True)
+    ranked_vid = ref_video_ids[order]                      # (B, F)
+    match = (ranked_vid == video_ids[:, None]).astype(jnp.float32)
+    val = jax.lax.broadcasted_iota(jnp.float32, (b, f), 1) + 1.0
+    ret = jnp.cumsum(match, axis=1)
+    ret_total = ret[:, -1]
+    ap = jnp.sum(match * ret / val, axis=1)
+    ap = jnp.where(ret_total > 0, ap / jnp.maximum(ret_total, 1.0), 0.0)
+    first = jnp.min(jnp.where(match > 0, val, 1e4), axis=1)
+    rec1 = jnp.sum(match * (val <= 1.0), axis=1)
+    rec5 = jnp.where(ret_total > 0,
+                     jnp.sum(match * (val <= 5.0), axis=1)
+                     / jnp.minimum(jnp.maximum(ret_total, 1.0), 5.0), 0.0)
+    rec10 = jnp.where(ret_total > 0,
+                      jnp.sum(match * (val <= 10.0), axis=1)
+                      / jnp.minimum(jnp.maximum(ret_total, 1.0), 10.0), 0.0)
+    sorted_ranks = jnp.sort(first)
+    if b % 2 == 0:
+        median = (sorted_ranks[b // 2 - 1] + sorted_ranks[b // 2]) / 2.0
+    else:
+        median = sorted_ranks[b // 2]
+    return {
+        "median_rank": median,
+        "recall_at_1": jnp.mean(rec1),
+        "recall_at_5": jnp.mean(rec5),
+        "recall_at_10": jnp.mean(rec10),
+        "mean_ap": jnp.mean(ap),
+    }
