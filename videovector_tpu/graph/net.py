@@ -1,0 +1,311 @@
+"""Net — the graph engine.
+
+Interprets a Caffe-style NetParameter (parsed by config/textformat) into a
+single pure function `apply(params, batch, rng) -> (blobs, loss)`, the
+TPU-native equivalent of `Net::Init` + `ForwardFromTo`
+(ref:src/caffe/net.cpp:34-224, :502-543). Differences by design:
+
+- No InsertSplits (ref:src/caffe/util/insert_splits.cpp): fan-out of an
+  immutable array needs no copy layer.
+- In-place layers (top == bottom) are name rebinding.
+- Backward is `jax.grad` of the loss — the reference's loss-reachability
+  pruning (net.cpp:154-186) corresponds to autodiff's dead-code elimination.
+- Data-layer tops are *graph inputs* fed by the host data pipeline, mirroring
+  the prefetch-thread boundary (ref:src/caffe/layers/base_data_layer.cpp:52-95)
+  at the jit boundary instead.
+
+Phase filtering (`include`/`exclude` NetStateRule, ref:src/caffe/net.cpp:226-329,
+rules caffe.proto:193-209) is applied at construction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videovector_tpu.config.textformat import Message
+from videovector_tpu.graph.layers import (
+    LAYERS, DATA_LAYER_TYPES, ApplyContext,
+)
+from videovector_tpu.metrics.retrieval import IdToClassMap
+from videovector_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def _state_meets_rule(rule: Message, phase: str, level: int, stages: set) -> bool:
+    """ref:src/caffe/net.cpp:271-329 (StateMeetsRule)."""
+    if rule.has("phase") and rule.get("phase") != phase:
+        return False
+    if rule.has("min_level") and level < int(rule.get("min_level")):
+        return False
+    if rule.has("max_level") and level > int(rule.get("max_level")):
+        return False
+    for s in rule.get_list("stage"):
+        if s not in stages:
+            return False
+    for s in rule.get_list("not_stage"):
+        if s in stages:
+            return False
+    return True
+
+
+def filter_layers(net_msg: Message, phase: str, level: int = 0,
+                  stages: tuple = ()) -> list[Message]:
+    """ref:src/caffe/net.cpp:226-268 (FilterNet): a layer with include rules
+    is kept iff ANY include rule matches; otherwise it is dropped iff any
+    exclude rule matches."""
+    stages_set = set(stages)
+    kept = []
+    for layer in net_msg.get_list("layers") + net_msg.get_list("layer"):
+        includes = layer.get_list("include")
+        excludes = layer.get_list("exclude")
+        if includes:
+            keep = any(_state_meets_rule(r, phase, level, stages_set)
+                       for r in includes)
+        else:
+            keep = not any(_state_meets_rule(r, phase, level, stages_set)
+                           for r in excludes)
+        if keep:
+            kept.append(layer)
+    return kept
+
+
+@dataclass
+class ParamMeta:
+    """lr/decay multipliers per layer blob (ref blobs_lr / weight_decay
+    repeated fields on V1 LayerParameter; net.cpp:467-499)."""
+    lr_mult: float = 1.0
+    decay_mult: float = 1.0
+    shared_owner: str | None = None  # layer name that owns the array, if shared
+
+
+class Net:
+    """A compiled view of a NetParameter for one phase."""
+
+    def __init__(self, net_msg: Message, phase: str = "TRAIN", *,
+                 level: int = 0, stages: tuple = (), side: dict | None = None):
+        self.name = net_msg.get("name", "net")
+        self.phase = phase
+        self.layers = filter_layers(net_msg, phase, level, stages)
+        self.side = dict(side or {})
+        self._load_side_tables()
+
+        # graph inputs: NetParameter-level `input`/`input_dim` plus all tops of
+        # data layers
+        self.input_names: list[str] = list(net_msg.get_list("input"))
+        self.data_layer_tops: dict[str, list[str]] = {}
+        for layer in self.layers:
+            if layer.get("type") in DATA_LAYER_TYPES:
+                tops = [str(t) for t in layer.get_list("top")]
+                self.data_layer_tops[layer.get("name")] = tops
+                self.input_names.extend(tops)
+
+        # loss weights per (layer, top index)
+        self.loss_weights: dict[str, list[float]] = {}
+        for layer in self.layers:
+            ltype = layer.get("type")
+            if ltype in DATA_LAYER_TYPES:
+                continue
+            n_top = len(layer.get_list("top"))
+            given = [float(v) for v in layer.get_list("loss_weight")]
+            ldef = LAYERS.get(ltype)
+            defaults = list(ldef.default_loss_weights or ()) if ldef else []
+            weights = []
+            for i in range(n_top):
+                if i < len(given):
+                    weights.append(given[i])
+                elif i < len(defaults):
+                    weights.append(defaults[i])
+                else:
+                    weights.append(0.0)
+            self.loss_weights[layer.get("name")] = weights
+
+        self._check_types()
+
+    # ------------------------------------------------------------------
+    def _check_types(self):
+        for layer in self.layers:
+            ltype = layer.get("type")
+            if ltype in DATA_LAYER_TYPES:
+                continue
+            if ltype not in LAYERS:
+                raise NotImplementedError(
+                    f"layer type {ltype!r} (layer {layer.get('name')!r}) is not "
+                    f"registered")
+
+    def _load_side_tables(self):
+        """Load csv side tables referenced by layer configs (id→class maps for
+        retrieval stats, id→weight for max-margin) when the files exist."""
+        import os
+        for layer in self.layers:
+            name = layer.get("name")
+            if name in self.side:
+                continue
+            rs = layer.get_msg("retrieval_stats_param")
+            path = rs.get("id_to_class_file")
+            if path and os.path.exists(path):
+                self.side[name] = IdToClassMap.from_csv(path)
+                continue
+            mm = layer.get_msg("max_margin_loss_param")
+            path = mm.get("id_to_weight_file")
+            if path and os.path.exists(path):
+                ids, ws = [], []
+                with open(path) as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        a, b = line.split(",")
+                        ids.append(int(a))
+                        ws.append(float(b))
+                order = np.argsort(ids)
+                self.side[name] = (
+                    jnp.asarray(np.asarray(ids)[order], dtype=jnp.int32),
+                    jnp.asarray(np.asarray(ws)[order], dtype=jnp.float32))
+
+    # ------------------------------------------------------------------
+    def init(self, key, batch_spec: dict[str, Any]):
+        """Create params. batch_spec maps every graph-input blob name to an
+        array or ShapeDtypeStruct. Returns (params, param_meta) where params
+        is {layer_name: {blob_name: array}} and param_meta carries lr/decay
+        multipliers and sharing info (ref AppendParam net.cpp:405-464)."""
+        blobs: dict[str, Any] = {}
+        for name in self.input_names:
+            if name not in batch_spec:
+                raise ValueError(f"batch_spec missing graph input {name!r}")
+            spec = batch_spec[name]
+            blobs[name] = jax.ShapeDtypeStruct(tuple(spec.shape), spec.dtype)
+
+        params: dict[str, dict[str, Any]] = {}
+        meta: dict[str, dict[str, ParamMeta]] = {}
+        shared_owner_by_name: dict[str, tuple[str, str]] = {}
+        ctx = ApplyContext(phase=self.phase, rng=jax.random.PRNGKey(0),
+                           side=self.side)
+
+        for layer in self.layers:
+            ltype = layer.get("type")
+            lname = layer.get("name")
+            if ltype in DATA_LAYER_TYPES:
+                continue
+            bottoms = [str(b) for b in layer.get_list("bottom")]
+            in_shapes = []
+            for b in bottoms:
+                if b not in blobs:
+                    raise ValueError(
+                        f"layer {lname!r} bottom {b!r} not produced yet")
+                in_shapes.append(blobs[b].shape)
+
+            ldef = LAYERS[ltype]
+            key, sub = jax.random.split(key)
+            lparams = ldef.init(sub, layer, in_shapes)
+
+            # named-param sharing (V1 `param:` strings on LayerParameter)
+            share_names = [str(s) for s in layer.get_list("param")]
+            lr_mults = [float(v) for v in layer.get_list("blobs_lr")]
+            decay_mults = [float(v) for v in layer.get_list("weight_decay")]
+            lmeta: dict[str, ParamMeta] = {}
+            for i, pname in enumerate(list(lparams.keys())):
+                m = ParamMeta(
+                    lr_mult=lr_mults[i] if i < len(lr_mults) else 1.0,
+                    decay_mult=decay_mults[i] if i < len(decay_mults) else 1.0)
+                if i < len(share_names) and share_names[i]:
+                    sname = share_names[i]
+                    if sname in shared_owner_by_name:
+                        owner_layer, owner_blob = shared_owner_by_name[sname]
+                        owned = params[owner_layer][owner_blob]
+                        if owned.shape != lparams[pname].shape:
+                            raise ValueError(
+                                f"shared param {sname!r} shape mismatch: "
+                                f"{owned.shape} vs {lparams[pname].shape}")
+                        del lparams[pname]
+                        m.shared_owner = owner_layer
+                    else:
+                        shared_owner_by_name[sname] = (lname, pname)
+                lmeta[pname] = m
+            if lparams:
+                params[lname] = lparams
+            if lmeta:
+                meta[lname] = lmeta
+
+            # shape inference via eval_shape of the layer apply
+            resolved = self._resolve_params(params, meta, lname)
+            outs = jax.eval_shape(
+                lambda p, xs: ldef.apply(p, xs, layer, ctx),
+                resolved, [blobs[b] for b in bottoms])
+            tops = [str(t) for t in layer.get_list("top")]
+            for t, o in zip(tops, outs):
+                blobs[t] = o
+
+        self._blob_shapes = blobs
+        self.param_meta = meta
+        return params, meta
+
+    def _resolve_params(self, params, meta, lname):
+        """Materialize a layer's param dict, following shared_owner links."""
+        out = dict(params.get(lname, {}))
+        for pname, m in meta.get(lname, {}).items():
+            if m.shared_owner is not None:
+                owner = params[m.shared_owner]
+                # owner stores it under the same blob name by construction
+                out[pname] = owner[pname]
+        return out
+
+    # ------------------------------------------------------------------
+    def apply(self, params, batch: dict[str, Any], *, rng=None,
+              return_blobs: bool = False):
+        """Forward pass. Returns (loss, outputs) where outputs maps every
+        blob name that is not consumed downstream (net outputs,
+        ref:src/caffe/net.cpp:206-212) — or all blobs if return_blobs."""
+        blobs: dict[str, Any] = {}
+        for name in self.input_names:
+            if name not in batch:
+                raise ValueError(f"batch missing graph input {name!r}")
+            blobs[name] = batch[name]
+
+        ctx = ApplyContext(phase=self.phase, rng=rng, side=self.side)
+        loss = jnp.float32(0.0)
+        consumed: set[str] = set()
+
+        for layer in self.layers:
+            ltype = layer.get("type")
+            lname = layer.get("name")
+            if ltype in DATA_LAYER_TYPES:
+                continue
+            ldef = LAYERS[ltype]
+            bottoms = [str(b) for b in layer.get_list("bottom")]
+            consumed.update(bottoms)
+            lparams = self._resolve_params(params, self.param_meta, lname) \
+                if hasattr(self, "param_meta") else params.get(lname, {})
+            outs = ldef.apply(lparams, [blobs[b] for b in bottoms], layer, ctx)
+            tops = [str(t) for t in layer.get_list("top")]
+            weights = self.loss_weights.get(lname, [])
+            for i, (t, o) in enumerate(zip(tops, outs)):
+                blobs[t] = o
+                w = weights[i] if i < len(weights) else 0.0
+                if w != 0.0:
+                    loss = loss + w * jnp.sum(o)
+
+        if return_blobs:
+            return loss, blobs
+        outputs = {k: v for k, v in blobs.items() if k not in consumed}
+        return loss, outputs
+
+    def loss_fn(self, params, batch, rng=None):
+        loss, _ = self.apply(params, batch, rng=rng)
+        return loss
+
+    # ------------------------------------------------------------------
+    def flat_param_list(self, params):
+        """(layer_name, blob_name, lr_mult, decay_mult) for every owned param,
+        in deterministic order — the solver's view (ref net params vector)."""
+        out = []
+        for lname in sorted(params.keys()):
+            for pname in sorted(params[lname].keys()):
+                m = self.param_meta.get(lname, {}).get(pname, ParamMeta())
+                out.append((lname, pname, m.lr_mult, m.decay_mult))
+        return out

@@ -1,0 +1,159 @@
+"""Optimizers with Caffe-exact semantics.
+
+ref:src/caffe/solver.cpp — SGDSolver (:441-576), NesterovSolver (:599-711),
+AdaGradSolver (:714-844). The reference mutates per-param diff/history blobs
+in a host loop; here each update is a pure pytree transform jitted together
+with the gradient computation, so the whole train step is one XLA program.
+
+Update rules (per-leaf; d = grad + local_decay·reg(w), local_rate = rate·lr_mult,
+local_decay = weight_decay·decay_mult; reg = identity for L2, sign for L1):
+
+  SGD:       h ← momentum·h + local_rate·d ;  w ← w − h
+  Nesterov:  h₀ = h ; h ← momentum·h + local_rate·d
+             w ← w − ((1+momentum)·h − momentum·h₀)
+  AdaGrad:   h ← h + d² ;  w ← w − local_rate·d / (√h + delta)
+
+LR policies (ref GetLearningRate :441-460): fixed, step, exp, inv.
+
+Note momentum multiplies the *lr-scaled* gradient (Caffe convention), not the
+raw gradient — parity tests in tests/test_solver.py check closed-form
+trajectories.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class SolverConfig:
+    """Mirror of SolverParameter (ref:src/caffe/proto/caffe.proto:75-173),
+    native defaults matching proto defaults."""
+    solver_type: str = "SGD"            # SGD | NESTEROV | ADAGRAD
+    base_lr: float = 0.01
+    lr_policy: str = "fixed"            # fixed | step | exp | inv
+    gamma: float = 0.0001
+    power: float = 0.75
+    stepsize: int = 100000
+    momentum: float = 0.0
+    weight_decay: float = 0.0
+    regularization_type: str = "L2"     # L2 | L1
+    delta: float = 1e-8                 # AdaGrad
+    max_iter: int = 0
+    iter_size: int = 1
+    display: int = 0
+    test_interval: int = 0
+    test_iter: tuple = ()
+    snapshot: int = 0
+    snapshot_prefix: str = ""
+    snapshot_after_train: bool = True
+    random_seed: int = -1
+    extras: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_message(cls, msg) -> "SolverConfig":
+        """Build from a parsed solver prototxt Message."""
+        type_map = {0: "SGD", 1: "NESTEROV", 2: "ADAGRAD",
+                    "SGD": "SGD", "NESTEROV": "NESTEROV", "ADAGRAD": "ADAGRAD"}
+        kw: dict[str, Any] = {}
+        for fname, key in [
+            ("base_lr", "base_lr"), ("lr_policy", "lr_policy"),
+            ("gamma", "gamma"), ("power", "power"), ("stepsize", "stepsize"),
+            ("momentum", "momentum"), ("weight_decay", "weight_decay"),
+            ("regularization_type", "regularization_type"), ("delta", "delta"),
+            ("max_iter", "max_iter"), ("iter_size", "iter_size"),
+            ("display", "display"), ("test_interval", "test_interval"),
+            ("snapshot", "snapshot"), ("snapshot_prefix", "snapshot_prefix"),
+            ("snapshot_after_train", "snapshot_after_train"),
+            ("random_seed", "random_seed"),
+        ]:
+            if msg.has(fname):
+                kw[key] = msg.get(fname)
+        if msg.has("solver_type"):
+            kw["solver_type"] = type_map[msg.get("solver_type")]
+        if msg.has("test_iter"):
+            kw["test_iter"] = tuple(int(v) for v in msg.get_list("test_iter"))
+        cfg = cls(**kw)
+        cfg.extras = {k: msg.get(k) for k in ("net", "train_net", "test_net",
+                                              "solver_mode", "device_id")
+                      if msg.has(k)}
+        return cfg
+
+
+def learning_rate(cfg: SolverConfig, it):
+    """ref:src/caffe/solver.cpp:441-460. `it` may be traced (jnp int)."""
+    itf = jnp.asarray(it, jnp.float32)
+    if cfg.lr_policy == "fixed":
+        return jnp.float32(cfg.base_lr)
+    if cfg.lr_policy == "step":
+        current_step = jnp.floor(itf / cfg.stepsize)
+        return cfg.base_lr * jnp.power(cfg.gamma, current_step)
+    if cfg.lr_policy == "exp":
+        return cfg.base_lr * jnp.power(cfg.gamma, itf)
+    if cfg.lr_policy == "inv":
+        return cfg.base_lr * jnp.power(1.0 + cfg.gamma * itf, -cfg.power)
+    raise ValueError(f"Unknown lr policy {cfg.lr_policy!r}")
+
+
+def init_solver_state(cfg: SolverConfig, params):
+    """History pytree (momentum / accumulated square grads), zeros like params
+    (ref PreSolve :464-482)."""
+    return {"iter": jnp.int32(0),
+            "history": jax.tree.map(jnp.zeros_like, params)}
+
+
+def _decayed_grad(w, g, local_decay, reg_type):
+    if reg_type == "L2":
+        return g + local_decay * w
+    if reg_type == "L1":
+        return g + local_decay * jnp.sign(w)
+    raise ValueError(f"Unknown regularization type {reg_type!r}")
+
+
+def solver_update(cfg: SolverConfig, params, grads, state, *,
+                  lr_mults=None, decay_mults=None):
+    """One optimizer step. lr_mults/decay_mults: optional pytrees (same
+    structure as params) of scalars; default 1.0 (ref blobs_lr/weight_decay
+    multipliers). Returns (new_params, new_state)."""
+    it = state["iter"]
+    rate = learning_rate(cfg, it)
+    momentum = cfg.momentum
+    wd = cfg.weight_decay
+    reg = cfg.regularization_type
+    ones = jax.tree.map(lambda _: 1.0, params)
+    lr_mults = lr_mults if lr_mults is not None else ones
+    decay_mults = decay_mults if decay_mults is not None else ones
+
+    def leaf_update(w, g, h, lrm, dm):
+        local_rate = rate * lrm
+        local_decay = wd * dm
+        d = _decayed_grad(w, g, local_decay, reg)
+        if cfg.solver_type == "SGD":
+            h_new = momentum * h + local_rate * d
+            return w - h_new, h_new
+        if cfg.solver_type == "NESTEROV":
+            h_new = momentum * h + local_rate * d
+            step = (1.0 + momentum) * h_new - momentum * h
+            return w - step, h_new
+        if cfg.solver_type == "ADAGRAD":
+            h_new = h + d * d
+            step = local_rate * d / (jnp.sqrt(h_new) + cfg.delta)
+            return w - step, h_new
+        raise ValueError(f"Unknown solver type {cfg.solver_type!r}")
+
+    flat_w, treedef = jax.tree.flatten(params)
+    flat_g = treedef.flatten_up_to(grads)
+    flat_h = treedef.flatten_up_to(state["history"])
+    flat_lr = treedef.flatten_up_to(lr_mults)
+    flat_dm = treedef.flatten_up_to(decay_mults)
+    new_w, new_h = [], []
+    for w, g, h, lrm, dm in zip(flat_w, flat_g, flat_h, flat_lr, flat_dm):
+        wn, hn = leaf_update(w, g, h, lrm, dm)
+        new_w.append(wn)
+        new_h.append(hn)
+    return (jax.tree.unflatten(treedef, new_w),
+            {"iter": it + 1, "history": jax.tree.unflatten(treedef, new_h)})
