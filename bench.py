@@ -1,0 +1,97 @@
+"""Benchmark: flagship temporal-embedding training throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": "triplets/sec/chip", "value": N, "unit": "triplets/s", "vs_baseline": R}
+
+Workload = the reference training config (BASELINE.md): batch 128 windows,
+fc7 4096→4096 tower over 15 roles (target + 4 context + 10 negatives),
+max-margin L2 ranking loss (margin 2), SGD momentum .9 + weight decay, i.e.
+one full forward+backward+update step. A "triplet" is one
+(context, target, negative) ranking comparison: batch × num_negatives per
+step (the unit of the reference's ranking objective,
+ref:src/caffe/layers/max_margin_loss_layer.cpp).
+
+vs_baseline compares against the measured CPU baseline in
+BASELINE_MEASURED.json (torch-CPU implementation of the identical step —
+stand-in for CPU-mode Caffe, which uses the same BLAS path; methodology in
+that file). Falls back to vs_baseline = null if absent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 128
+NUM_NEG = 10
+FEAT = 4096
+EMBED = 4096
+WARMUP = 5
+ITERS = 200
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    from videovector_tpu.models import VideoEmbeddingConfig, VideoEmbeddingModel
+    from videovector_tpu.solver import SolverConfig, init_solver_state, solver_update
+
+    cfg = VideoEmbeddingConfig(feature_dim=FEAT, embed_dim=EMBED,
+                               num_negatives=NUM_NEG, compute_dtype="bfloat16")
+    model = VideoEmbeddingModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    solver_cfg = SolverConfig(base_lr=0.001, momentum=0.9, weight_decay=5e-4,
+                              lr_policy="inv", gamma=0.001, power=0.75)
+    state = init_solver_state(solver_cfg, params)
+
+    def loss_fn(p, batch, rng):
+        return model.loss(p, batch, rng=rng, train=True)
+
+    @jax.jit
+    def step(p, s, batch, rng):
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(p, batch, rng)
+        p2, s2 = solver_update(solver_cfg, p, g, s)
+        return p2, s2, loss
+
+    rng_np = np.random.RandomState(0)
+    data = jnp.asarray(rng_np.randn(BATCH, cfg.num_roles, FEAT).astype(np.float32))
+    batch = {"data": data}
+    key = jax.random.PRNGKey(1)
+
+    for _ in range(WARMUP):
+        params, state, loss = step(params, state, batch, key)
+    float(loss)  # value fetch: block_until_ready is unreliable on the
+    # experimental axon platform, a scalar fetch forces a full sync
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        params, state, loss = step(params, state, batch, key)
+    float(loss)
+    dt = time.perf_counter() - t0
+    steps_per_sec = ITERS / dt
+    return steps_per_sec * BATCH * NUM_NEG  # triplets/sec
+
+
+def main():
+    triplets_per_sec = measure_tpu()
+    baseline = None
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            baseline = json.load(f).get("cpu_triplets_per_sec")
+    vs = (triplets_per_sec / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "triplets/sec/chip",
+        "value": round(triplets_per_sec, 1),
+        "unit": "triplets/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

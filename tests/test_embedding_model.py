@@ -1,0 +1,127 @@
+"""Flagship model tests: (1) math parity against the graph engine running the
+actual reference prototxt, (2) sharded multi-device training on the virtual
+8-device CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videovector_tpu.config import parse_file
+from videovector_tpu.graph import Net
+from videovector_tpu.models import VideoEmbeddingConfig, VideoEmbeddingModel
+from videovector_tpu.parallel import make_mesh, make_train_step
+from videovector_tpu.parallel.train import shard_batch, shard_params
+from videovector_tpu.solver import SolverConfig, init_solver_state
+
+REF_TRAIN = "/root/reference/projects/videovec_embedding/mednet_embedding_train.prototxt"
+
+
+def _small_cfg(**kw):
+    base = dict(feature_dim=64, embed_dim=32, num_context=4, num_negatives=10,
+                margin=2.0, dropout_rate=0.0, compute_dtype="float32")
+    base.update(kw)
+    return VideoEmbeddingConfig(**base)
+
+
+def test_loss_and_shapes(rng, key):
+    cfg = _small_cfg()
+    model = VideoEmbeddingModel(cfg)
+    params = model.init(key)
+    data = jnp.asarray(rng.randn(8, cfg.num_roles, cfg.feature_dim)
+                       .astype(np.float32))
+    loss, aux = model.loss(params, {"data": data}, train=False)
+    assert loss.shape == ()
+    assert float(loss) > 0
+    s_true, s_neg, emb = model.scores(params, data, train=False)
+    assert s_true.shape == (8,)
+    assert s_neg.shape == (8, 10)
+    # embeddings are unit rows
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(emb["context"]), axis=1), 1.0, rtol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_TRAIN), reason="reference not mounted")
+def test_parity_with_reference_prototxt(rng):
+    """The idiomatic model computes the same loss as the graph engine running
+    the unmodified reference prototxt with the same weights (f32, no
+    dropout)."""
+    feat = 4096
+    net = Net(parse_file(REF_TRAIN), phase="TRAIN")
+    spec = {"data": jax.ShapeDtypeStruct((2, 15, feat, 1), jnp.float32)}
+    net_params, _ = net.init(jax.random.PRNGKey(0), spec)
+
+    cfg = VideoEmbeddingConfig(feature_dim=feat, embed_dim=4096,
+                               num_context=4, num_negatives=10, margin=2.0,
+                               dropout_rate=0.0, compute_dtype="float32")
+    model = VideoEmbeddingModel(cfg)
+    params = {"tower": {"w": net_params["fc7"]["w"],
+                        "b": net_params["fc7"]["b"]}}
+
+    data = rng.randn(2, 15, feat, 1).astype(np.float32)
+    # engine path: rng=None disables dropout even in TRAIN phase
+    loss_engine, _ = net.apply(net_params, {"data": jnp.asarray(data)}, rng=None)
+    loss_model, _ = model.loss(params, {"data": jnp.asarray(data[..., 0])},
+                               train=False)
+    np.testing.assert_allclose(float(loss_engine), float(loss_model), rtol=1e-4)
+
+
+def test_sharded_training_step_8_devices(rng):
+    """DP×TP train step on the virtual 8-device mesh: loss decreases and
+    matches the single-device step."""
+    assert len(jax.devices()) == 8
+    cfg = _small_cfg()
+    model = VideoEmbeddingModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    solver_cfg = SolverConfig(base_lr=0.05, momentum=0.9)
+    state = init_solver_state(solver_cfg, params)
+
+    def loss_fn(p, batch, rng):
+        return model.loss(p, batch, rng=rng, train=True)
+
+    batch_np = rng.randn(16, cfg.num_roles, cfg.feature_dim).astype(np.float32)
+
+    # single-device reference trajectory
+    sp, ss = params, state
+    plain_step = jax.jit(lambda p, s, b, r: make_plain(p, s, b, r))
+
+    def make_plain(p, s, b, r):
+        from videovector_tpu.solver import solver_update
+        (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(p, b, r)
+        p2, s2 = solver_update(solver_cfg, p, g, s)
+        return p2, s2, l
+
+    mesh = make_mesh(data=4, model=2)
+    step = make_train_step(loss_fn, solver_cfg, mesh)
+    p = shard_params(params, mesh, model_axis=True)
+    s = init_solver_state(solver_cfg, p)
+    rngk = jax.random.PRNGKey(7)
+
+    losses = []
+    for i in range(5):
+        batch = shard_batch({"data": jnp.asarray(batch_np)}, mesh)
+        sp, ss, l_plain = plain_step(sp, ss, {"data": jnp.asarray(batch_np)}, rngk)
+        p, s, metrics = step(p, s, batch, rngk)
+        np.testing.assert_allclose(float(metrics["loss"]), float(l_plain),
+                                   rtol=2e-4)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+
+    # final params agree between sharded and single-device paths
+    np.testing.assert_allclose(np.asarray(p["tower"]["w"]),
+                               np.asarray(sp["tower"]["w"]), atol=2e-5)
+
+
+def test_extract_is_normalized(rng, key):
+    cfg = _small_cfg()
+    model = VideoEmbeddingModel(cfg)
+    params = model.init(key)
+    frames = jnp.asarray(rng.randn(6, 3, cfg.feature_dim).astype(np.float32))
+    out = model.extract(params, frames)
+    assert out.shape == (6, cfg.embed_dim)
+    norms = np.linalg.norm(np.asarray(out), axis=1)
+    # rows with non-zero embedding are unit; relu can zero entire rows
+    nz = norms > 1e-6
+    np.testing.assert_allclose(norms[nz], 1.0, rtol=1e-5)

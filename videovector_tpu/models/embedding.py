@@ -1,0 +1,137 @@
+"""The flagship temporal video-embedding model, TPU-native.
+
+This is the idiomatic re-design of the reference's
+mednet_embedding_train.prototxt graph
+(ref:projects/videovec_embedding/mednet_embedding_train.prototxt):
+
+  reference graph                         this model
+  ---------------                         ----------
+  SLICE data into 15 role blobs           keep (B, R, D) tensor
+  CONCAT roles into batch                 reshape (B·R, D)
+  INNER_PRODUCT fc7 4096→4096             one (B·R, D)×(D, E) MXU matmul
+  RELU + DROPOUT .9                       fused elementwise
+  SLICE back into roles                   reshape (B, R, E)
+  ELTWISE SUM coeff .25 over contexts     mean over context axis
+  NORMALIZATION ×3                        l2_normalize_rows
+  ELTWISE PROD + SUM(num_output=N) ×11    two batched dots (einsum)
+  CONCAT scores                           —
+  MAX_MARGIN_LOSS margin 2 L2             ops.max_margin_loss
+
+Same math (verified against the graph engine running the actual prototxt in
+tests/test_embedding_model.py), but the 15-way slice/concat dance collapses
+into a single large GEMM — the shape the MXU wants.
+
+Roles layout along axis 1 matches the data layer's emission order
+(ref:src/caffe/layers/video_sampled_shots_data_layer.cpp:371-765):
+[target | context_1..C | negative_1..N].
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from videovector_tpu import ops
+from videovector_tpu.core import fillers
+
+
+@dataclass(frozen=True)
+class VideoEmbeddingConfig:
+    feature_dim: int = 4096
+    embed_dim: int = 4096
+    num_context: int = 4          # context_size 5 → 4 context shots (window minus target)
+    num_negatives: int = 10
+    margin: float = 2.0
+    norm: str = "L2"              # margin-loss norm
+    dropout_rate: float = 0.9
+    weight_std: float = 0.001     # ref fc7 gaussian std .001
+    # dtype for the tower matmul; params stay f32. bf16 halves HBM traffic
+    # and doubles MXU throughput; f32 for parity testing.
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def num_roles(self) -> int:
+        return 1 + self.num_context + self.num_negatives
+
+
+class VideoEmbeddingModel:
+    """Functional model: params are a plain dict; all methods are pure and
+    jit-friendly."""
+
+    def __init__(self, cfg: VideoEmbeddingConfig):
+        self.cfg = cfg
+
+    # -- params ----------------------------------------------------------
+    def init(self, key):
+        cfg = self.cfg
+        kw, _ = jax.random.split(key)
+        w = fillers.gaussian_fill(kw, (cfg.embed_dim, cfg.feature_dim),
+                                  std=cfg.weight_std).T  # (D, E)
+        b = jnp.zeros((cfg.embed_dim,), jnp.float32)
+        return {"tower": {"w": w, "b": b}}
+
+    # -- embedding tower -------------------------------------------------
+    def embed(self, params, x, *, rng=None, train: bool = False):
+        """x: (..., D) → (..., E). fc7 + ReLU (+ dropout at train)."""
+        cfg = self.cfg
+        t = params["tower"]
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, cfg.feature_dim)
+        cdt = jnp.dtype(cfg.compute_dtype)
+        h = jnp.dot(flat.astype(cdt), t["w"].astype(cdt),
+                    preferred_element_type=jnp.float32)
+        h = h + t["b"]
+        h = ops.relu(h)
+        if train and rng is not None and cfg.dropout_rate > 0:
+            h = ops.dropout(h, rate=cfg.dropout_rate, rng=rng)
+        return h.reshape(*lead, cfg.embed_dim)
+
+    # -- scoring ---------------------------------------------------------
+    def scores(self, params, data, *, rng=None, train: bool = False):
+        """data: (B, R, D) → (s_true (B,), s_neg (B, N), embeddings dict)."""
+        cfg = self.cfg
+        h = self.embed(params, data, rng=rng, train=train)   # (B, R, E)
+        target = h[:, 0]
+        context = h[:, 1:1 + cfg.num_context]
+        negs = h[:, 1 + cfg.num_context:]
+
+        # ref eltwise SUM with coeff 0.25 over 4 contexts == mean over C
+        ctx_avg = jnp.mean(context, axis=1)
+        ctx_n = ops.l2_normalize_rows(ctx_avg)
+        tgt_n = ops.l2_normalize_rows(target)
+        # negatives normalized jointly with the target in the reference
+        # (CONCAT + NORMALIZATION) — row-wise, so identical per row.
+        negs_n = negs / (jnp.linalg.norm(negs, axis=-1, keepdims=True) + 1e-10)
+
+        s_true = jnp.sum(ctx_n * tgt_n, axis=-1)             # (B,)
+        s_neg = jnp.einsum("bnd,bd->bn", negs_n, ctx_n)      # (B, N)
+        return s_true, s_neg, {"target": tgt_n, "context": ctx_n,
+                               "negatives": negs_n}
+
+    # -- losses ----------------------------------------------------------
+    def loss(self, params, batch, *, rng=None, train: bool = True,
+             weights=None):
+        """batch: dict with 'data' (B, R, D) [and optional 'weights'].
+        Returns (loss, aux dict)."""
+        cfg = self.cfg
+        s_true, s_neg, _ = self.scores(params, batch["data"], rng=rng,
+                                       train=train)
+        s_true_b = jnp.broadcast_to(s_true[:, None], s_neg.shape)
+        w = weights if weights is not None else batch.get("weights")
+        loss, violations = ops.max_margin_loss(
+            s_true_b, s_neg, margin=cfg.margin, norm=cfg.norm, weights=w)
+        return loss, {"violations": violations,
+                      "mean_true_score": jnp.mean(s_true),
+                      "mean_neg_score": jnp.mean(s_neg)}
+
+    # -- eval ------------------------------------------------------------
+    def extract(self, params, feats):
+        """Test-time feature path (ref TEST phase: frame-average context
+        features → fc7 → normalize,
+        mednet_embedding_train.prototxt:86-131,180-186 TEST branch):
+        feats (B, F, D) frame features → (B, E) normalized embeddings."""
+        avg = jnp.mean(feats, axis=1) if feats.ndim == 3 else feats
+        h = self.embed(params, avg, train=False)
+        return ops.l2_normalize_rows(h)

@@ -1,0 +1,84 @@
+"""Sharded train/eval steps.
+
+One jitted XLA program per step: forward + backward + Caffe-exact optimizer
+update, SPMD over the mesh. Sharding layout:
+
+- batch `data` blob: P("data", None, ...) — each device computes its slice's
+  gradients; XLA inserts the psum all-reduce over ICI (the new capability the
+  reference never had, SURVEY.md §2.6).
+- tower weight (D, E): P(None, "model") — column-parallel; each model shard
+  computes E/m embedding columns; the L2-normalize triggers a psum over
+  "model" which GSPMD derives from the annotations.
+- solver history: sharded like its param.
+
+The host never sees activations; only scalar loss/aux leave the device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from videovector_tpu.solver import SolverConfig, solver_update
+
+
+def _param_pspec(path_leaf_shape, model_axis: bool) -> P:
+    """Default param layout: 2-D mats column-sharded on "model" when enabled,
+    everything else replicated."""
+    if model_axis and len(path_leaf_shape) == 2:
+        return P(None, "model")
+    return P()
+
+
+def shard_params(params, mesh: Mesh, *, model_axis: bool = False):
+    """Place params on the mesh (replicated over "data", optionally
+    column-sharded over "model")."""
+    def place(leaf):
+        spec = _param_pspec(leaf.shape, model_axis)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+    return jax.tree.map(place, params)
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Batch-shard every leaf along its leading axis."""
+    def place(leaf):
+        spec = P("data", *([None] * (leaf.ndim - 1)))
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+    return jax.tree.map(place, batch)
+
+
+def make_train_step(loss_fn: Callable, solver_cfg: SolverConfig, mesh: Mesh, *,
+                    lr_mults=None, decay_mults=None, donate: bool = True):
+    """Build `step(params, state, batch, rng) -> (params, state, metrics)`.
+
+    loss_fn(params, batch, rng) -> (loss, aux_dict). Gradient all-reduce over
+    the "data" axis is implicit: the batch is sharded, params are replicated,
+    so XLA emits the psum during backward.
+    """
+
+    def step(params, state, batch, rng):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng)
+        params2, state2 = solver_update(solver_cfg, params, grads, state,
+                                        lr_mults=lr_mults,
+                                        decay_mults=decay_mults)
+        metrics = {"loss": loss, **aux}
+        return params2, state2, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        donate_argnums=donate_argnums,
+        out_shardings=(None, None, replicated),
+    )
+
+
+def make_eval_step(eval_fn: Callable, mesh: Mesh):
+    """jit an eval function with replicated scalar outputs."""
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(eval_fn, out_shardings=replicated)
