@@ -1,0 +1,77 @@
+"""Snapshot / restore.
+
+The reference writes two files per snapshot (ref:src/caffe/solver.cpp:321-341):
+`<prefix>_iter_N.caffemodel` (NetParameter with layer blobs) and
+`<prefix>_iter_N.solverstate` (iter + momentum history + pointer to the model,
+caffe.proto:176-180). We keep the same two-file shape:
+
+  <prefix>_iter_N.vvmodel  — npz of the param pytree (flat "layer/name" keys)
+  <prefix>_iter_N.vvstate  — npz of iter + history pytree + model filename
+
+plus optional `.caffemodel` export via data/weights.py for graph-engine
+params (so reference tooling can consume our training output).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _flatten(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat: dict) -> dict:
+    out: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        d = out
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = jnp.asarray(v)
+    return out
+
+
+def snapshot(prefix: str, it: int, params: dict, state: dict | None = None):
+    """Write model (+ solver state). Returns (model_path, state_path|None)."""
+    os.makedirs(os.path.dirname(os.path.abspath(prefix)) or ".", exist_ok=True)
+    model_path = f"{prefix}_iter_{it}.vvmodel"
+    with open(model_path, "wb") as f:  # file handle: keep our extension
+        np.savez(f, **_flatten(params))
+    state_path = None
+    if state is not None:
+        state_path = f"{prefix}_iter_{it}.vvstate"
+        flat = _flatten({"history": state["history"]})
+        flat["__iter__"] = np.asarray(int(state["iter"]))
+        flat["__model__"] = np.asarray(os.path.basename(model_path))
+        with open(state_path, "wb") as f:
+            np.savez(f, **flat)
+    return model_path, state_path
+
+
+def load_model(path: str) -> dict:
+    with np.load(path) as z:
+        return _unflatten({k: z[k] for k in z.files})
+
+
+def restore(state_path: str):
+    """Returns (params, state) — the reference's `--snapshot` resume
+    (ref:src/caffe/solver.cpp:419-429)."""
+    with np.load(state_path) as z:
+        flat = {k: z[k] for k in z.files}
+    it = int(flat.pop("__iter__"))
+    model_name = str(flat.pop("__model__"))
+    model_path = os.path.join(os.path.dirname(state_path), model_name)
+    params = load_model(model_path)
+    history = _unflatten(flat)["history"]
+    return params, {"iter": jnp.int32(it), "history": history}

@@ -1,0 +1,118 @@
+"""The training loop — Solver::Solve equivalent
+(ref:src/caffe/solver.cpp:160-240).
+
+Responsibilities preserved: per-iteration forward/backward/update (one jitted
+XLA program), `display`-interval glog-style metric lines (so log-scraping
+tools like ref:caffe_utils/plot_training_stats.py keep working),
+`test_interval` evaluation averaging net outputs over `test_iter` batches
+(ref Solver::Test :244-317), `snapshot`-interval checkpointing and
+resume (ref Restore :419-429).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Iterator
+
+import jax
+import numpy as np
+
+from videovector_tpu.solver.checkpoint import restore, snapshot
+from videovector_tpu.solver.solvers import (
+    SolverConfig, init_solver_state, learning_rate, solver_update,
+)
+from videovector_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+@dataclass
+class TrainResult:
+    params: Any
+    state: Any
+    metrics_history: list = field(default_factory=list)
+    test_history: list = field(default_factory=list)
+
+
+def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
+          lr_mults=None, decay_mults=None,
+          eval_fn: Callable | None = None,
+          test_data: Iterator[dict] | None = None,
+          resume_state_path: str | None = None,
+          rng=None, jit: bool = True) -> TrainResult:
+    """loss_fn(params, batch, rng) -> (loss, aux_dict).
+    eval_fn(params, batch) -> dict of scalars; averaged over cfg.test_iter[0]
+    batches every cfg.test_interval iterations."""
+    # private copies: the jitted step donates its param/state buffers, and the
+    # caller's arrays must survive the call
+    params = jax.tree.map(jax.numpy.array, params)
+    state = init_solver_state(cfg, params)
+    start_iter = 0
+    if resume_state_path:
+        params, state = restore(resume_state_path)
+        start_iter = int(state["iter"])
+        log.info("Restoring previous solver status from %s (iter %d)",
+                 resume_state_path, start_iter)
+    if rng is None:
+        rng = jax.random.PRNGKey(cfg.random_seed if cfg.random_seed >= 0 else 0)
+
+    def raw_step(p, s, batch, key):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, batch, key)
+        p2, s2 = solver_update(cfg, p, grads, s,
+                               lr_mults=lr_mults, decay_mults=decay_mults)
+        return p2, s2, {"loss": loss, **aux}
+
+    step = jax.jit(raw_step, donate_argnums=(0, 1)) if jit else raw_step
+    eval_step = (jax.jit(eval_fn) if (jit and eval_fn is not None) else eval_fn)
+
+    result = TrainResult(params, state)
+
+    def run_test(p, it):
+        if eval_fn is None or test_data is None:
+            return
+        n = cfg.test_iter[0] if cfg.test_iter else 1
+        sums: dict[str, float] = {}
+        for _ in range(n):
+            out = eval_step(p, next(test_data))
+            for k, v in out.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+        avg = {k: v / n for k, v in sums.items()}
+        log.info("Iteration %d, Testing net", it)
+        for i, (k, v) in enumerate(sorted(avg.items())):
+            log.info("    Test net output #%d: %s = %g", i, k, v)
+        result.test_history.append((it, avg))
+
+    it = start_iter
+    while it < cfg.max_iter:
+        if cfg.snapshot and it > start_iter and it % cfg.snapshot == 0:
+            snapshot(cfg.snapshot_prefix or "snapshot", it,
+                     jax.device_get(params), jax.device_get(state))
+        if cfg.test_interval and it % cfg.test_interval == 0:
+            run_test(params, it)
+
+        batch = next(data)
+        key = jax.random.fold_in(rng, it)
+        params, state, metrics = step(params, state, batch, key)
+
+        if cfg.display and it % cfg.display == 0:
+            loss = float(metrics["loss"])
+            lr = float(learning_rate(cfg, it))
+            log.info("Iteration %d, lr = %g", it, lr)
+            log.info("Iteration %d, loss = %g", it, loss)
+            for i, (k, v) in enumerate(sorted(metrics.items())):
+                if k == "loss":
+                    continue
+                log.info("    Train net output #%d: %s = %g", i, k, float(v))
+            result.metrics_history.append(
+                (it, {k: float(v) for k, v in metrics.items()}))
+        it += 1
+
+    if cfg.snapshot_after_train and cfg.snapshot_prefix:
+        snapshot(cfg.snapshot_prefix, it, jax.device_get(params),
+                 jax.device_get(state))
+    if cfg.test_interval:
+        run_test(params, it)
+    result.params = params
+    result.state = state
+    return result
