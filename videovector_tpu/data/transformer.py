@@ -1,0 +1,138 @@
+"""DataTransformer — image Datum preprocessing.
+
+ref:src/caffe/data_transformer.cpp:9-152. Per-datum: decode uint8 pixels,
+random crop (TRAIN) / center crop (TEST), random mirror, mean-subtract
+(mean image or per-channel datum min/max/mean rescale `use_datum_scales`),
+multiply by `scale`.
+
+Two paths:
+- `transform_datum` — host NumPy, exact per-item reference semantics.
+- `batch_transform` — the TPU-native fused path: a jittable function over a
+  uint8 batch (N, C, H, W) with crop offsets / mirror flags as arrays, so
+  crop+mirror+mean+scale fuse into the first conv's XLA program and the only
+  H2D traffic is uint8 pixels (4× smaller than f32).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from videovector_tpu.data.wire import Datum
+
+
+@dataclass
+class TransformConfig:
+    """Mirror of TransformationParameter (ref caffe.proto:393-404)."""
+    crop_size: int = 0
+    mirror: bool = False
+    scale: float = 1.0
+    use_datum_scales: bool = False
+
+    @classmethod
+    def from_message(cls, msg) -> "TransformConfig":
+        kw = {}
+        for f in ("crop_size", "mirror", "scale", "use_datum_scales"):
+            if msg.has(f):
+                kw[f] = msg.get(f)
+        return cls(**kw)
+
+
+def datum_to_array(datum: Datum) -> np.ndarray:
+    """uint8 `data` preferred, else float_data (ref :118-140)."""
+    c, h, w = datum.channels, datum.height, datum.width
+    if datum.data:
+        return np.frombuffer(datum.data, np.uint8).reshape(c, h, w)
+    return np.asarray(datum.float_data, np.float32).reshape(c, h, w)
+
+
+def transform_datum(datum: Datum, cfg: TransformConfig, *,
+                    mean: np.ndarray | None = None,
+                    train: bool = False,
+                    rng: np.random.RandomState | None = None) -> np.ndarray:
+    """Exact reference semantics, one datum → (C, crop, crop) f32."""
+    arr = datum_to_array(datum)
+    c, h, w = arr.shape
+    if cfg.crop_size:
+        if not datum.data:
+            raise ValueError("cropping requires uint8 data (ref :52)")
+        cs = cfg.crop_size
+        if train:
+            rng = rng or np.random.RandomState()
+            h_off = rng.randint(h - cs)
+            w_off = rng.randint(w - cs)
+            do_mirror = bool(cfg.mirror and rng.randint(2))
+        else:
+            h_off = (h - cs) // 2
+            w_off = (w - cs) // 2
+            do_mirror = False
+        patch = arr[:, h_off:h_off + cs, w_off:w_off + cs].astype(np.float32)
+        if cfg.use_datum_scales:
+            mins = np.asarray(datum.min, np.float32)[:, None, None]
+            maxs = np.asarray(datum.max, np.float32)[:, None, None]
+            means = np.asarray(datum.mean, np.float32)[:, None, None]
+            out = mins + patch * (maxs - mins) / 255.0 - means
+        else:
+            m = (mean[:, h_off:h_off + cs, w_off:w_off + cs]
+                 if mean is not None else 0.0)
+            out = (patch - m) * cfg.scale
+        if do_mirror:
+            out = out[:, :, ::-1]
+        return np.ascontiguousarray(out)
+    # no crop
+    if cfg.use_datum_scales:
+        raise ValueError("use_datum_scales requires crop (ref :115)")
+    out = arr.astype(np.float32)
+    if mean is not None:
+        out = out - mean
+    return out * cfg.scale
+
+
+def make_batch_transform(cfg: TransformConfig, mean: np.ndarray | None,
+                         image_hw: tuple[int, int]):
+    """Build the fused on-device transform:
+    f(pixels_u8 (N,C,H,W), h_off (N,), w_off (N,), mirror (N,)) → f32 batch.
+    Jit it (or let it inline into the extraction net's program)."""
+    cs = cfg.crop_size
+    h, w = image_hw
+    mean_arr = jnp.asarray(mean, jnp.float32) if mean is not None else None
+
+    def f(pixels, h_off, w_off, mirror):
+        n = pixels.shape[0]
+        x = pixels.astype(jnp.float32)
+        if cs:
+            def crop_one(img, ho, wo, m):
+                patch = jax.lax.dynamic_slice(
+                    img, (0, ho, wo), (img.shape[0], cs, cs))
+                if mean_arr is not None:
+                    mpatch = jax.lax.dynamic_slice(
+                        mean_arr, (0, ho, wo), (mean_arr.shape[0], cs, cs))
+                    patch = patch - mpatch
+                patch = patch * cfg.scale
+                return jnp.where(m, patch[:, :, ::-1], patch)
+            return jax.vmap(crop_one)(x, h_off, w_off, mirror)
+        out = x - mean_arr if mean_arr is not None else x
+        del n
+        return out * cfg.scale
+
+    return f
+
+
+def sample_transform_params(n: int, image_hw, cfg: TransformConfig, *,
+                            train: bool, rng: np.random.RandomState):
+    """Host-side RNG for the fused path: per-item crop offsets + mirror."""
+    h, w = image_hw
+    cs = cfg.crop_size
+    if train:
+        h_off = rng.randint(0, h - cs, size=n)
+        w_off = rng.randint(0, w - cs, size=n)
+        mirror = (rng.randint(0, 2, size=n) > 0) if cfg.mirror \
+            else np.zeros(n, bool)
+    else:
+        h_off = np.full(n, (h - cs) // 2)
+        w_off = np.full(n, (w - cs) // 2)
+        mirror = np.zeros(n, bool)
+    return (h_off.astype(np.int32), w_off.astype(np.int32), mirror)

@@ -127,6 +127,106 @@ def _id_to_weight():
 
 
 # ---------------------------------------------------------------------------
+# Vision layers (conv stack)
+# ---------------------------------------------------------------------------
+
+def _kernel_geometry(p):
+    """kernel_size/kernel_h/kernel_w (+ stride/pad twins) per Caffe
+    ConvolutionParameter/PoolingParameter conventions."""
+    def pair(base, default):
+        if p.has(f"{base}_h") or p.has(f"{base}_w"):
+            return (int(p.get(f"{base}_h", default)),
+                    int(p.get(f"{base}_w", default)))
+        v = int(p.get(base if base != "kernel" else "kernel_size", default))
+        return (v, v)
+    kernel = pair("kernel", 0)
+    stride = pair("stride", 1)
+    pad = pair("pad", 0)
+    return kernel, stride, pad
+
+
+@register("CONVOLUTION")
+def _convolution():
+    from videovector_tpu.ops import conv as conv_ops
+
+    def init(key, cfg, in_shapes):
+        p = cfg.get_msg("convolution_param")
+        num_output = int(p.get("num_output"))
+        groups = int(p.get("group", 1))
+        (kh, kw), _, _ = _kernel_geometry(p)
+        c_in = int(in_shapes[0][1])
+        kw_, kb = jax.random.split(key)
+        wfill = fillers.get_filler(p.get_msg("weight_filler") if p.has("weight_filler") else None)
+        params = {"w": wfill(kw_, (num_output, c_in // groups, kh, kw), jnp.float32)}
+        if p.get("bias_term", True):
+            bfill = fillers.get_filler(p.get_msg("bias_filler") if p.has("bias_filler") else None)
+            params["b"] = bfill(kb, (num_output,), jnp.float32)
+        return params
+
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("convolution_param")
+        _, stride, pad = _kernel_geometry(p)
+        return [conv_ops.conv2d(inputs[0], params["w"], params.get("b"),
+                                stride=stride, pad=pad,
+                                groups=int(p.get("group", 1)))]
+
+    return init, apply
+
+
+@register("POOLING")
+def _pooling():
+    from videovector_tpu.ops import pooling as pool_ops
+
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("pooling_param")
+        kernel, stride, pad = _kernel_geometry(p)
+        method = p.get("pool", "MAX")
+        if method == "MAX":
+            return [pool_ops.max_pool(inputs[0], kernel=kernel, stride=stride,
+                                      pad=pad)]
+        if method == "AVE":
+            return [pool_ops.avg_pool(inputs[0], kernel=kernel, stride=stride,
+                                      pad=pad)]
+        if method == "STOCHASTIC":
+            return [pool_ops.stochastic_pool(
+                inputs[0], kernel=kernel, stride=stride, pad=pad,
+                rng=ctx.rng, deterministic=ctx.phase != "TRAIN")]
+        raise ValueError(f"Unknown pool method {method!r}")
+
+    return _no_params, apply
+
+
+@register("LRN")
+def _lrn():
+    from videovector_tpu.ops import lrn as lrn_ops
+
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("lrn_param")
+        kw = dict(local_size=int(p.get("local_size", 5)),
+                  alpha=float(p.get("alpha", 1.0)),
+                  beta=float(p.get("beta", 0.75)))
+        region = p.get("norm_region", "ACROSS_CHANNELS")
+        if region == "WITHIN_CHANNEL":
+            return [lrn_ops.lrn_within_channel(inputs[0], **kw)]
+        return [lrn_ops.lrn_cross_channel(inputs[0], **kw)]
+
+    return _no_params, apply
+
+
+@register("IM2COL")
+def _im2col():
+    from videovector_tpu.ops import conv as conv_ops
+
+    def apply(params, inputs, cfg, ctx):
+        p = cfg.get_msg("convolution_param")
+        kernel, stride, pad = _kernel_geometry(p)
+        return [conv_ops.im2col(inputs[0], kernel=kernel, stride=stride,
+                                pad=pad)]
+
+    return _no_params, apply
+
+
+# ---------------------------------------------------------------------------
 # Neuron layers
 # ---------------------------------------------------------------------------
 
