@@ -595,6 +595,139 @@ def _classification_stats():
     return _no_params, apply
 
 
+# ---------------------------------------------------------------------------
+# LSTM family
+# ---------------------------------------------------------------------------
+# Graph-engine note: the reference layers carry (cell, hidden) state across
+# forward calls (next_cell_/next_out_); a pure jit graph cannot hold hidden
+# state, so the engine starts each forward from zero state (sequence packing
+# via cont bits still works within a batch). For cross-batch carry use the
+# functional API in ops/recurrent.py and thread the returned LstmState.
+
+
+def _lstm_init(key, cfg, in_shapes, *, conditional=False):
+    from videovector_tpu.ops import recurrent
+    ip = cfg.get_msg("inner_product_param")
+    lstm_p = cfg.get_msg("lstm_param")
+    hidden = int(ip.get("num_output"))
+    t, b = int(in_shapes[0][0]), int(in_shapes[0][1])
+    input_dim = 1
+    for d in in_shapes[0][2:]:
+        input_dim *= int(d)
+    std = float(ip.get_msg("weight_filler").get("std", 0.1)) \
+        if ip.has("weight_filler") else 0.1
+    out_dim = int(lstm_p.get("final_output_size", input_dim))
+    return recurrent.init_lstm_params(
+        key, input_dim, hidden, weight_std=std,
+        output_dim=out_dim, conditional=conditional)
+
+
+def _lstm_args(cfg):
+    lstm_p = cfg.get_msg("lstm_param")
+    return {"clip_threshold": float(lstm_p.get("clipping_threshold", 0.0))}
+
+
+def _as_tbi(x):
+    return x.reshape(x.shape[0], x.shape[1], -1)
+
+
+def _as_tb(c):
+    return c.reshape(c.shape[0], c.shape[1])
+
+
+@register("LSTM")
+def _lstm():
+    from videovector_tpu.ops import recurrent
+
+    def init(key, cfg, in_shapes):
+        return _lstm_init(key, cfg, in_shapes)
+
+    def apply(params, inputs, cfg, ctx):
+        h, _ = recurrent.lstm(params, _as_tbi(inputs[0]), _as_tb(inputs[1]),
+                              **_lstm_args(cfg))
+        return [h]
+
+    return init, apply
+
+
+@register("LSTM_LINEAR")
+def _lstm_linear():
+    from videovector_tpu.ops import recurrent
+
+    def init(key, cfg, in_shapes):
+        return _lstm_init(key, cfg, in_shapes)
+
+    def apply(params, inputs, cfg, ctx):
+        h, _ = recurrent.lstm(params, _as_tbi(inputs[0]), _as_tb(inputs[1]),
+                              linear=True, **_lstm_args(cfg))
+        return [h]
+
+    return init, apply
+
+
+@register("LSTM_ENC_DEC")
+def _lstm_enc_dec():
+    from videovector_tpu.ops import recurrent
+
+    def init(key, cfg, in_shapes):
+        k1, k2 = jax.random.split(key)
+        enc = _lstm_init(k1, cfg, [in_shapes[0]])
+        dec = _lstm_init(k2, cfg, [in_shapes[2]])
+        return {**{f"enc_{k}": v for k, v in enc.items()},
+                **{f"dec_{k}": v for k, v in dec.items()}}
+
+    def apply(params, inputs, cfg, ctx):
+        enc = {k[4:]: v for k, v in params.items() if k.startswith("enc_")}
+        dec = {k[4:]: v for k, v in params.items() if k.startswith("dec_")}
+        enc_h, dec_h = recurrent.lstm_enc_dec(
+            enc, dec, _as_tbi(inputs[0]), _as_tb(inputs[1]),
+            _as_tbi(inputs[2]), _as_tb(inputs[3]), **_lstm_args(cfg))
+        return [enc_h, dec_h]
+
+    return init, apply
+
+
+@register("LSTM_CONDITIONAL")
+def _lstm_conditional():
+    from videovector_tpu.ops import recurrent
+
+    def init(key, cfg, in_shapes):
+        return _lstm_init(key, cfg, in_shapes, conditional=True)
+
+    def apply(params, inputs, cfg, ctx):
+        # bottoms: data (T,B,I), cont (T,B), first_input (B,O)
+        first = inputs[2].reshape(inputs[2].shape[0], -1)
+        out, _ = recurrent.lstm_conditional(
+            params, _as_tbi(inputs[0]), first, _as_tb(inputs[1]),
+            **_lstm_args(cfg))
+        return [out]
+
+    return init, apply
+
+
+@register("LSTM_SINGLE_STEP")
+def _lstm_single_step():
+    from videovector_tpu.ops import recurrent
+
+    def init(key, cfg, in_shapes):
+        # bottom[0] is (B, I)
+        shape = (1,) + tuple(in_shapes[0])
+        return _lstm_init(key, cfg, [shape])
+
+    def apply(params, inputs, cfg, ctx):
+        from videovector_tpu.ops.recurrent import LstmState
+        x = inputs[0].reshape(inputs[0].shape[0], -1)
+        state = None
+        if len(inputs) >= 3:
+            c_prev = inputs[1].reshape(inputs[1].shape[0], -1)
+            h_prev = inputs[2].reshape(inputs[2].shape[0], -1)
+            state = LstmState(c_prev, h_prev)
+        h, c = recurrent.lstm_single_step(params, x, state, **_lstm_args(cfg))
+        return [h, c]
+
+    return init, apply
+
+
 # DUMMY_DATA is an active layer (filler-driven), not a pipeline input
 # (ref:include/caffe/data_layers.hpp DummyDataLayer).
 @register("DUMMY_DATA")
