@@ -1,0 +1,139 @@
+"""Social pooling + tracking data source + trajectory model tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from videovector_tpu.data.tracking import (
+    TrackingConfig, TrackingWindowDataset, TrackingWindowsSocialSource,
+    TrackingWindowsSource,
+)
+from videovector_tpu.data.wire import TrackingWindow, TrackPositions
+from videovector_tpu.models.trajectory import TrajectoryConfig, TrajectoryModel
+from videovector_tpu.ops.social import social_pooling
+from videovector_tpu.solver import SolverConfig
+from videovector_tpu.solver.train import train
+
+
+def test_social_pooling_formula(rng):
+    b, f = 4, 6
+    feats = rng.randn(b, 5).astype(np.float32)
+    rel = (rng.rand(b, b) > 0.5).astype(np.float32)
+    np.fill_diagonal(rel, 0)
+    w = rng.randn(2, f).astype(np.float32)
+    bias = rng.randn(f).astype(np.float32)
+    out = social_pooling(jnp.asarray(feats), jnp.asarray(rel),
+                         jnp.asarray(w), jnp.asarray(bias))
+    # oracle loop (ref Forward_cpu :92-186)
+    expect = np.zeros((b, f), np.float32)
+    sig = lambda v: 1 / (1 + np.exp(-v))
+    for i in range(b):
+        for j in range(b):
+            dx = feats[i, 0] - feats[j, 0]
+            dy = feats[i, 1] - feats[j, 1]
+            expect[i] += rel[i, j] * sig(dx * w[0] + dy * w[1] + bias)
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-5)
+
+
+def test_social_pooling_grads(rng):
+    from jax.test_util import check_grads
+    feats = jnp.asarray(rng.randn(3, 4).astype(np.float32))
+    rel = jnp.asarray(np.ones((3, 3), np.float32) - np.eye(3, dtype=np.float32))
+    w = jnp.asarray(rng.randn(2, 5).astype(np.float32))
+    b = jnp.asarray(rng.randn(5).astype(np.float32))
+    check_grads(lambda f, w, b: jnp.sum(social_pooling(f, rel, w, b) ** 2),
+                (feats, w, b), order=1, modes=["rev"], atol=5e-2, rtol=5e-2)
+
+
+def _make_windows(rng, num_windows=4, tracks_per=3, length=12):
+    windows = []
+    tid = 0
+    for s in range(num_windows):
+        tracks = []
+        for _ in range(tracks_per):
+            start = rng.rand(2) * 10
+            vel = rng.randn(2) * 0.5
+            ts = np.arange(length)
+            x = start[0] + vel[0] * ts + 0.01 * rng.randn(length)
+            y = start[1] + vel[1] * ts + 0.01 * rng.randn(length)
+            tracks.append(TrackPositions(id=tid, x=list(x.astype(float)),
+                                         y=list(y.astype(float)), cl=0))
+            tid += 1
+        windows.append(TrackingWindow(
+            observed_time=list(range(8)), prediction_time=list(range(8, 12)),
+            scene_id=s, track_positions=tracks))
+    return TrackingWindowDataset(windows)
+
+
+def test_tracking_source_layout(rng):
+    ds = _make_windows(rng)
+    cfg = TrackingConfig(batch_size=5, temporal_observed_size=8,
+                         temporal_predicted_size=4)
+    src = TrackingWindowsSource(ds, cfg)
+    b = src.next_batch()
+    assert b["observed"].shape == (8, 5, 3)
+    assert b["predicted"].shape == (4, 5, 3)
+    assert b["labels"].shape == (4, 5, 2)
+    # recentered on last observed position: final observed step ≈ (0, 0)
+    np.testing.assert_allclose(b["observed"][7, :, :2], 0.0, atol=1e-6)
+    # encoder bit: 0 in observed, 1 in predicted
+    assert np.all(b["observed"][:, :, 2] == 0)
+    assert np.all(b["predicted"][:, :, 2] == 1)
+    # cont bits: first observed row 0, rest 1; predicted all 1
+    assert np.all(b["cont_observed"][0] == 0)
+    assert np.all(b["cont_observed"][1:] == 1)
+    assert np.all(b["cont_predicted"] == 1)
+
+
+def test_tracking_social_source(rng):
+    ds = _make_windows(rng, num_windows=3, tracks_per=3)
+    cfg = TrackingConfig(batch_size=7, temporal_observed_size=8,
+                         temporal_predicted_size=4)
+    src = TrackingWindowsSocialSource(ds, cfg)
+    b = src.next_batch()
+    # two whole scenes fit (6 tracks), 7th slot padded invalid
+    np.testing.assert_array_equal(b["is_valid"], [1, 1, 1, 1, 1, 1, 0])
+    rel = b["relations"]
+    # scene blocks with zero diagonal
+    assert np.all(rel[:3, :3] == (1 - np.eye(3)))
+    assert np.all(rel[3:6, 3:6] == (1 - np.eye(3)))
+    assert np.all(rel[:3, 3:] == 0)
+    assert b["mean_pos"].shape == (7, 2)
+
+
+def test_trajectory_model_learns(rng):
+    """Linear-motion tracks: the model should learn to extrapolate."""
+    ds = _make_windows(rng, num_windows=6, tracks_per=3)
+    cfg = TrackingConfig(batch_size=6, temporal_observed_size=8,
+                         temporal_predicted_size=4)
+    src = TrackingWindowsSocialSource(ds, cfg)
+    model = TrajectoryModel(TrajectoryConfig(feature_size=3, hidden=32,
+                                             pool_feat_size=8))
+    params = model.init(jax.random.PRNGKey(0))
+
+    def loss_fn(p, batch, key):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        return model.loss(p, batch)
+
+    scfg = SolverConfig(base_lr=0.01, momentum=0.9, max_iter=80, display=40)
+    res = train(loss_fn, params, iter(src), scfg)
+    first = res.metrics_history[0][1]["loss"]
+    last = res.metrics_history[-1][1]["loss"]
+    assert last < first * 0.7
+
+
+def test_social_pooling_graph_layer(rng):
+    from videovector_tpu.config import parse
+    from videovector_tpu.graph import Net
+    net = Net(parse("""
+    layers { name: "d" type: TRACKING_WINDOWS_SOCIAL_DATA top: "feats" top: "rel" }
+    layers { name: "sp" type: SOCIAL_POOLING bottom: "feats" bottom: "rel"
+      top: "pooled" social_pooling_param { pool_feat_size: 8 } }
+    """), phase="TRAIN")
+    spec = {"feats": jax.ShapeDtypeStruct((1, 4, 5, 1), jnp.float32),
+            "rel": jax.ShapeDtypeStruct((1, 4, 4, 1), jnp.float32)}
+    params, _ = net.init(jax.random.PRNGKey(0), spec)
+    batch = {"feats": jnp.asarray(rng.randn(1, 4, 5, 1).astype(np.float32)),
+             "rel": jnp.ones((1, 4, 4, 1), jnp.float32)}
+    _, blobs = net.apply(params, batch, return_blobs=True)
+    assert blobs["pooled"].shape == (1, 4, 8, 1)

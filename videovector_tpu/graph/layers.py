@@ -595,6 +595,36 @@ def _classification_stats():
     return _no_params, apply
 
 
+@register("SOCIAL_POOLING")
+def _social_pooling():
+    from videovector_tpu.ops.social import social_pooling
+
+    def init(key, cfg, in_shapes):
+        f = int(cfg.get_msg("social_pooling_param").get("pool_feat_size", 32))
+        k1, k2 = jax.random.split(key)
+        # reference fills w/b with the inner_product fillers if given
+        ip = cfg.get_msg("inner_product_param")
+        wfill = fillers.get_filler(ip.get_msg("weight_filler")
+                                   if ip.has("weight_filler") else
+                                   {"type": "gaussian", "std": 0.1})
+        bfill = fillers.get_filler(ip.get_msg("bias_filler")
+                                   if ip.has("bias_filler") else None)
+        return {"w": wfill(k1, (2, f), jnp.float32),
+                "b": bfill(k2, (f,), jnp.float32)}
+
+    def apply(params, inputs, cfg, ctx):
+        # bottoms: features (1, B, D[, 1]), relations (1, B, B)[, mean (1, B, 2)]
+        x = inputs[0]
+        feats = x if x.ndim == 2 else x.reshape(x.shape[1], -1)
+        b = feats.shape[0]
+        rel = inputs[1].reshape(b, b)
+        mean_pos = inputs[2].reshape(b, 2) if len(inputs) > 2 else None
+        out = social_pooling(feats, rel, params["w"], params["b"], mean_pos)
+        return [out.reshape(1, b, -1, 1)]
+
+    return init, apply
+
+
 # ---------------------------------------------------------------------------
 # LSTM family
 # ---------------------------------------------------------------------------
