@@ -1,0 +1,154 @@
+"""Tests for the generic data sources (DATA / IMAGE_DATA / MEMORY / HDF5 /
+WINDOW / FLEXIBLE / VIDEO_SHOT_WINDOW)."""
+
+import numpy as np
+import pytest
+
+from videovector_tpu.data.generic import (
+    DatumRecordSource, FlexibleDataConfig, FlexibleDataSource, HDF5Source,
+    ImageDataConfig, ImageDataSource, MemoryDataSource, VideoShotWindowSource,
+    WindowDataConfig, WindowDataSource, hdf5_output,
+)
+from videovector_tpu.data.records import RecordWriter
+from videovector_tpu.data.transformer import TransformConfig
+from videovector_tpu.data.wire import Datum, VideoShotWindow
+
+
+def _write_datum_records(path, rng, n=10, c=3, h=8, w=8):
+    arrays = []
+    with RecordWriter(path) as wtr:
+        for i in range(n):
+            pix = rng.randint(0, 256, size=(c, h, w)).astype(np.uint8)
+            arrays.append(pix)
+            d = Datum(channels=c, height=h, width=w, data=pix.tobytes(),
+                      label=i % 4)
+            wtr.append(f"{i:08d}", d.encode())
+    return arrays
+
+
+def test_datum_record_source(tmp_path, rng):
+    path = str(tmp_path / "d.vvr")
+    arrays = _write_datum_records(path, rng)
+    src = DatumRecordSource(path, batch_size=4,
+                            transform=TransformConfig(crop_size=6))
+    b = src.next_batch()
+    assert b["data"].shape == (4, 3, 6, 6)
+    np.testing.assert_array_equal(b["label"], [0, 1, 2, 3])
+    # center crop of item 0
+    np.testing.assert_allclose(b["data"][0],
+                               arrays[0][:, 1:7, 1:7].astype(np.float32))
+
+
+def test_image_data_source(tmp_path, rng):
+    from PIL import Image
+    paths = []
+    for i in range(3):
+        img = Image.fromarray(rng.randint(0, 255, (10, 12, 3)).astype(np.uint8))
+        p = tmp_path / f"im{i}.png"
+        img.save(p)
+        paths.append(str(p))
+    list_file = tmp_path / "list.txt"
+    list_file.write_text("\n".join(f"{p} {i}" for i, p in enumerate(paths)))
+    cfg = ImageDataConfig(source=str(list_file), batch_size=3,
+                          new_height=8, new_width=8)
+    src = ImageDataSource(cfg)
+    b = src.next_batch()
+    assert b["data"].shape == (3, 3, 8, 8)
+    np.testing.assert_array_equal(b["label"], [0, 1, 2])
+
+
+def test_memory_source(rng):
+    src = MemoryDataSource({"x": rng.randn(7, 3), "y": np.arange(7)}, 4)
+    b1 = src.next_batch()
+    b2 = src.next_batch()
+    np.testing.assert_array_equal(b1["y"], [0, 1, 2, 3])
+    np.testing.assert_array_equal(b2["y"], [4, 5, 6, 0])
+
+
+def test_hdf5_source_and_output(tmp_path, rng):
+    import h5py
+    f1 = tmp_path / "a.h5"
+    with h5py.File(f1, "w") as f:
+        f.create_dataset("data", data=rng.randn(5, 3).astype(np.float32))
+        f.create_dataset("label", data=np.arange(5).astype(np.float32))
+    lst = tmp_path / "list.txt"
+    lst.write_text(str(f1))
+    src = HDF5Source(str(lst), batch_size=3)
+    b = src.next_batch()
+    assert b["data"].shape == (3, 3)
+    np.testing.assert_array_equal(b["label"], [0, 1, 2])
+    b = src.next_batch()   # wraps to next file (same file)
+    np.testing.assert_array_equal(b["label"], [3, 4, 0])
+
+    out = tmp_path / "out.h5"
+    hdf5_output(str(out), {"feat": rng.randn(2, 4)})
+    with h5py.File(out) as f:
+        assert f["feat"].shape == (2, 4)
+
+
+def test_window_data_source(tmp_path, rng):
+    from PIL import Image
+    img_path = tmp_path / "scene.png"
+    Image.fromarray(rng.randint(0, 255, (40, 40, 3)).astype(np.uint8)).save(img_path)
+    win_file = tmp_path / "windows.txt"
+    win_file.write_text(
+        "# 0\n"
+        f"{img_path}\n3\n40\n40\n3\n"
+        "1 0.8 5 5 20 20\n"
+        "2 0.6 10 10 30 30\n"
+        "0 0.1 0 0 15 15\n")
+    cfg = WindowDataConfig(source=str(win_file), batch_size=8, crop_size=12,
+                           fg_fraction=0.5)
+    src = WindowDataSource(cfg, seed=0)
+    assert len(src.fg) == 2 and len(src.bg) == 1
+    b = src.next_batch()
+    assert b["data"].shape == (8, 3, 12, 12)
+    # half fg (labels 1/2), half bg (label 0)
+    assert (b["label"][:4] > 0).all()
+    assert (b["label"][4:] == 0).all()
+
+
+def test_flexible_data_source(tmp_path, rng):
+    # frame store: 9 ordered frames, value float encodes frame index
+    frames_path = str(tmp_path / "frames.vvr")
+    h = w = 6
+    with RecordWriter(frames_path) as wtr:
+        for i in range(9):
+            pix = np.full((1, h, w), i * 10, np.uint8)
+            wtr.append(f"frame{i:04d}.png", Datum(
+                channels=1, height=h, width=w, data=pix.tobytes()).encode())
+    # index store: keys "XXXXXXXXXframe0004" (9-char prefix), value "0007..."
+    index_path = str(tmp_path / "index.vvr")
+    with RecordWriter(index_path) as wtr:
+        wtr.append("123456789frame0004", b"0007rest")
+    cfg = FlexibleDataConfig(source=index_path, flexible_source=frames_path,
+                             flexible_key_suffix=".png", forward_len=1,
+                             backward_len=2, use_center_datum=True,
+                             batch_size=1)
+    src = FlexibleDataSource(cfg, transform=TransformConfig(crop_size=4))
+    b = src.next_batch()
+    # 4 frames stacked as channels: frames 2,3,4,5
+    assert b["data"].shape == (1, 4, 4, 4)
+    np.testing.assert_array_equal(b["label"], [7])
+    np.testing.assert_allclose(b["data"][0, 0], 20.0)
+    np.testing.assert_allclose(b["data"][0, 2], 40.0)
+    np.testing.assert_allclose(b["data"][0, 3], 50.0)
+
+
+def test_video_shot_window_source(tmp_path, rng):
+    path = str(tmp_path / "wins.vvr")
+    dim = 5
+    with RecordWriter(path) as wtr:
+        for i in range(12):
+            mk = lambda v: Datum(float_data=np.full(dim, v, np.float32))
+            w = VideoShotWindow(video_id=i, shot_id=i * 2,
+                                target_shot_word=mk(i),
+                                context_shot_words=[mk(i + 100), mk(i + 200)])
+            wtr.append(str(i), w.encode())
+    src = VideoShotWindowSource(path, batch_size=3, num_negative_samples=2,
+                                max_buffer_size=8, negative_swap_percentage=50)
+    b = src.next_batch()
+    assert b["data"].shape == (3, 1 + 2 + 2, dim)
+    np.testing.assert_allclose(b["data"][1, 0], 1.0)    # target of win 1
+    np.testing.assert_allclose(b["data"][1, 1], 101.0)  # first context
+    np.testing.assert_array_equal(b["video_id"], [0, 1, 2])

@@ -1,0 +1,466 @@
+"""Generic data sources — the Caffe-inherited data layer zoo.
+
+Host-side batch generators mirroring:
+  DATA          ref:src/caffe/layers/data_layer.cpp        (Datum records)
+  IMAGE_DATA    ref:src/caffe/layers/image_data_layer.cpp  (file list + decode)
+  MEMORY_DATA   ref:src/caffe/layers/memory_data_layer.cpp
+  HDF5_DATA     ref:src/caffe/layers/hdf5_data_layer.cpp
+  HDF5_OUTPUT   ref:src/caffe/layers/hdf5_output_layer.cpp
+  WINDOW_DATA   ref:src/caffe/layers/window_data_layer.cpp (R-CNN windows)
+  FLEXIBLE_DATA ref:src/caffe/layers/flexible_data_layer.cpp (two-store
+                temporal stacking: index record → key into a second store,
+                walk ±backward/forward neighbors, stack frames as channels
+                with ONE shared crop/mirror per item)
+  VIDEO_SHOT_WINDOW_DATA ref:src/caffe/layers/video_shot_window_data_layer.cpp
+                (precomputed target+context windows + reservoir negatives)
+
+All emit dict batches consumed by data.prefetch.DevicePrefetcher.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from videovector_tpu.data.records import RecordReader
+from videovector_tpu.data.shots import NegativeReservoir
+from videovector_tpu.data.transformer import TransformConfig, transform_datum
+from videovector_tpu.data.wire import Datum, VideoShotWindow
+
+
+# ---------------------------------------------------------------------------
+# DATA — Datum records
+# ---------------------------------------------------------------------------
+
+class DatumRecordSource:
+    """Cyclic reader over Datum records with DataTransformer preprocessing."""
+
+    def __init__(self, path: str, batch_size: int, *,
+                 transform: TransformConfig | None = None,
+                 mean: np.ndarray | None = None, train: bool = False,
+                 rand_skip: int = 0, seed: int = 1234):
+        self.reader = RecordReader(path)
+        self.batch_size = batch_size
+        self.transform = transform or TransformConfig()
+        self.mean = mean
+        self.train = train
+        self.rng = np.random.RandomState(seed)
+        self._cursor = self.rng.randint(rand_skip + 1) if rand_skip else 0
+
+    def next_batch(self) -> dict:
+        data, labels = [], []
+        for _ in range(self.batch_size):
+            datum = Datum.decode(bytes(self.reader.value(self._cursor)))
+            self._cursor = (self._cursor + 1) % len(self.reader)
+            data.append(transform_datum(datum, self.transform, mean=self.mean,
+                                        train=self.train, rng=self.rng))
+            labels.append(datum.label or 0)
+        return {"data": np.stack(data),
+                "label": np.asarray(labels, np.float32)}
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+
+# ---------------------------------------------------------------------------
+# IMAGE_DATA — file list + decode (+ resize, shuffle)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ImageDataConfig:
+    """Mirror of ImageDataParameter."""
+    source: str = ""
+    batch_size: int = 1
+    new_height: int = 0
+    new_width: int = 0
+    shuffle: bool = False
+    rand_skip: int = 0
+
+
+class ImageDataSource:
+    def __init__(self, cfg: ImageDataConfig, *,
+                 transform: TransformConfig | None = None,
+                 mean: np.ndarray | None = None, train: bool = False,
+                 seed: int = 1234, root: str = ""):
+        import os
+        self.cfg = cfg
+        self.transform = transform or TransformConfig()
+        self.mean = mean
+        self.train = train
+        self.rng = np.random.RandomState(seed)
+        self.items: list[tuple[str, int]] = []
+        with open(cfg.source) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                parts = line.rsplit(None, 1)
+                path, label = (parts[0], int(parts[1])) if len(parts) == 2 \
+                    else (parts[0], 0)
+                self.items.append((os.path.join(root, path), label))
+        if cfg.shuffle:
+            self.rng.shuffle(self.items)
+        self._cursor = self.rng.randint(cfg.rand_skip + 1) if cfg.rand_skip else 0
+
+    def _load(self, path: str) -> Datum:
+        from PIL import Image
+        img = Image.open(path).convert("RGB")
+        if self.cfg.new_height and self.cfg.new_width:
+            img = img.resize((self.cfg.new_width, self.cfg.new_height))
+        arr = np.asarray(img, np.uint8)           # (H, W, 3) RGB
+        # Caffe/OpenCV channel order is BGR, CHW
+        bgr = arr[:, :, ::-1].transpose(2, 0, 1)
+        return Datum(channels=3, height=bgr.shape[1], width=bgr.shape[2],
+                     data=np.ascontiguousarray(bgr).tobytes())
+
+    def next_batch(self) -> dict:
+        data, labels = [], []
+        for _ in range(self.cfg.batch_size):
+            path, label = self.items[self._cursor]
+            self._cursor += 1
+            if self._cursor >= len(self.items):
+                self._cursor = 0
+                if self.cfg.shuffle:
+                    self.rng.shuffle(self.items)
+            datum = self._load(path)
+            data.append(transform_datum(datum, self.transform, mean=self.mean,
+                                        train=self.train, rng=self.rng))
+            labels.append(label)
+        return {"data": np.stack(data),
+                "label": np.asarray(labels, np.float32)}
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+
+# ---------------------------------------------------------------------------
+# MEMORY_DATA
+# ---------------------------------------------------------------------------
+
+class MemoryDataSource:
+    def __init__(self, arrays: dict[str, np.ndarray], batch_size: int):
+        self.arrays = {k: np.asarray(v) for k, v in arrays.items()}
+        sizes = {v.shape[0] for v in self.arrays.values()}
+        if len(sizes) != 1:
+            raise ValueError("all arrays need the same leading dim")
+        self.n = sizes.pop()
+        self.batch_size = batch_size
+        self._cursor = 0
+
+    def next_batch(self) -> dict:
+        idx = np.arange(self._cursor, self._cursor + self.batch_size) % self.n
+        self._cursor = int((self._cursor + self.batch_size) % self.n)
+        return {k: v[idx] for k, v in self.arrays.items()}
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+
+# ---------------------------------------------------------------------------
+# HDF5
+# ---------------------------------------------------------------------------
+
+class HDF5Source:
+    """Reads `data`/`label` datasets from each file listed in a text file
+    (ref hdf5_data_layer.cpp: files cycled in order, rows in order)."""
+
+    def __init__(self, list_file: str, batch_size: int):
+        import h5py
+        self.paths = [l.strip() for l in open(list_file) if l.strip()]
+        self.batch_size = batch_size
+        self._file_idx = 0
+        self._row = 0
+        self._h5py = h5py
+        self._load(0)
+
+    def _load(self, idx: int):
+        with self._h5py.File(self.paths[idx], "r") as f:
+            self.datasets = {k: np.asarray(f[k]) for k in f.keys()}
+        self.n = next(iter(self.datasets.values())).shape[0]
+
+    def next_batch(self) -> dict:
+        out = {k: [] for k in self.datasets}
+        for _ in range(self.batch_size):
+            if self._row >= self.n:
+                self._file_idx = (self._file_idx + 1) % len(self.paths)
+                self._load(self._file_idx)
+                self._row = 0
+            for k in self.datasets:
+                out[k].append(self.datasets[k][self._row])
+            self._row += 1
+        return {k: np.stack(v).astype(np.float32) for k, v in out.items()}
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+
+def hdf5_output(path: str, blobs: dict[str, np.ndarray]) -> None:
+    """HDF5_OUTPUT sink (ref hdf5_output_layer.cpp)."""
+    import h5py
+    with h5py.File(path, "w") as f:
+        for k, v in blobs.items():
+            f.create_dataset(k, data=np.asarray(v))
+
+
+# ---------------------------------------------------------------------------
+# WINDOW_DATA — R-CNN-style fg/bg window sampling
+# ---------------------------------------------------------------------------
+
+@dataclass
+class WindowDataConfig:
+    """Mirror of WindowDataParameter (subset)."""
+    source: str = ""
+    batch_size: int = 32
+    fg_threshold: float = 0.5
+    bg_threshold: float = 0.5
+    fg_fraction: float = 0.25
+    context_pad: int = 0
+    crop_size: int = 227
+    mirror: bool = True
+
+
+class WindowDataSource:
+    """Parses the reference's window-file format
+    (`# <idx>\\n<img path>\\n<channels>\\n<h>\\n<w>\\n<num windows>\\n` then
+    `<label> <overlap> <x1> <y1> <x2> <y2>` lines), samples fg/bg windows per
+    batch by fraction, crops + resizes with PIL."""
+
+    def __init__(self, cfg: WindowDataConfig, *, mean: np.ndarray | None = None,
+                 seed: int = 1234):
+        self.cfg = cfg
+        self.mean = mean
+        self.rng = np.random.RandomState(seed)
+        self.fg: list[tuple[str, int, tuple]] = []
+        self.bg: list[tuple[str, int, tuple]] = []
+        self._parse(cfg.source)
+
+    def _parse(self, path: str):
+        with open(path) as f:
+            lines = [l.rstrip("\n") for l in f]
+        i = 0
+        while i < len(lines):
+            if not lines[i].startswith("#"):
+                i += 1
+                continue
+            img_path = lines[i + 1].strip()
+            num = int(lines[i + 5])
+            for j in range(num):
+                parts = lines[i + 6 + j].split()
+                label, overlap = int(parts[0]), float(parts[1])
+                box = tuple(int(v) for v in parts[2:6])
+                if overlap >= self.cfg.fg_threshold:
+                    self.fg.append((img_path, label, box))
+                elif overlap < self.cfg.bg_threshold:
+                    self.bg.append((img_path, 0, box))
+            i += 6 + num
+
+    def _crop(self, img_path: str, box) -> np.ndarray:
+        from PIL import Image
+        cs = self.cfg.crop_size
+        pad = self.cfg.context_pad
+        img = Image.open(img_path).convert("RGB")
+        x1, y1, x2, y2 = box
+        patch = img.crop((max(x1 - pad, 0), max(y1 - pad, 0),
+                          min(x2 + pad, img.width), min(y2 + pad, img.height)))
+        patch = patch.resize((cs, cs))
+        arr = np.asarray(patch, np.uint8)[:, :, ::-1].transpose(2, 0, 1)
+        out = arr.astype(np.float32)
+        if self.mean is not None:
+            out = out - self.mean[:, :cs, :cs]
+        if self.cfg.mirror and self.rng.randint(2):
+            out = out[:, :, ::-1]
+        return out
+
+    def next_batch(self) -> dict:
+        b = self.cfg.batch_size
+        n_fg = int(round(b * self.cfg.fg_fraction))
+        data, labels = [], []
+        for pool, count in ((self.fg, n_fg), (self.bg, b - n_fg)):
+            src = pool if pool else (self.fg or self.bg)
+            for _ in range(count):
+                img, label, box = src[self.rng.randint(len(src))]
+                data.append(self._crop(img, box))
+                labels.append(label)
+        return {"data": np.stack(data),
+                "label": np.asarray(labels, np.float32)}
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+
+# ---------------------------------------------------------------------------
+# FLEXIBLE_DATA — two-store temporal stacking
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FlexibleDataConfig:
+    """Mirror of FlexibleDataParameter (ref caffe.proto:682-688) + the
+    data_param/transform_param fields the layer uses."""
+    source: str = ""              # index store
+    flexible_source: str = ""     # frame store (ordered keys!)
+    flexible_key_suffix: str = ""
+    forward_len: int = 0
+    backward_len: int = 0
+    use_center_datum: bool = True
+    batch_size: int = 8
+    key_prefix_len: int = 9       # index key chars skipped (ref :232)
+    label_chars: int = 4          # leading value chars = label (ref :234)
+
+
+class FlexibleDataSource:
+    """Index record → key into the frame store; walk ±backward/forward
+    neighbor records; every frame shares ONE crop/mirror draw and lands in
+    its own channel window of the item (ref flexible_data_layer.cpp:173-329)."""
+
+    def __init__(self, cfg: FlexibleDataConfig, *,
+                 transform: TransformConfig | None = None,
+                 mean: np.ndarray | None = None, train: bool = False,
+                 seed: int = 1234):
+        self.cfg = cfg
+        self.transform = transform or TransformConfig()
+        self.mean = mean
+        self.train = train
+        self.rng = np.random.RandomState(seed)
+        self.index = RecordReader(cfg.source)
+        self.frames = RecordReader(cfg.flexible_source)
+        self._cursor = 0
+        self.frames_per_item = (cfg.backward_len + cfg.forward_len
+                                + (1 if cfg.use_center_datum else 0))
+
+    def next_batch(self) -> dict:
+        cfg = self.cfg
+        items, labels = [], []
+        for _ in range(cfg.batch_size):
+            key, value = self.index[self._cursor]
+            self._cursor = (self._cursor + 1) % len(self.index)
+            base = key.decode()[cfg.key_prefix_len:]
+            label = int(bytes(value)[:cfg.label_chars])
+            center = self.frames.index_of(base + cfg.flexible_key_suffix)
+
+            # one transform draw shared by all frames of the item
+            first = Datum.decode(bytes(self.frames.value(center)))
+            h, w = first.height, first.width
+            cs = self.transform.crop_size
+            if cs and self.train:
+                h_off = self.rng.randint(h - cs)
+                w_off = self.rng.randint(w - cs)
+            else:
+                h_off = (h - cs) // 2 if cs else 0
+                w_off = (w - cs) // 2 if cs else 0
+            do_mirror = bool(self.transform.mirror and self.rng.randint(2))
+
+            frames = []
+            lo = center - cfg.backward_len
+            hi = center + cfg.forward_len
+            for idx in range(lo, hi + 1):
+                if idx == center and not cfg.use_center_datum:
+                    continue
+                datum = Datum.decode(bytes(self.frames.value(idx)))
+                frames.append(self._apply(datum, h_off, w_off, do_mirror))
+            items.append(np.concatenate(frames, axis=0))
+            labels.append(label)
+        return {"data": np.stack(items),
+                "label": np.asarray(labels, np.float32)}
+
+    def _apply(self, datum: Datum, h_off: int, w_off: int, do_mirror: bool):
+        from videovector_tpu.data.transformer import datum_to_array
+        arr = datum_to_array(datum).astype(np.float32)
+        cs = self.transform.crop_size
+        if cs:
+            patch = arr[:, h_off:h_off + cs, w_off:w_off + cs]
+            if self.transform.use_datum_scales:
+                mins = np.asarray(datum.min, np.float32)[:, None, None]
+                maxs = np.asarray(datum.max, np.float32)[:, None, None]
+                means = np.asarray(datum.mean, np.float32)[:, None, None]
+                patch = mins + patch * (maxs - mins) / 255.0 - means
+            else:
+                if self.mean is not None:
+                    patch = patch - self.mean[:, h_off:h_off + cs,
+                                              w_off:w_off + cs]
+                patch = patch * self.transform.scale
+            if do_mirror:
+                patch = patch[:, :, ::-1]
+            return np.ascontiguousarray(patch)
+        if self.mean is not None:
+            arr = arr - self.mean
+        return arr * self.transform.scale
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+
+# ---------------------------------------------------------------------------
+# VIDEO_SHOT_WINDOW_DATA — precomputed windows + reservoir negatives
+# ---------------------------------------------------------------------------
+
+class VideoShotWindowSource:
+    """VideoShotWindow records (target + fixed contexts); negatives come
+    entirely from the reservoir (ref video_shot_window_data_layer.cpp:68-497).
+    Channel layout: [target, contexts..., negatives...]."""
+
+    def __init__(self, path: str, batch_size: int, *,
+                 num_negative_samples: int = 0, max_buffer_size: int = 0,
+                 negative_swap_percentage: int = 0,
+                 negative_path: str | None = None, seed: int = 1234):
+        self.reader = RecordReader(path)
+        self.batch_size = batch_size
+        self.num_negatives = num_negative_samples
+        self.rng = np.random.RandomState(seed)
+        self._cursor = 0
+        first = VideoShotWindow.decode(bytes(self.reader.value(0)))
+        self.context_size = len(first.context_shot_words)
+        self.feature_dim = len(first.target_shot_word.float_data)
+        self.channels = 1 + self.context_size + num_negative_samples
+        self.reservoir = None
+        if num_negative_samples > 0:
+            self.reservoir = NegativeReservoir(
+                max_buffer_size, self.feature_dim, negative_swap_percentage,
+                self.rng)
+            self._fill_reservoir(negative_path or path)
+
+    def _fill_reservoir(self, path: str):
+        reader = RecordReader(path) if path else self.reader
+        added = 0
+        i = 0
+        while added < self.reservoir.max_size:
+            w = VideoShotWindow.decode(bytes(reader.value(i % len(reader))))
+            key = f"{w.video_id}:{w.shot_id}"
+            if key not in self.reservoir.key_set:
+                self.reservoir.buffer[added] = np.asarray(
+                    w.target_shot_word.float_data, np.float32)
+                self.reservoir.keys.append(key)
+                self.reservoir.key_set.add(key)
+                added += 1
+            i += 1
+            if i > 100 * self.reservoir.max_size:
+                raise RuntimeError("not enough distinct shots for reservoir")
+
+    def next_batch(self) -> dict:
+        b = self.batch_size
+        data = np.zeros((b, self.channels, self.feature_dim), np.float32)
+        vids = np.zeros((b,), np.float32)
+        for item in range(b):
+            w = VideoShotWindow.decode(bytes(self.reader.value(self._cursor)))
+            self._cursor = (self._cursor + 1) % len(self.reader)
+            data[item, 0] = np.asarray(w.target_shot_word.float_data, np.float32)
+            for c, d in enumerate(w.context_shot_words):
+                data[item, 1 + c] = np.asarray(d.float_data, np.float32)
+            if self.num_negatives:
+                data[item, 1 + self.context_size:] = \
+                    self.reservoir.sample(self.num_negatives)
+                self.reservoir.maybe_add(
+                    f"{w.video_id}:{w.shot_id}",
+                    np.asarray(w.target_shot_word.float_data, np.float32))
+            vids[item] = w.video_id
+        return {"data": data, "video_id": vids}
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
