@@ -1,0 +1,313 @@
+"""End-to-end tests: prototxt-driven training through SolverDriver (the
+`caffe train` path), CLI tools, extract_features, converters, log plotting."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from videovector_tpu.config.textformat import parse
+from videovector_tpu.data.shots import ShotDataset, ShotVideo
+from videovector_tpu.data.wire import Datum, TestVideoShotWindows
+from videovector_tpu.data.records import RecordWriter
+from videovector_tpu.solver.driver import SolverDriver
+
+FEAT = 24
+
+
+def _make_shot_records(tmp_path, rng, name, num_videos=10, shots=8):
+    videos = []
+    for v in range(num_videos):
+        center = rng.randn(FEAT).astype(np.float32) * 2
+        feats = center + 0.3 * rng.randn(shots, FEAT).astype(np.float32)
+        videos.append(ShotVideo(v + 1, np.arange(shots, dtype=np.int32), feats))
+    ds = ShotDataset(videos)
+    path = str(tmp_path / name)
+    ds.to_records(path)
+    return path, ds
+
+
+def _make_test_windows(tmp_path, rng, name, n=12, ctx=4):
+    path = str(tmp_path / name)
+    with RecordWriter(path) as w:
+        for i in range(n):
+            center = rng.randn(FEAT).astype(np.float32)
+            mk = lambda: Datum(float_data=(center + 0.1 * rng.randn(FEAT))
+                               .astype(np.float32))
+            tw = TestVideoShotWindows(video_id=i % 4 + 1,
+                                      context_shot_words=[mk() for _ in range(ctx)])
+            w.append(str(i), tw.encode())
+    return path
+
+
+MINI_NET = """
+name: "mini_embedding"
+layers {{
+  name: "shot_windows"
+  type: VIDEO_SAMPLED_SHOTS_DATA
+  top: "data"
+  video_sampled_shots_data_param {{
+    source: "{train_src}"
+    batch_size: 8
+    num_negative_samples: 3
+    max_buffer_size: 20
+    negative_swap_percentage: 50
+    max_same_video_negs: 1
+    context_type: WINDOW
+    context_size: 5
+  }}
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "shot_windows"
+  type: VIDEO_SHOT_WINDOW_TEST_DATA
+  top: "data"
+  top: "video_ids"
+  video_shot_window_test_data_param {{
+    source: "{test_src}"
+    batch_size: 12
+  }}
+  include: {{ phase: TEST }}
+}}
+layers {{
+  name: "slice_input" type: SLICE bottom: "data"
+  top: "t" top: "c1" top: "c2" top: "c3" top: "c4"
+  top: "n1" top: "n2" top: "n3"
+  slice_param {{ slice_dim: 1 }}
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "slice_input" type: SLICE bottom: "data"
+  top: "c1" top: "c2" top: "c3" top: "c4"
+  slice_param {{ slice_dim: 1 }}
+  include: {{ phase: TEST }}
+}}
+layers {{
+  name: "concat_all" type: CONCAT
+  bottom: "t" bottom: "c1" bottom: "c2" bottom: "c3" bottom: "c4"
+  bottom: "n1" bottom: "n2" bottom: "n3"
+  top: "tower_in" concat_param {{ concat_dim: 0 }}
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "concat_all" type: CONCAT
+  bottom: "c1" bottom: "c2" bottom: "c3" bottom: "c4"
+  top: "tower_in" concat_param {{ concat_dim: 0 }}
+  include: {{ phase: TEST }}
+}}
+layers {{
+  name: "fc7" type: INNER_PRODUCT bottom: "tower_in" top: "emb"
+  inner_product_param {{
+    num_output: 16
+    weight_filler {{ type: "gaussian" std: 0.05 }}
+  }}
+}}
+layers {{ name: "relu7" type: RELU bottom: "emb" top: "emb" }}
+layers {{
+  name: "slice_emb" type: SLICE bottom: "emb"
+  top: "et" top: "ec1" top: "ec2" top: "ec3" top: "ec4"
+  top: "en1" top: "en2" top: "en3"
+  slice_param {{ slice_dim: 0 }}
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "slice_emb" type: SLICE bottom: "emb"
+  top: "ec1" top: "ec2" top: "ec3" top: "ec4"
+  slice_param {{ slice_dim: 0 }}
+  include: {{ phase: TEST }}
+}}
+layers {{
+  name: "ctx_avg" type: ELTWISE
+  bottom: "ec1" bottom: "ec2" bottom: "ec3" bottom: "ec4" top: "ctx"
+  eltwise_param {{ operation: SUM coeff: 0.25 coeff: 0.25 coeff: 0.25 coeff: 0.25 }}
+}}
+layers {{ name: "ctx_norm" type: NORMALIZATION bottom: "ctx" top: "ctxn" }}
+layers {{
+  name: "tgt_norm" type: NORMALIZATION bottom: "et" top: "etn"
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "true_prod" type: ELTWISE bottom: "ctxn" bottom: "etn" top: "tp"
+  eltwise_param {{ operation: PROD }}
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "true_score" type: SUM bottom: "tp" top: "ts"
+  sum_param {{ num_output: 3 }}
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "n1_norm" type: NORMALIZATION bottom: "en1" top: "en1n"
+  include: {{ phase: TRAIN }} }}
+layers {{
+  name: "n2_norm" type: NORMALIZATION bottom: "en2" top: "en2n"
+  include: {{ phase: TRAIN }} }}
+layers {{
+  name: "n3_norm" type: NORMALIZATION bottom: "en3" top: "en3n"
+  include: {{ phase: TRAIN }} }}
+layers {{ name: "np1" type: ELTWISE bottom: "ctxn" bottom: "en1n" top: "np1"
+  eltwise_param {{ operation: PROD }} include: {{ phase: TRAIN }} }}
+layers {{ name: "ns1" type: SUM bottom: "np1" top: "ns1"
+  include: {{ phase: TRAIN }} }}
+layers {{ name: "np2" type: ELTWISE bottom: "ctxn" bottom: "en2n" top: "np2"
+  eltwise_param {{ operation: PROD }} include: {{ phase: TRAIN }} }}
+layers {{ name: "ns2" type: SUM bottom: "np2" top: "ns2"
+  include: {{ phase: TRAIN }} }}
+layers {{ name: "np3" type: ELTWISE bottom: "ctxn" bottom: "en3n" top: "np3"
+  eltwise_param {{ operation: PROD }} include: {{ phase: TRAIN }} }}
+layers {{ name: "ns3" type: SUM bottom: "np3" top: "ns3"
+  include: {{ phase: TRAIN }} }}
+layers {{ name: "neg_concat" type: CONCAT
+  bottom: "ns1" bottom: "ns2" bottom: "ns3" top: "negs"
+  concat_param {{ concat_dim: 1 }} include: {{ phase: TRAIN }} }}
+layers {{
+  name: "max_margin_loss" type: MAX_MARGIN_LOSS
+  bottom: "ts" bottom: "negs" top: "loss" top: "violations"
+  loss_weight: 1.0 loss_weight: 0.0
+  max_margin_loss_param {{ margin: 1.0 norm: L2 }}
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "retrieval" type: RETRIEVAL_STATS
+  bottom: "ctxn" bottom: "video_ids"
+  top: "map" top: "hit1" top: "hit5"
+  include: {{ phase: TEST }}
+}}
+"""
+
+MINI_SOLVER = """
+net: "{net_path}"
+base_lr: 0.05
+momentum: 0.9
+weight_decay: 0.0001
+lr_policy: "inv"
+gamma: 0.001
+power: 0.75
+display: 10
+max_iter: 150
+test_interval: 20
+test_iter: 1
+snapshot: 0
+snapshot_prefix: "{snap_prefix}"
+"""
+
+
+@pytest.fixture
+def mini_project(tmp_path, rng):
+    train_src, _ = _make_shot_records(tmp_path, rng, "train.vvr")
+    test_src = _make_test_windows(tmp_path, rng, "test.vvr")
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text(MINI_NET.format(train_src=train_src,
+                                        test_src=test_src))
+    solver_path = tmp_path / "solver.prototxt"
+    solver_path.write_text(MINI_SOLVER.format(
+        net_path=str(net_path), snap_prefix=str(tmp_path / "snap")))
+    return {"net": str(net_path), "solver": str(solver_path),
+            "tmp": tmp_path}
+
+
+def test_solver_driver_end_to_end(mini_project):
+    driver = SolverDriver.from_prototxt(mini_project["solver"]).build()
+    res = driver.train()
+    losses = [m[1]["loss"] for m in res.metrics_history]
+    first = sum(losses[:3]) / 3
+    last = sum(losses[-3:]) / 3
+    assert last < first
+    # test metrics were computed (mAP etc. from RETRIEVAL_STATS tops)
+    assert res.test_history
+    test_metrics = res.test_history[-1][1]
+    assert "map" in test_metrics
+    assert 0.0 <= test_metrics["map"] <= 1.0
+    # violations diagnostic flowed through
+    assert "violations" in res.metrics_history[0][1]
+
+
+def test_cli_train_and_test(mini_project, capsys):
+    from videovector_tpu.tools.cli import main
+    assert main(["train", "--solver", mini_project["solver"]]) == 0
+    # snapshot_after_train wrote the final model
+    snap = str(mini_project["tmp"] / "snap_iter_150.vvmodel")
+    assert os.path.exists(snap)
+    assert main(["test", "--model", mini_project["net"],
+                 "--weights", snap, "--iterations", "2"]) == 0
+    assert main(["device_query"]) == 0
+
+
+def test_cli_time(mini_project):
+    from videovector_tpu.tools.cli import main
+    assert main(["time", "--model", mini_project["net"],
+                 "--iterations", "2"]) == 0
+
+
+def test_extract_features_tool(mini_project, tmp_path):
+    from videovector_tpu.tools.extract_features import extract
+    from videovector_tpu.data.records import RecordReader
+    from videovector_tpu.data.wire import Datum as D
+    out_prefix = str(tmp_path / "feats")
+    counts = extract(mini_project["net"], [], ["ctxn"], out_prefix, 2)
+    assert counts["ctxn"] == 24  # 2 batches × 12 windows
+    r = RecordReader(out_prefix + "_ctxn.vvr")
+    assert len(r) == 24
+    d = D.decode(bytes(r.value(0)))
+    assert len(d.float_data) == 16
+    # csv written too
+    lines = open(out_prefix + "_ctxn.txt").read().strip().split("\n")
+    assert len(lines) == 24
+
+
+def test_dump_network_tool(mini_project, tmp_path):
+    from videovector_tpu.tools.dump import dump_network
+    out = str(tmp_path / "dump")
+    blobs = dump_network(mini_project["net"], out)
+    assert "ctxn" in blobs
+    assert os.path.exists(os.path.join(out, "ctxn.blob"))
+    assert os.path.exists(os.path.join(out, "activations.npz"))
+
+
+def test_converters_and_mean(tmp_path, rng):
+    from PIL import Image
+    from videovector_tpu.tools.converters import (
+        compute_image_mean, convert_flexible_list, convert_imageset,
+        write_mean_to_binary_proto,
+    )
+    from videovector_tpu.data.wire import BlobProto
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (10, 10, 3)).astype(np.uint8)) \
+            .save(img_dir / f"im{i}.png")
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(f"im{i}.png {i}" for i in range(4)))
+    out = str(tmp_path / "imgs.vvr")
+    assert convert_imageset(str(img_dir), str(lst), out,
+                            resize_h=8, resize_w=8) == 4
+
+    mean_path = str(tmp_path / "mean.blob")
+    mean = compute_image_mean(out, mean_path)
+    assert mean.shape == (3, 8, 8)
+    loaded = BlobProto.decode(open(mean_path, "rb").read()).to_array()
+    np.testing.assert_allclose(loaded[0], mean, rtol=1e-6)
+
+    const_path = str(tmp_path / "const_mean.blob")
+    write_mean_to_binary_proto(const_path, (104, 117, 123), 8, 8)
+    cm = BlobProto.decode(open(const_path, "rb").read()).to_array()
+    np.testing.assert_allclose(cm[0, 1], 117.0)
+
+    idx_out = str(tmp_path / "index.vvr")
+    assert convert_flexible_list(str(img_dir), str(lst), idx_out) == 4
+
+
+def test_plot_training_stats_parse(tmp_path):
+    from videovector_tpu.tools.plot_training_stats import parse_log
+    log = tmp_path / "train.log"
+    log.write_text(
+        "I0816 10:00:00.000000 1 train.py:1] Iteration 0, lr = 0.05\n"
+        "I0816 10:00:00.000000 1 train.py:1] Iteration 0, loss = 2.5\n"
+        "I0816 10:00:01.000000 1 train.py:1] Iteration 10, loss = 1.5\n"
+        "I0816 10:00:02.000000 1 train.py:1] Iteration 20, Testing net\n"
+        "I0816 10:00:02.000000 1 train.py:1]     Test net output #0: map = 0.75\n")
+    stats = parse_log(str(log))
+    assert stats["train_loss"] == [(0, 2.5), (10, 1.5)]
+    assert stats["lr"] == [(0, 0.05)]
+    assert stats["test"]["map"] == [(20, 0.75)]

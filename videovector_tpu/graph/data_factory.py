@@ -1,0 +1,235 @@
+"""Data-source factory: build host batch sources from data-layer configs.
+
+The reference's data layers construct themselves from LayerParameter inside
+Net::Init; in this framework the graph engine treats their tops as inputs and
+THIS factory builds the matching host-side source from the same
+LayerParameter message, renaming source fields to the layer's top names so
+batches slot straight into `Net.apply`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from videovector_tpu.config.textformat import Message
+from videovector_tpu.data.records import convert_dir_or_file
+from videovector_tpu.data.transformer import TransformConfig
+
+
+class _RenamingSource:
+    """Wrap a source whose dict keys are positional; rename to top names."""
+
+    def __init__(self, source, field_order: list[str], tops: list[str]):
+        self.source = source
+        self.mapping = dict(zip(field_order, tops))
+
+    def next_batch(self):
+        batch = self.source.next_batch()
+        return {self.mapping[k]: v for k, v in batch.items()
+                if k in self.mapping}
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+
+def _transform_cfg(layer: Message) -> TransformConfig:
+    return TransformConfig.from_message(layer.get_msg("transform_param"))
+
+
+def _load_mean(layer: Message) -> np.ndarray | None:
+    from videovector_tpu.data.wire import BlobProto
+    path = layer.get_msg("transform_param").get("mean_file")
+    if not path:
+        return None
+    with open(path, "rb") as f:
+        return BlobProto.decode(f.read()).to_array()[0]
+
+
+def make_data_source(layer: Message, *, phase: str = "TRAIN", seed: int = 1234):
+    """layer: a data-layer LayerParameter Message. Returns an iterator of
+    batches keyed by the layer's top names."""
+    ltype = layer.get("type")
+    tops = [str(t) for t in layer.get_list("top")]
+    train = phase == "TRAIN"
+
+    if ltype == "VIDEO_SAMPLED_SHOTS_DATA":
+        from videovector_tpu.data.shots import (
+            SampledShotsConfig, ShotDataset, VideoSampledShotsSource,
+        )
+        p = layer.get_msg("video_sampled_shots_data_param")
+        cfg = SampledShotsConfig.from_message(p)
+        cfg.seed = seed
+        cfg.output_video_ids = len(tops) > 1
+        ds = ShotDataset.from_records(convert_dir_or_file(p.get("source")))
+        neg = p.get("negative_dataset")
+        neg_ds = ShotDataset.from_records(convert_dir_or_file(neg)) if neg else None
+        src = VideoSampledShotsSource(ds, cfg, neg_ds)
+        return _RenamingSource(src, ["data", "video_id"], tops)
+
+    if ltype == "VIDEO_SHOTS_DATA":
+        from videovector_tpu.data.shots import (
+            ExhaustiveShotsConfig, ShotDataset, VideoShotsSource,
+        )
+        p = layer.get_msg("video_shots_data_param")
+        kw = {}
+        for f in ("batch_size", "num_negative_samples", "max_buffer_size",
+                  "negative_swap_percentage", "max_same_video_negs",
+                  "context_type", "context_size", "output_shot_distance",
+                  "max_shot_distance"):
+            if p.has(f):
+                kw[f] = p.get(f)
+        cfg = ExhaustiveShotsConfig(seed=seed, output_video_ids=len(tops) > 1,
+                                    **kw)
+        ds = ShotDataset.from_records(convert_dir_or_file(p.get("source")))
+        src = VideoShotsSource(ds, cfg)
+        return _RenamingSource(src, ["data", "video_id"], tops)
+
+    if ltype == "VIDEO_SHOT_WINDOW_DATA":
+        from videovector_tpu.data.generic import VideoShotWindowSource
+        p = layer.get_msg("video_shot_window_data_param")
+        src = VideoShotWindowSource(
+            convert_dir_or_file(p.get("source")),
+            int(p.get("batch_size", 1)),
+            num_negative_samples=int(p.get("num_negative_samples", 0)),
+            max_buffer_size=int(p.get("max_buffer_size", 0)),
+            negative_swap_percentage=int(p.get("negative_swap_percentage", 0)),
+            negative_path=p.get("negative_dataset") or None, seed=seed)
+        return _RenamingSource(src, ["data", "video_id"], tops)
+
+    if ltype == "VIDEO_SHOT_WINDOW_TEST_DATA":
+        from videovector_tpu.data.shots import (
+            TestWindowDataset, VideoShotWindowTestSource,
+        )
+        p = layer.get_msg("video_shot_window_test_data_param")
+        ds = TestWindowDataset.from_records(convert_dir_or_file(p.get("source")))
+        src = VideoShotWindowTestSource(
+            ds, int(p.get("batch_size", 1)),
+            include_positives=bool(p.get("include_positives", True)),
+            include_negatives=bool(p.get("include_negatives", True)))
+        return _RenamingSource(src, ["data", "video_ids"], tops)
+
+    if ltype == "FIXED_VIDEO_SHOT_TEST_DATA":
+        from videovector_tpu.data.shots import FixedVideoShotGallery
+        p = layer.get_msg("fixed_video_shot_test_data_param")
+        gallery = FixedVideoShotGallery.from_records(
+            convert_dir_or_file(p.get("source")))
+
+        class _Const:
+            def next_batch(self):
+                return gallery.batch()
+
+            def __iter__(self):
+                while True:
+                    yield self.next_batch()
+
+        return _RenamingSource(_Const(), ["data", "video_ids"], tops)
+
+    if ltype == "DATA":
+        from videovector_tpu.data.generic import DatumRecordSource
+        p = layer.get_msg("data_param")
+        src = DatumRecordSource(
+            convert_dir_or_file(p.get("source")), int(p.get("batch_size", 1)),
+            transform=_transform_cfg(layer), mean=_load_mean(layer),
+            train=train, rand_skip=int(p.get("rand_skip", 0)), seed=seed)
+        return _RenamingSource(src, ["data", "label"], tops)
+
+    if ltype == "IMAGE_DATA":
+        from videovector_tpu.data.generic import ImageDataConfig, ImageDataSource
+        p = layer.get_msg("image_data_param")
+        cfg = ImageDataConfig(
+            source=p.get("source"), batch_size=int(p.get("batch_size", 1)),
+            new_height=int(p.get("new_height", 0)),
+            new_width=int(p.get("new_width", 0)),
+            shuffle=bool(p.get("shuffle", False)),
+            rand_skip=int(p.get("rand_skip", 0)))
+        src = ImageDataSource(cfg, transform=_transform_cfg(layer),
+                              mean=_load_mean(layer), train=train, seed=seed)
+        return _RenamingSource(src, ["data", "label"], tops)
+
+    if ltype == "WINDOW_DATA":
+        from videovector_tpu.data.generic import WindowDataConfig, WindowDataSource
+        p = layer.get_msg("window_data_param")
+        t = layer.get_msg("transform_param")
+        cfg = WindowDataConfig(
+            source=p.get("source"), batch_size=int(p.get("batch_size", 32)),
+            fg_threshold=float(p.get("fg_threshold", 0.5)),
+            bg_threshold=float(p.get("bg_threshold", 0.5)),
+            fg_fraction=float(p.get("fg_fraction", 0.25)),
+            context_pad=int(p.get("context_pad", 0)),
+            crop_size=int(t.get("crop_size", 227)),
+            mirror=bool(t.get("mirror", True)))
+        src = WindowDataSource(cfg, mean=_load_mean(layer), seed=seed)
+        return _RenamingSource(src, ["data", "label"], tops)
+
+    if ltype == "HDF5_DATA":
+        from videovector_tpu.data.generic import HDF5Source
+        p = layer.get_msg("hdf5_data_param")
+        src = HDF5Source(p.get("source"), int(p.get("batch_size", 1)))
+        return _RenamingSource(src, ["data", "label"], tops)
+
+    if ltype == "FLEXIBLE_DATA":
+        from videovector_tpu.data.generic import (
+            FlexibleDataConfig, FlexibleDataSource,
+        )
+        p = layer.get_msg("flexible_data_param")
+        dp = layer.get_msg("data_param")
+        cfg = FlexibleDataConfig(
+            source=convert_dir_or_file(dp.get("source")),
+            flexible_source=convert_dir_or_file(p.get("flexible_source")),
+            flexible_key_suffix=p.get("flexible_key_suffix", ""),
+            forward_len=int(p.get("forward_len", 0)),
+            backward_len=int(p.get("backward_len", 0)),
+            use_center_datum=bool(p.get("use_center_datum", True)),
+            batch_size=int(dp.get("batch_size", 8)))
+        src = FlexibleDataSource(cfg, transform=_transform_cfg(layer),
+                                 mean=_load_mean(layer), train=train, seed=seed)
+        return _RenamingSource(src, ["data", "label"], tops)
+
+    if ltype in ("TRACKING_WINDOWS_DATA", "TRACKING_WINDOWS_SOCIAL_DATA"):
+        from videovector_tpu.data.tracking import (
+            TrackingConfig, TrackingWindowDataset, TrackingWindowsSocialSource,
+            TrackingWindowsSource,
+        )
+        p = layer.get_msg("tracking_windows_data_param")
+        cfg = TrackingConfig(
+            batch_size=int(p.get("batch_size", 32)),
+            temporal_observed_size=int(p.get("temporal_observed_size", 10)),
+            temporal_predicted_size=int(p.get("temporal_predicted_size", 20)),
+            encoder_bit=bool(p.get("encoder_bit", True)),
+            use_static_scene=bool(p.get("use_static_scene", False)),
+            track_scale=float(p.get("track_scale", 1.0)),
+            max_number_positions=int(p.get("max_number_positions", -1)),
+            output_labels=len(layer.get_list("top")) >= 5,
+        )
+        ds = TrackingWindowDataset.from_records(
+            convert_dir_or_file(p.get("source")))
+        if ltype == "TRACKING_WINDOWS_DATA":
+            src = TrackingWindowsSource(ds, cfg)
+            order = ["observed", "cont_observed", "predicted",
+                     "cont_predicted", "labels", "scene_ids"]
+        else:
+            src = TrackingWindowsSocialSource(ds, cfg)
+            order = ["observed", "mean_pos", "predicted", "relations",
+                     "is_valid", "labels", "scene_ids"]
+        return _RenamingSource(src, order, tops)
+
+    raise NotImplementedError(f"no data-source factory for {ltype!r}")
+
+
+class MergedSource:
+    """Merge several data-layer sources feeding one net (Caffe nets can hold
+    multiple data layers per phase)."""
+
+    def __init__(self, sources: list):
+        self.sources = sources
+
+    def next_batch(self) -> dict:
+        out: dict = {}
+        for s in self.sources:
+            out.update(s.next_batch())
+        return out
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()

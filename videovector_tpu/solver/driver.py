@@ -1,0 +1,144 @@
+"""SolverDriver — end-to-end orchestration from prototxt files.
+
+The `caffe train --solver=...` path (ref:tools/caffe.cpp:80-123 →
+Solver::Init, src/caffe/solver.cpp:33-157): parse the solver prototxt, build
+the TRAIN net and TEST net from the referenced net prototxt, construct host
+data sources from the data-layer configs, and run the training loop with
+test-interval evaluation, snapshots and resume/finetune.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from videovector_tpu.config.textformat import Message, parse_file
+from videovector_tpu.graph.data_factory import MergedSource, make_data_source
+from videovector_tpu.graph.layers import DATA_LAYER_TYPES
+from videovector_tpu.graph.net import Net
+from videovector_tpu.solver.solvers import SolverConfig
+from videovector_tpu.solver.train import TrainResult, train
+from videovector_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def _spec_from_batch(batch):
+    return {k: jax.ShapeDtypeStruct(v.shape, jnp.float32) for k, v in batch.items()}
+
+
+class SolverDriver:
+    def __init__(self, solver_msg: Message, *, net_dir: str = "."):
+        self.cfg = SolverConfig.from_message(solver_msg)
+        net_path = (solver_msg.get("net") or solver_msg.get("train_net"))
+        if net_path is None:
+            raise ValueError("solver prototxt needs a net/train_net field")
+        if not os.path.isabs(net_path):
+            cand = os.path.join(net_dir, net_path)
+            net_path = cand if os.path.exists(cand) else net_path
+        self.net_msg = parse_file(net_path)
+        self.has_test = bool(solver_msg.get("test_interval"))
+
+    @classmethod
+    def from_prototxt(cls, solver_path: str) -> "SolverDriver":
+        msg = parse_file(solver_path)
+        return cls(msg, net_dir=os.getcwd())
+
+    # ------------------------------------------------------------------
+    def build(self, *, seed: int = 1234):
+        self.train_net = Net(self.net_msg, phase="TRAIN")
+        self.train_source = self._build_sources(self.train_net, "TRAIN", seed)
+        batch0 = self.train_source.next_batch()
+        self._first_batch = batch0
+        params, meta = self.train_net.init(
+            jax.random.PRNGKey(seed), _spec_from_batch(batch0))
+        self.params = params
+
+        self.test_net = None
+        self.test_source = None
+        if self.has_test:
+            self.test_net = Net(self.net_msg, phase="TEST")
+            self.test_net.param_meta = {}
+            self.test_source = self._build_sources(self.test_net, "TEST",
+                                                   seed + 1)
+            # the test net reuses the train net's params (shared by layer
+            # name — ref ShareTrainedLayersWith, net.cpp)
+            tb = self.test_source.next_batch()
+            _, test_meta = self.test_net.init(jax.random.PRNGKey(0),
+                                              _spec_from_batch(tb))
+
+        # lr/decay multiplier pytrees
+        self.lr_mults = {}
+        self.decay_mults = {}
+        for lname, lparams in params.items():
+            self.lr_mults[lname] = {}
+            self.decay_mults[lname] = {}
+            for pname in lparams:
+                m = self.train_net.param_meta.get(lname, {}).get(pname)
+                self.lr_mults[lname][pname] = m.lr_mult if m else 1.0
+                self.decay_mults[lname][pname] = m.decay_mult if m else 1.0
+        return self
+
+    def _build_sources(self, net: Net, phase: str, seed: int):
+        sources = []
+        for layer in net.layers:
+            if layer.get("type") in DATA_LAYER_TYPES:
+                sources.append(make_data_source(layer, phase=phase, seed=seed))
+        if not sources:
+            raise ValueError(f"no data layers in {phase} net")
+        return MergedSource(sources)
+
+    # ------------------------------------------------------------------
+    def _data_iter(self, source):
+        for batch in source:
+            yield {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def train(self, *, resume_state_path: str | None = None,
+              weights_path: str | None = None, max_iter: int | None = None
+              ) -> TrainResult:
+        params = self.params
+        if weights_path:  # finetune (ref tools/caffe.cpp:110-117)
+            from videovector_tpu.data.weights import NetWeights, load_into_params
+            from videovector_tpu.solver.checkpoint import load_model
+            if weights_path.endswith(".vvmodel"):
+                loaded = load_model(weights_path)
+                for lname, lp in loaded.items():
+                    if lname in params:
+                        params[lname].update(lp)
+            else:
+                params = load_into_params(NetWeights.load(weights_path), params)
+        cfg = self.cfg
+        if max_iter is not None:
+            from dataclasses import replace
+            cfg = replace(cfg, max_iter=max_iter)
+
+        net = self.train_net
+
+        def loss_fn(p, batch, key):
+            return self._loss_with_outputs(net, p, batch, key)
+
+        eval_fn = None
+        test_iter = None
+        if self.test_net is not None:
+            test_net = self.test_net
+
+            def eval_fn(p, batch):
+                loss, outputs = test_net.apply(p, batch)
+                return {k: jnp.sum(v) for k, v in outputs.items()
+                        if getattr(v, "size", 2) == 1}
+
+            test_iter = self._data_iter(self.test_source)
+
+        return train(loss_fn, params, self._data_iter(self.train_source), cfg,
+                     lr_mults=self.lr_mults, decay_mults=self.decay_mults,
+                     eval_fn=eval_fn, test_data=test_iter,
+                     resume_state_path=resume_state_path)
+
+    @staticmethod
+    def _loss_with_outputs(net, p, batch, key):
+        loss, outputs = net.apply(p, batch, rng=key)
+        aux = {k: jnp.sum(v) for k, v in outputs.items()
+               if getattr(v, "size", 2) == 1}
+        return loss, aux

@@ -1,0 +1,204 @@
+"""vvtpu — the multi-command CLI (the `caffe.bin` equivalent).
+
+ref:tools/caffe.cpp — commands train / test / device_query / time, with
+--solver/--model/--weights/--snapshot/--iterations flags. `time` reproduces
+the per-layer forward timing benchmark (ref :194-266), reporting per-layer
+and total milliseconds (backward is timed as the whole grad, since XLA fuses
+the backward graph).
+
+Usage:
+  python -m videovector_tpu.tools.cli train --solver=solver.prototxt
+  python -m videovector_tpu.tools.cli test --model=net.prototxt \
+      --weights=model.vvmodel --iterations=50
+  python -m videovector_tpu.tools.cli time --model=net.prototxt
+  python -m videovector_tpu.tools.cli device_query
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time as _time
+
+import numpy as np
+
+from videovector_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def cmd_train(args) -> int:
+    from videovector_tpu.solver.driver import SolverDriver
+    driver = SolverDriver.from_prototxt(args.solver).build()
+    driver.train(resume_state_path=args.snapshot or None,
+                 weights_path=args.weights or None)
+    log.info("Optimization Done.")
+    return 0
+
+
+def cmd_test(args) -> int:
+    """Average net outputs over N forward iterations (ref caffe.cpp:127-190)."""
+    import jax
+    import jax.numpy as jnp
+    from videovector_tpu.config.textformat import parse_file
+    from videovector_tpu.graph.data_factory import MergedSource, make_data_source
+    from videovector_tpu.graph.layers import DATA_LAYER_TYPES
+    from videovector_tpu.graph.net import Net
+
+    net_msg = parse_file(args.model)
+    net = Net(net_msg, phase="TEST")
+    sources = [make_data_source(l, phase="TEST")
+               for l in net.layers if l.get("type") in DATA_LAYER_TYPES]
+    source = MergedSource(sources)
+    batch0 = {k: jnp.asarray(v) for k, v in source.next_batch().items()}
+    params, _ = net.init(jax.random.PRNGKey(0), {
+        k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+        for k, v in batch0.items()})
+    if args.weights:
+        params = _load_weights(args.weights, params)
+
+    apply_fn = jax.jit(lambda p, b: net.apply(p, b))
+    sums: dict[str, float] = {}
+    loss_sum = 0.0
+    for i in range(args.iterations):
+        batch = batch0 if i == 0 else {
+            k: jnp.asarray(v) for k, v in source.next_batch().items()}
+        loss, outputs = apply_fn(params, batch)
+        loss_sum += float(loss)
+        for k, v in outputs.items():
+            if getattr(v, "size", 2) == 1:
+                sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
+        log.info("Batch %d, loss = %g", i, float(loss))
+    log.info("Loss: %g", loss_sum / args.iterations)
+    for k, v in sorted(sums.items()):
+        log.info("%s = %g", k, v / args.iterations)
+    return 0
+
+
+def _load_weights(path: str, params):
+    if path.endswith(".vvmodel"):
+        from videovector_tpu.solver.checkpoint import load_model
+        loaded = load_model(path)
+        for lname, lp in loaded.items():
+            if lname in params:
+                params[lname].update(lp)
+        return params
+    from videovector_tpu.data.weights import NetWeights, load_into_params
+    return load_into_params(NetWeights.load(path), params)
+
+
+def cmd_device_query(args) -> int:
+    import jax
+    for d in jax.devices():
+        log.info("Device: %s", d)
+        log.info("  platform: %s", d.platform)
+        log.info("  device_kind: %s", d.device_kind)
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats:
+            log.info("  bytes_in_use: %s", stats.get("bytes_in_use"))
+            log.info("  bytes_limit: %s", stats.get("bytes_limit"))
+    return 0
+
+
+def cmd_time(args) -> int:
+    """Per-layer forward timing + whole-step forward/backward timing
+    (ref caffe.cpp:194-266)."""
+    import jax
+    import jax.numpy as jnp
+    from videovector_tpu.config.textformat import parse_file
+    from videovector_tpu.graph.layers import DATA_LAYER_TYPES, LAYERS, ApplyContext
+    from videovector_tpu.graph.net import Net
+
+    net_msg = parse_file(args.model)
+    net = Net(net_msg, phase="TRAIN")
+    # synth batch from declared data-layer tops via shapes in net init needs
+    # a batch spec — use --batch plus the first compute layer's expectations
+    # is fragile; instead require shapes via data layers when present.
+    rng = np.random.RandomState(0)
+    batch = {}
+    from videovector_tpu.graph.data_factory import make_data_source
+    for layer in net.layers:
+        if layer.get("type") in DATA_LAYER_TYPES:
+            src = make_data_source(layer, phase="TRAIN")
+            batch.update(src.next_batch())
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params, _ = net.init(jax.random.PRNGKey(0), {
+        k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+        for k, v in batch.items()})
+
+    # materialize all blobs once
+    _, blobs = net.apply(params, batch, rng=jax.random.PRNGKey(0),
+                         return_blobs=True)
+    ctx = ApplyContext(phase="TRAIN", rng=jax.random.PRNGKey(0), side=net.side)
+
+    iters = args.iterations
+    log.info("*** Benchmark begins ***")
+    total = 0.0
+    for layer in net.layers:
+        ltype = layer.get("type")
+        lname = layer.get("name")
+        if ltype in DATA_LAYER_TYPES:
+            continue
+        ldef = LAYERS[ltype]
+        bottoms = [blobs[str(b)] for b in layer.get_list("bottom")]
+        lparams = net._resolve_params(params, net.param_meta, lname)
+        fn = jax.jit(lambda p, xs, ldef=ldef, layer=layer:
+                     ldef.apply(p, xs, layer, ctx))
+        out = fn(lparams, bottoms)
+        jax.block_until_ready(out)
+        t0 = _time.perf_counter()
+        for _ in range(iters):
+            out = fn(lparams, bottoms)
+        jax.block_until_ready(out)
+        dt = (_time.perf_counter() - t0) / iters * 1e3
+        total += dt
+        log.info("%-24s forward: %.3f ms", lname, dt)
+    log.info("Total per-layer forward: %.3f ms", total)
+
+    # whole-program forward+backward (what actually runs in training)
+    step = jax.jit(jax.value_and_grad(lambda p: net.loss_fn(p, batch,
+                                                            jax.random.PRNGKey(0))))
+    loss, g = step(params)
+    jax.block_until_ready(g)
+    t0 = _time.perf_counter()
+    for _ in range(iters):
+        loss, g = step(params)
+    jax.block_until_ready(g)
+    dt = (_time.perf_counter() - t0) / iters * 1e3
+    log.info("Fused forward-backward: %.3f ms (%.1f steps/s)", dt, 1e3 / dt)
+    log.info("*** Benchmark ends ***")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="vvtpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train", help="train a model from a solver prototxt")
+    p.add_argument("--solver", required=True)
+    p.add_argument("--snapshot", default="",
+                   help="resume from a .vvstate snapshot")
+    p.add_argument("--weights", default="",
+                   help="finetune from .vvmodel/.caffemodel weights")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("test", help="score a model")
+    p.add_argument("--model", required=True)
+    p.add_argument("--weights", default="")
+    p.add_argument("--iterations", type=int, default=50)
+    p.set_defaults(fn=cmd_test)
+
+    p = sub.add_parser("device_query", help="show device info")
+    p.set_defaults(fn=cmd_device_query)
+
+    p = sub.add_parser("time", help="per-layer timing benchmark")
+    p.add_argument("--model", required=True)
+    p.add_argument("--iterations", type=int, default=50)
+    p.set_defaults(fn=cmd_time)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,206 @@
+"""Dataset converters — the reference's tools/convert_*.cpp family.
+
+  convert_imageset               ref:tools/convert_imageset.cpp
+  convert_flexible_imageset      ref:tools/convert_flexible_imageset.cpp
+  convert_flexible_imageset_scaled  ref:...:162-183 (per-channel range files
+                                 stored into Datum.mean/min/max for
+                                 use_datum_scales)
+  convert_flexible_list          ref:tools/convert_flexible_list.cpp
+  compute_image_mean             ref:tools/compute_image_mean.cpp:17-60
+  write_mean_to_binary_proto     ref:tools/write_mean_to_binary_proto.cpp:14-30
+
+All write VVR record stores (values = Datum wire protos) instead of
+LMDB/LevelDB; keys follow the reference conventions (zero-padded running id +
+filename for the flexi variants so FlexibleDataSource's seek works).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from videovector_tpu.data.records import RecordWriter
+from videovector_tpu.data.wire import BlobProto, Datum
+from videovector_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def _load_image(path: str, resize_h: int = 0, resize_w: int = 0) -> np.ndarray:
+    from PIL import Image
+    img = Image.open(path).convert("RGB")
+    if resize_h and resize_w:
+        img = img.resize((resize_w, resize_h))
+    arr = np.asarray(img, np.uint8)[:, :, ::-1]       # BGR like OpenCV
+    return np.ascontiguousarray(arr.transpose(2, 0, 1))  # CHW
+
+
+def _image_datum(path: str, label: int, resize_h: int, resize_w: int) -> Datum:
+    arr = _load_image(path, resize_h, resize_w)
+    return Datum(channels=arr.shape[0], height=arr.shape[1],
+                 width=arr.shape[2], data=arr.tobytes(), label=label)
+
+
+def read_list(list_file: str) -> list[tuple[str, int]]:
+    items = []
+    with open(list_file) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            parts = line.rsplit(None, 1)
+            if len(parts) == 2 and parts[1].lstrip("-").isdigit():
+                items.append((parts[0], int(parts[1])))
+            else:
+                items.append((line, 0))
+    return items
+
+
+def convert_imageset(root: str, list_file: str, out: str, *,
+                     resize_h: int = 0, resize_w: int = 0,
+                     shuffle: bool = False, seed: int = 1234) -> int:
+    items = read_list(list_file)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(items)
+    with RecordWriter(out) as w:
+        for i, (path, label) in enumerate(items):
+            datum = _image_datum(os.path.join(root, path), label,
+                                 resize_h, resize_w)
+            # key = running id + filename (ref convert_imageset key format)
+            w.append(f"{i:08d}_{os.path.basename(path)}", datum.encode())
+            if (i + 1) % 1000 == 0:
+                log.info("Processed %d files.", i + 1)
+    return len(items)
+
+
+def convert_flexible_imageset(root: str, list_file: str, out: str, *,
+                              resize_h: int = 0, resize_w: int = 0,
+                              range_files: str | None = None) -> int:
+    """Keys preserve the filename so FlexibleDataSource can seek; with
+    `range_files` (scaled variant) per-channel mean/min/max are read from
+    `<image>.range` csv lines `mean,min,max` and stored into the Datum."""
+    items = read_list(list_file)
+    with RecordWriter(out) as w:
+        for i, (path, label) in enumerate(items):
+            datum = _image_datum(os.path.join(root, path), label,
+                                 resize_h, resize_w)
+            if range_files:
+                rp = os.path.join(range_files, os.path.basename(path) + ".range")
+                means, mins, maxs = [], [], []
+                with open(rp) as f:
+                    for line in f:
+                        m, lo, hi = (float(v) for v in line.strip().split(","))
+                        means.append(m)
+                        mins.append(lo)
+                        maxs.append(hi)
+                datum.mean = np.asarray(means, np.float32)
+                datum.min = np.asarray(mins, np.float32)
+                datum.max = np.asarray(maxs, np.float32)
+            w.append(path, datum.encode())
+    return len(items)
+
+
+def convert_flexible_list(root: str, list_file: str, out: str, *,
+                          key_prefix_len: int = 9) -> int:
+    """Index store for FLEXIBLE_DATA: key = 9-char running id + frame key,
+    value = 4-digit label + frame key (ref flexible_data_layer.cpp:230-235)."""
+    items = read_list(list_file)
+    with RecordWriter(out) as w:
+        for i, (path, label) in enumerate(items):
+            key = f"{i:0{key_prefix_len}d}{path}"
+            value = f"{label:04d}{path}".encode()
+            w.append(key, value)
+    return len(items)
+
+
+def compute_image_mean(records_path: str, out: str) -> np.ndarray:
+    """Stream Datum records, accumulate the mean image, write a BlobProto
+    (ref compute_image_mean.cpp:17-60)."""
+    from videovector_tpu.data.records import RecordReader
+    from videovector_tpu.data.transformer import datum_to_array
+    reader = RecordReader(records_path)
+    acc = None
+    n = 0
+    for _, value in reader:
+        arr = datum_to_array(Datum.decode(bytes(value))).astype(np.float64)
+        acc = arr if acc is None else acc + arr
+        n += 1
+    reader.close()
+    mean = (acc / n).astype(np.float32)
+    blob = BlobProto.from_array(mean[None])
+    with open(out, "wb") as f:
+        f.write(blob.encode())
+    return mean
+
+
+def write_mean_to_binary_proto(out: str, bgr: tuple[float, float, float],
+                               height: int, width: int) -> None:
+    """Constant per-channel mean → BlobProto
+    (ref write_mean_to_binary_proto.cpp:14-30)."""
+    mean = np.zeros((1, 3, height, width), np.float32)
+    for c, v in enumerate(bgr):
+        mean[0, c] = v
+    with open(out, "wb") as f:
+        f.write(BlobProto.from_array(mean[0][None]).encode())
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="vvtpu-convert")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("imageset")
+    p.add_argument("root")
+    p.add_argument("list_file")
+    p.add_argument("out")
+    p.add_argument("--resize_height", type=int, default=0)
+    p.add_argument("--resize_width", type=int, default=0)
+    p.add_argument("--shuffle", action="store_true")
+
+    p = sub.add_parser("flexible_imageset")
+    p.add_argument("root")
+    p.add_argument("list_file")
+    p.add_argument("out")
+    p.add_argument("--resize_height", type=int, default=0)
+    p.add_argument("--resize_width", type=int, default=0)
+    p.add_argument("--range_files", default=None)
+
+    p = sub.add_parser("flexible_list")
+    p.add_argument("root")
+    p.add_argument("list_file")
+    p.add_argument("out")
+
+    p = sub.add_parser("compute_image_mean")
+    p.add_argument("records")
+    p.add_argument("out")
+
+    p = sub.add_parser("write_mean")
+    p.add_argument("out")
+    p.add_argument("--bgr", default="104,117,123")
+    p.add_argument("--height", type=int, required=True)
+    p.add_argument("--width", type=int, required=True)
+
+    args = parser.parse_args(argv)
+    if args.command == "imageset":
+        convert_imageset(args.root, args.list_file, args.out,
+                         resize_h=args.resize_height,
+                         resize_w=args.resize_width, shuffle=args.shuffle)
+    elif args.command == "flexible_imageset":
+        convert_flexible_imageset(args.root, args.list_file, args.out,
+                                  resize_h=args.resize_height,
+                                  resize_w=args.resize_width,
+                                  range_files=args.range_files)
+    elif args.command == "flexible_list":
+        convert_flexible_list(args.root, args.list_file, args.out)
+    elif args.command == "compute_image_mean":
+        compute_image_mean(args.records, args.out)
+    elif args.command == "write_mean":
+        bgr = tuple(float(v) for v in args.bgr.split(","))
+        write_mean_to_binary_proto(args.out, bgr, args.height, args.width)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

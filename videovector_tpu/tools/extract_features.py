@@ -1,0 +1,97 @@
+"""extract_features — forward a net and dump named blobs.
+
+ref:tools/extract_features.cpp:26-211: load a net prototxt, apply up to two
+weight files in order (ImageNet then task, :104-107), forward N minibatches,
+write each requested blob's rows to a record store (Datum values, like the
+reference's LevelDB output) AND a csv text file (:141-198).
+
+Usage:
+  python -m videovector_tpu.tools.extract_features \
+      --model=net.prototxt [--weights=a.caffemodel --weights=b.vvmodel] \
+      --blobs=ip2 --out=features --num_batches=10
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from videovector_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
+            out_prefix: str, num_batches: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from videovector_tpu.config.textformat import parse_file
+    from videovector_tpu.data.records import RecordWriter
+    from videovector_tpu.data.wire import Datum
+    from videovector_tpu.graph.data_factory import MergedSource, make_data_source
+    from videovector_tpu.graph.layers import DATA_LAYER_TYPES
+    from videovector_tpu.graph.net import Net
+    from videovector_tpu.tools.cli import _load_weights
+
+    net = Net(parse_file(model_path), phase="TEST")
+    sources = [make_data_source(l, phase="TEST")
+               for l in net.layers if l.get("type") in DATA_LAYER_TYPES]
+    source = MergedSource(sources)
+    batch0 = {k: jnp.asarray(v) for k, v in source.next_batch().items()}
+    params, _ = net.init(jax.random.PRNGKey(0), {
+        k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+        for k, v in batch0.items()})
+    for wp in weight_paths:
+        params = _load_weights(wp, params)
+
+    fwd = jax.jit(lambda p, b: net.apply(p, b, return_blobs=True)[1])
+
+    writers = {name: RecordWriter(f"{out_prefix}_{name}.vvr")
+               for name in blob_names}
+    texts = {name: open(f"{out_prefix}_{name}.txt", "w")
+             for name in blob_names}
+    counts = {name: 0 for name in blob_names}
+    try:
+        for bi in range(num_batches):
+            batch = batch0 if bi == 0 else {
+                k: jnp.asarray(v) for k, v in source.next_batch().items()}
+            blobs = fwd(params, batch)
+            for name in blob_names:
+                feats = np.asarray(blobs[name])
+                feats = feats.reshape(feats.shape[0], -1)
+                for row in feats:
+                    key = f"{counts[name]:010d}"
+                    writers[name].append(
+                        key, Datum(channels=len(row), height=1, width=1,
+                                   float_data=row).encode())
+                    texts[name].write(",".join(f"{v:.6f}" for v in row) + "\n")
+                    counts[name] += 1
+            log.info("Extracted features of %d query images for blobs %s",
+                     sum(counts.values()), ",".join(blob_names))
+    finally:
+        for w in writers.values():
+            w.close()
+        for t in texts.values():
+            t.close()
+    log.info("Successfully extracted the features!")
+    return counts
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="extract_features")
+    parser.add_argument("--model", required=True)
+    parser.add_argument("--weights", action="append", default=[])
+    parser.add_argument("--blobs", required=True,
+                        help="comma-separated blob names")
+    parser.add_argument("--out", required=True, help="output path prefix")
+    parser.add_argument("--num_batches", type=int, default=10)
+    args = parser.parse_args(argv)
+    extract(args.model, args.weights, args.blobs.split(","), args.out,
+            args.num_batches)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
