@@ -1,0 +1,483 @@
+// vvdata — native data plane for videovector_tpu.
+//
+// C++ equivalent of the reference's data-layer hot path (LMDB cursor read +
+// protobuf parse + sampling + batch assembly running in a boost prefetch
+// thread — ref:src/caffe/layers/video_sampled_shots_data_layer.cpp:768-909,
+// base_data_layer.cpp:52-95). Provides:
+//
+//   * mmap'd VVR record-store reader (format: videovector_tpu/data/records.py)
+//   * proto2 wire decoding of Datum / VideoShots float features
+//   * the flagship WINDOW-context sampler with negative reservoir
+//     (swap-percentage, key dedup) matching the Python reference
+//     implementation in videovector_tpu/data/shots.py
+//   * a background prefetch thread filling a bounded ring of ready batches
+//
+// Exposed as a C ABI for ctypes (videovector_tpu/data/native.py).
+//
+// Build: make -C native  (produces libvvdata.so)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <condition_variable>
+#include <deque>
+#include <mutex>
+#include <random>
+#include <string>
+#include <thread>
+#include <unordered_set>
+#include <vector>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// VVR reader
+// ---------------------------------------------------------------------------
+
+constexpr char kMagic[8] = {'V', 'V', 'R', 'E', 'C', '0', '0', '1'};
+
+struct Entry {
+  uint64_t offset;
+  uint32_t length;
+  std::string key;
+};
+
+struct Reader {
+  int fd = -1;
+  const uint8_t* base = nullptr;
+  size_t size = 0;
+  std::vector<Entry> entries;
+};
+
+Reader* reader_open(const char* path) {
+  int fd = ::open(path, O_RDONLY);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { ::close(fd); return nullptr; }
+  void* mem = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+  if (mem == MAP_FAILED) { ::close(fd); return nullptr; }
+  auto* r = new Reader;
+  r->fd = fd;
+  r->base = static_cast<const uint8_t*>(mem);
+  r->size = st.st_size;
+  if (r->size < 32 || memcmp(r->base, kMagic, 8) != 0) { delete r; return nullptr; }
+  const uint8_t* foot = r->base + r->size - 24;
+  uint64_t index_offset, count;
+  memcpy(&index_offset, foot, 8);
+  memcpy(&count, foot + 8, 8);
+  if (memcmp(foot + 16, kMagic, 8) != 0) { delete r; return nullptr; }
+  const uint8_t* p = r->base + index_offset;
+  r->entries.reserve(count);
+  for (uint64_t i = 0; i < count; ++i) {
+    Entry e;
+    memcpy(&e.offset, p, 8);
+    uint32_t len, klen;
+    memcpy(&len, p + 8, 4);
+    memcpy(&klen, p + 12, 4);
+    e.length = len;
+    e.key.assign(reinterpret_cast<const char*>(p + 16), klen);
+    p += 16 + klen;
+    r->entries.push_back(std::move(e));
+  }
+  return r;
+}
+
+void reader_close(Reader* r) {
+  if (!r) return;
+  munmap(const_cast<uint8_t*>(r->base), r->size);
+  ::close(r->fd);
+  delete r;
+}
+
+// ---------------------------------------------------------------------------
+// proto2 wire decode (subset: varint, LEN, I32) — field numbers per
+// ref:src/caffe/proto/caffe.proto (Datum) and video_shot_sentences.proto
+// ---------------------------------------------------------------------------
+
+inline uint64_t read_varint(const uint8_t*& p, const uint8_t* end) {
+  uint64_t out = 0;
+  int shift = 0;
+  while (p < end) {
+    uint8_t b = *p++;
+    out |= uint64_t(b & 0x7F) << shift;
+    if (!(b & 0x80)) return out;
+    shift += 7;
+  }
+  return out;
+}
+
+// Extract Datum.float_data (field 6; packed or unpacked) into out.
+// Returns count written (capped at max_out).
+int64_t datum_floats(const uint8_t* data, size_t len, float* out,
+                     int64_t max_out) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  int64_t n = 0;
+  while (p < end) {
+    uint64_t tag = read_varint(p, end);
+    uint32_t field = tag >> 3;
+    uint32_t wt = tag & 7;
+    if (field == 6 && wt == 5) {          // unpacked float
+      if (n < max_out) memcpy(out + n, p, 4);
+      ++n;
+      p += 4;
+    } else if (field == 6 && wt == 2) {   // packed floats
+      uint64_t blen = read_varint(p, end);
+      int64_t cnt = blen / 4;
+      int64_t take = std::min(cnt, max_out - n);
+      if (take > 0) memcpy(out + n, p, take * 4);
+      n += cnt;
+      p += blen;
+    } else if (wt == 0) {
+      read_varint(p, end);
+    } else if (wt == 2) {
+      uint64_t blen = read_varint(p, end);
+      p += blen;
+    } else if (wt == 5) {
+      p += 4;
+    } else if (wt == 1) {
+      p += 8;
+    } else {
+      return -1;
+    }
+  }
+  return n;
+}
+
+// VideoShots decode: video_id (field 1), shot_ids (2), shot_words (3, Datum)
+struct VideoShotsView {
+  int32_t video_id = 0;
+  std::vector<int32_t> shot_ids;
+  std::vector<std::pair<const uint8_t*, size_t>> shots;  // raw Datum spans
+};
+
+bool parse_video_shots(const uint8_t* data, size_t len, VideoShotsView* out) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + len;
+  while (p < end) {
+    uint64_t tag = read_varint(p, end);
+    uint32_t field = tag >> 3;
+    uint32_t wt = tag & 7;
+    if (field == 1 && wt == 0) {
+      out->video_id = static_cast<int32_t>(read_varint(p, end));
+    } else if (field == 2 && wt == 0) {
+      out->shot_ids.push_back(static_cast<int32_t>(read_varint(p, end)));
+    } else if (field == 2 && wt == 2) {   // packed ids
+      uint64_t blen = read_varint(p, end);
+      const uint8_t* q = p;
+      const uint8_t* qe = p + blen;
+      while (q < qe)
+        out->shot_ids.push_back(static_cast<int32_t>(read_varint(q, qe)));
+      p += blen;
+    } else if (field == 3 && wt == 2) {
+      uint64_t blen = read_varint(p, end);
+      out->shots.emplace_back(p, blen);
+      p += blen;
+    } else if (wt == 0) {
+      read_varint(p, end);
+    } else if (wt == 2) {
+      uint64_t blen = read_varint(p, end);
+      p += blen;
+    } else if (wt == 5) {
+      p += 4;
+    } else if (wt == 1) {
+      p += 8;
+    } else {
+      return false;
+    }
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Flagship WINDOW sampler (native twin of VideoSampledShotsSource)
+// ---------------------------------------------------------------------------
+
+struct Video {
+  int32_t video_id;
+  std::vector<int32_t> shot_ids;
+  std::vector<float> features;   // (S, D) row-major
+  int num_shots() const { return static_cast<int>(shot_ids.size()); }
+};
+
+struct SamplerConfig {
+  int batch_size = 128;
+  int context_size = 5;          // includes target (WINDOW semantics)
+  int num_negatives = 10;
+  int max_buffer_size = 5000;
+  int swap_percentage = 50;
+  int max_same_video_negs = 6;
+  uint64_t seed = 1234;
+};
+
+struct Sampler {
+  SamplerConfig cfg;
+  std::vector<Video> videos;
+  int feature_dim = 0;
+  size_t cursor = 0;
+  std::mt19937_64 rng;
+
+  // reservoir
+  std::vector<float> buffer;            // (max_buffer_size, D)
+  std::vector<std::string> keys;
+  std::unordered_set<std::string> key_set;
+
+  // prefetch
+  std::thread worker;
+  std::mutex mu;
+  std::condition_variable cv_full, cv_empty;
+  std::deque<std::pair<std::vector<float>, std::vector<float>>> ready;
+  size_t depth = 2;
+  bool stop = false;
+
+  int channels() const { return cfg.context_size + cfg.num_negatives; }
+
+  void fill_reservoir() {
+    buffer.assign(size_t(cfg.max_buffer_size) * feature_dim, 0.f);
+    int added = 0;
+    size_t i = 0;
+    size_t max_tries = size_t(cfg.max_buffer_size) * 100;
+    while (added < cfg.max_buffer_size && i < max_tries) {
+      const Video& v = videos[i % videos.size()];
+      ++i;
+      int s = std::uniform_int_distribution<int>(0, v.num_shots() - 1)(rng);
+      std::string key = std::to_string(v.video_id) + ":" +
+                        std::to_string(v.shot_ids[s]);
+      if (key_set.count(key)) continue;
+      memcpy(&buffer[size_t(added) * feature_dim],
+             &v.features[size_t(s) * feature_dim], feature_dim * 4);
+      keys.push_back(key);
+      key_set.insert(key);
+      ++added;
+    }
+  }
+
+  void maybe_add(const std::string& key, const float* feat) {
+    if (key_set.count(key)) return;
+    if (std::uniform_int_distribution<int>(0, 99)(rng) < cfg.swap_percentage) {
+      int slot = std::uniform_int_distribution<int>(
+          0, cfg.max_buffer_size - 1)(rng);
+      key_set.erase(keys[slot]);
+      memcpy(&buffer[size_t(slot) * feature_dim], feat, feature_dim * 4);
+      keys[slot] = key;
+      key_set.insert(key);
+    }
+  }
+
+  // one batch into out_data (B, C+N, D) and out_vids (B)
+  void next_batch(float* out_data, float* out_vids) {
+    const int cs = cfg.context_size;
+    const int half = cs / 2;
+    const int D = feature_dim;
+    int item = 0;
+    std::vector<int> perm;
+    while (item < cfg.batch_size) {
+      const Video& v = videos[cursor];
+      cursor = (cursor + 1) % videos.size();
+      const int S = v.num_shots();
+      if (S < 2 || S < cs) continue;
+
+      perm.resize(S);
+      for (int i = 0; i < S; ++i) perm[i] = i;
+      std::shuffle(perm.begin(), perm.end(), rng);
+      std::sort(perm.begin(), perm.begin() + cs);
+
+      float* row = out_data + size_t(item) * channels() * D;
+      // target = middle of the sorted window
+      memcpy(row, &v.features[size_t(perm[half]) * D], D * 4);
+      int cidx = 1;
+      for (int i = 0; i < cs; ++i) {
+        if (i == half) continue;
+        memcpy(row + size_t(cidx) * D, &v.features[size_t(perm[i]) * D], D * 4);
+        ++cidx;
+      }
+      // same-video negatives: remaining ids outside [perm[half-1], perm[half+1]]
+      int added = 0;
+      if (cfg.num_negatives > 0 && S > cs && cfg.max_same_video_negs > 0) {
+        std::shuffle(perm.begin() + cs, perm.end(), rng);
+        int lo = perm[half - 1], hi = perm[half + 1];
+        for (int i = cs; i < S && added < cfg.max_same_video_negs; ++i) {
+          if (perm[i] < lo || perm[i] > hi) {
+            memcpy(row + size_t(cs + added) * D,
+                   &v.features[size_t(perm[i]) * D], D * 4);
+            ++added;
+          }
+        }
+      }
+      // reservoir negatives (distinct slots)
+      if (cfg.num_negatives > added) {
+        int need = cfg.num_negatives - added;
+        for (int k = 0; k < need; ++k) {
+          int slot = std::uniform_int_distribution<int>(
+              0, cfg.max_buffer_size - 1)(rng);
+          memcpy(row + size_t(cs + added + k) * D,
+                 &buffer[size_t(slot) * D], D * 4);
+        }
+      }
+      out_vids[item] = static_cast<float>(v.video_id);
+      ++item;
+      // offer this video's shots to the reservoir
+      if (cfg.num_negatives > 0 && cfg.swap_percentage > 0) {
+        for (int s = 0; s < S; ++s) {
+          maybe_add(std::to_string(v.video_id) + ":" +
+                    std::to_string(v.shot_ids[s]),
+                    &v.features[size_t(s) * D]);
+        }
+      }
+    }
+  }
+
+  void worker_loop() {
+    const size_t dsz = size_t(cfg.batch_size) * channels() * feature_dim;
+    for (;;) {
+      std::vector<float> data(dsz);
+      std::vector<float> vids(cfg.batch_size);
+      next_batch(data.data(), vids.data());
+      std::unique_lock<std::mutex> lk(mu);
+      cv_full.wait(lk, [&] { return stop || ready.size() < depth; });
+      if (stop) return;
+      ready.emplace_back(std::move(data), std::move(vids));
+      cv_empty.notify_one();
+    }
+  }
+};
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C ABI
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* vvr_open(const char* path) { return reader_open(path); }
+
+void vvr_close(void* h) { reader_close(static_cast<Reader*>(h)); }
+
+int64_t vvr_count(void* h) {
+  return static_cast<Reader*>(h)->entries.size();
+}
+
+// value pointer + length for record i (zero-copy into the mmap)
+const uint8_t* vvr_value(void* h, int64_t i, int64_t* len) {
+  auto* r = static_cast<Reader*>(h);
+  const Entry& e = r->entries[i];
+  *len = e.length;
+  return r->base + e.offset;
+}
+
+const char* vvr_key(void* h, int64_t i, int64_t* len) {
+  auto* r = static_cast<Reader*>(h);
+  const Entry& e = r->entries[i];
+  *len = e.key.size();
+  return e.key.data();
+}
+
+int64_t vv_datum_floats(const uint8_t* data, int64_t len, float* out,
+                        int64_t max_out) {
+  return datum_floats(data, len, out, max_out);
+}
+
+// Decode VideoShots: returns num shots; fills video_id, shot_ids (≤max_shots),
+// features (num_shots × feature_dim, caller-sized).
+int64_t vv_video_shots(const uint8_t* data, int64_t len, int32_t* video_id,
+                       int32_t* shot_ids, float* features,
+                       int64_t max_shots, int64_t feature_dim) {
+  VideoShotsView view;
+  if (!parse_video_shots(data, len, &view)) return -1;
+  *video_id = view.video_id;
+  int64_t n = std::min<int64_t>(view.shots.size(), max_shots);
+  for (int64_t i = 0; i < n; ++i) {
+    shot_ids[i] = i < (int64_t)view.shot_ids.size() ? view.shot_ids[i]
+                                                    : static_cast<int32_t>(i);
+    datum_floats(view.shots[i].first, view.shots[i].second,
+                 features + i * feature_dim, feature_dim);
+  }
+  return n;
+}
+
+// Sampler lifecycle. Loads all VideoShots records from the VVR at `path`.
+void* vv_sampler_create(const char* path, int batch_size, int context_size,
+                        int num_negatives, int max_buffer_size,
+                        int swap_percentage, int max_same_video_negs,
+                        uint64_t seed, int prefetch_depth) {
+  Reader* r = reader_open(path);
+  if (!r) return nullptr;
+  auto* s = new Sampler;
+  s->cfg = {batch_size, context_size, num_negatives, max_buffer_size,
+            swap_percentage, max_same_video_negs, seed};
+  s->rng.seed(seed);
+  s->depth = prefetch_depth > 0 ? prefetch_depth : 2;
+  for (size_t i = 0; i < r->entries.size(); ++i) {
+    VideoShotsView view;
+    const Entry& e = r->entries[i];
+    if (!parse_video_shots(r->base + e.offset, e.length, &view)) continue;
+    if (view.shots.empty()) continue;
+    if (s->feature_dim == 0) {
+      std::vector<float> probe(1 << 20);
+      int64_t n = datum_floats(view.shots[0].first, view.shots[0].second,
+                               probe.data(), probe.size());
+      s->feature_dim = static_cast<int>(n);
+    }
+    Video v;
+    v.video_id = view.video_id;
+    v.features.resize(view.shots.size() * s->feature_dim);
+    for (size_t k = 0; k < view.shots.size(); ++k) {
+      v.shot_ids.push_back(k < view.shot_ids.size() ? view.shot_ids[k]
+                                                    : static_cast<int32_t>(k));
+      datum_floats(view.shots[k].first, view.shots[k].second,
+                   &v.features[k * s->feature_dim], s->feature_dim);
+    }
+    s->videos.push_back(std::move(v));
+  }
+  reader_close(r);
+  if (s->videos.empty()) { delete s; return nullptr; }
+  if (num_negatives > 0) s->fill_reservoir();
+  s->worker = std::thread([s] { s->worker_loop(); });
+  return s;
+}
+
+int vv_sampler_feature_dim(void* h) {
+  return static_cast<Sampler*>(h)->feature_dim;
+}
+
+int vv_sampler_channels(void* h) {
+  return static_cast<Sampler*>(h)->channels();
+}
+
+// Blocks until a prefetched batch is ready; copies into caller buffers.
+int vv_sampler_next(void* h, float* out_data, float* out_vids) {
+  auto* s = static_cast<Sampler*>(h);
+  std::pair<std::vector<float>, std::vector<float>> batch;
+  {
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->cv_empty.wait(lk, [&] { return s->stop || !s->ready.empty(); });
+    if (s->stop) return -1;
+    batch = std::move(s->ready.front());
+    s->ready.pop_front();
+    s->cv_full.notify_one();
+  }
+  memcpy(out_data, batch.first.data(), batch.first.size() * 4);
+  memcpy(out_vids, batch.second.data(), batch.second.size() * 4);
+  return 0;
+}
+
+void vv_sampler_destroy(void* h) {
+  auto* s = static_cast<Sampler*>(h);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    s->stop = true;
+  }
+  s->cv_full.notify_all();
+  s->cv_empty.notify_all();
+  if (s->worker.joinable()) s->worker.join();
+  delete s;
+}
+
+}  // extern "C"

@@ -1,0 +1,108 @@
+"""Native data-plane tests: C++ reader/decoder exactness vs the Python
+implementation, native sampler semantics, prefetch thread."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from videovector_tpu.data import native
+from videovector_tpu.data.records import RecordReader, RecordWriter
+from videovector_tpu.data.shots import ShotDataset, ShotVideo
+from videovector_tpu.data.wire import Datum
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_lib():
+    lib = os.path.join(REPO, "native", "libvvdata.so")
+    if not os.path.exists(lib):
+        subprocess.run(["make", "-C", os.path.join(REPO, "native")], check=True)
+    assert native.available()
+
+
+def _make_dataset(rng, num_videos=8, shots=10, dim=16):
+    videos = []
+    for v in range(num_videos):
+        videos.append(ShotVideo(v + 1, np.arange(shots, dtype=np.int32),
+                                rng.randn(shots, dim).astype(np.float32)))
+    return ShotDataset(videos)
+
+
+def test_native_reader_matches_python(tmp_path, rng):
+    _ensure_lib()
+    path = str(tmp_path / "r.vvr")
+    with RecordWriter(path) as w:
+        for i in range(6):
+            w.append(f"k{i}", bytes(rng.bytes(10 + i)))
+    py = RecordReader(path)
+    nat = native.NativeRecordReader(path)
+    assert len(nat) == len(py) == 6
+    for i in range(6):
+        assert nat.value(i) == bytes(py.value(i))
+    nat.close()
+    py.close()
+
+
+def test_native_datum_float_decode(tmp_path, rng):
+    _ensure_lib()
+    path = str(tmp_path / "d.vvr")
+    feats = rng.randn(4, 32).astype(np.float32)
+    with RecordWriter(path) as w:
+        for i, f in enumerate(feats):
+            w.append(str(i), Datum(float_data=f).encode())
+    nat = native.NativeRecordReader(path)
+    for i in range(4):
+        np.testing.assert_allclose(nat.datum_floats(i, 32), feats[i])
+    nat.close()
+
+
+def test_native_sampler_layout_and_semantics(tmp_path, rng):
+    _ensure_lib()
+    ds = _make_dataset(rng)
+    path = str(tmp_path / "shots.vvr")
+    ds.to_records(path)
+    src = native.NativeSampledShotsSource(
+        path, batch_size=6, context_size=5, num_negative_samples=4,
+        max_buffer_size=20, negative_swap_percentage=50,
+        max_same_video_negs=2, seed=7)
+    assert src.feature_dim == 16
+    assert src.channels == 9
+    for _ in range(3):
+        batch = src.next_batch()
+        assert batch["data"].shape == (6, 9, 16)
+        assert np.isfinite(batch["data"]).all()
+        # target + 4 contexts come from the labeled video, with the WINDOW
+        # invariant: 2 sorted context indices below the target, 2 above
+        for b in range(6):
+            vid = int(batch["video_id"][b])
+            video = next(v for v in ds.videos if v.video_id == vid)
+            idx = []
+            for c in range(5):
+                row = batch["data"][b, c]
+                dists = np.abs(video.features - row).sum(axis=1)
+                assert dists.min() < 1e-6
+                idx.append(int(np.argmin(dists)))
+            tgt, ctx = idx[0], sorted(idx[1:])
+            assert sum(1 for c in ctx if c < tgt) == 2
+            assert sum(1 for c in ctx if c > tgt) == 2
+    src.close()
+
+
+def test_native_sampler_skips_short_videos(tmp_path, rng):
+    _ensure_lib()
+    videos = [ShotVideo(1, np.arange(2, dtype=np.int32),
+                        rng.randn(2, 8).astype(np.float32)),
+              ShotVideo(2, np.arange(7, dtype=np.int32),
+                        rng.randn(7, 8).astype(np.float32))]
+    path = str(tmp_path / "s.vvr")
+    ShotDataset(videos).to_records(path)
+    src = native.NativeSampledShotsSource(path, batch_size=4, context_size=5,
+                                          num_negative_samples=0,
+                                          max_buffer_size=0,
+                                          negative_swap_percentage=0,
+                                          max_same_video_negs=0)
+    batch = src.next_batch()
+    assert np.all(batch["video_id"] == 2)
+    src.close()

@@ -1,0 +1,174 @@
+"""ctypes bindings for the C++ data plane (native/vvdata.cpp).
+
+The reference's data path is C++ (LMDB cursor + proto parse + sampling in a
+prefetch thread); `libvvdata.so` is our native twin: mmap'd VVR reads,
+zero-copy wire decode, and the flagship WINDOW sampler with its negative
+reservoir running in a C++ prefetch thread. Every entry point has a pure-
+Python fallback (records.py / shots.py), selected automatically when the
+shared library isn't built — functionality is identical, the native path is
+the fast one.
+
+Build: `make -C native` at the repo root.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_SEARCHED = False
+
+
+def _find_lib():
+    global _LIB, _SEARCHED
+    if _SEARCHED:
+        return _LIB
+    _SEARCHED = True
+    here = os.path.dirname(os.path.abspath(__file__))
+    candidates = [
+        os.environ.get("VVDATA_LIB", ""),
+        os.path.join(here, "..", "..", "native", "libvvdata.so"),
+    ]
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            lib = ctypes.CDLL(cand)
+            _configure(lib)
+            _LIB = lib
+            return lib
+    return None
+
+
+def _configure(lib):
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.vvr_open.restype = ctypes.c_void_p
+    lib.vvr_open.argtypes = [ctypes.c_char_p]
+    lib.vvr_close.argtypes = [ctypes.c_void_p]
+    lib.vvr_count.restype = ctypes.c_int64
+    lib.vvr_count.argtypes = [ctypes.c_void_p]
+    lib.vvr_value.restype = u8p
+    lib.vvr_value.argtypes = [ctypes.c_void_p, ctypes.c_int64, i64p]
+    lib.vvr_key.restype = ctypes.c_char_p
+    lib.vvr_key.argtypes = [ctypes.c_void_p, ctypes.c_int64, i64p]
+    lib.vv_datum_floats.restype = ctypes.c_int64
+    lib.vv_datum_floats.argtypes = [u8p, ctypes.c_int64, f32p, ctypes.c_int64]
+    lib.vv_video_shots.restype = ctypes.c_int64
+    lib.vv_video_shots.argtypes = [u8p, ctypes.c_int64, i32p, i32p, f32p,
+                                   ctypes.c_int64, ctypes.c_int64]
+    lib.vv_sampler_create.restype = ctypes.c_void_p
+    lib.vv_sampler_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+        ctypes.c_int]
+    lib.vv_sampler_feature_dim.restype = ctypes.c_int
+    lib.vv_sampler_feature_dim.argtypes = [ctypes.c_void_p]
+    lib.vv_sampler_channels.restype = ctypes.c_int
+    lib.vv_sampler_channels.argtypes = [ctypes.c_void_p]
+    lib.vv_sampler_next.restype = ctypes.c_int
+    lib.vv_sampler_next.argtypes = [ctypes.c_void_p, f32p, f32p]
+    lib.vv_sampler_destroy.argtypes = [ctypes.c_void_p]
+
+
+def available() -> bool:
+    return _find_lib() is not None
+
+
+class NativeRecordReader:
+    """mmap VVR reader via libvvdata; API-compatible subset of
+    records.RecordReader."""
+
+    def __init__(self, path: str):
+        lib = _find_lib()
+        if lib is None:
+            raise RuntimeError("libvvdata.so not built (make -C native)")
+        self._lib = lib
+        self._h = lib.vvr_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot open {path}")
+
+    def __len__(self) -> int:
+        return int(self._lib.vvr_count(self._h))
+
+    def value(self, i: int) -> bytes:
+        ln = ctypes.c_int64()
+        ptr = self._lib.vvr_value(self._h, i, ctypes.byref(ln))
+        return ctypes.string_at(ptr, ln.value)
+
+    def datum_floats(self, i: int, dim: int) -> np.ndarray:
+        """Decode record i's Datum.float_data straight into a numpy buffer
+        (no Python-side wire parsing)."""
+        ln = ctypes.c_int64()
+        ptr = self._lib.vvr_value(self._h, i, ctypes.byref(ln))
+        out = np.empty(dim, np.float32)
+        n = self._lib.vv_datum_floats(
+            ptr, ln.value, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            dim)
+        if n < 0:
+            raise ValueError("bad Datum record")
+        return out[:n]
+
+    def close(self):
+        if self._h:
+            self._lib.vvr_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeSampledShotsSource:
+    """Native flagship WINDOW sampler with C++ prefetch thread. Drop-in for
+    VideoSampledShotsSource (WINDOW mode) batches."""
+
+    def __init__(self, path: str, *, batch_size: int = 128,
+                 context_size: int = 5, num_negative_samples: int = 10,
+                 max_buffer_size: int = 5000, negative_swap_percentage: int = 50,
+                 max_same_video_negs: int = 6, seed: int = 1234,
+                 prefetch_depth: int = 2):
+        lib = _find_lib()
+        if lib is None:
+            raise RuntimeError("libvvdata.so not built (make -C native)")
+        self._lib = lib
+        self._h = lib.vv_sampler_create(
+            path.encode(), batch_size, context_size, num_negative_samples,
+            max_buffer_size, negative_swap_percentage, max_same_video_negs,
+            seed, prefetch_depth)
+        if not self._h:
+            raise IOError(f"cannot open shot dataset {path}")
+        self.batch_size = batch_size
+        self.feature_dim = int(lib.vv_sampler_feature_dim(self._h))
+        self.channels = int(lib.vv_sampler_channels(self._h))
+
+    def next_batch(self) -> dict:
+        data = np.empty((self.batch_size, self.channels, self.feature_dim),
+                        np.float32)
+        vids = np.empty((self.batch_size,), np.float32)
+        rc = self._lib.vv_sampler_next(
+            self._h, data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            vids.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if rc != 0:
+            raise RuntimeError("native sampler stopped")
+        return {"data": data, "video_id": vids}
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+    def close(self):
+        if self._h:
+            self._lib.vv_sampler_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
