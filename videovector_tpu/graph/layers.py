@@ -425,11 +425,22 @@ def _sum():
     return _no_params, apply
 
 
+# Sink layers: no tops inside the jitted graph; the Net records them in
+# `host_sinks` and tools/drivers dump their bottoms host-side after the step.
+SINK_LAYER_TYPES = {"WRITE_TO_FILE", "HDF5_OUTPUT"}
+
+
 @register("WRITE_TO_FILE")
 def _write_to_file():
-    # Sink layer (ref:src/caffe/layers/write_to_file_layer.cpp): inside jit we
-    # pass data through unchanged; the Net marks these blobs for host-side csv
-    # dumping after the step (see graph/net.py host_sinks).
+    # ref:src/caffe/layers/write_to_file_layer.cpp — csv dump per forward.
+    def apply(params, inputs, cfg, ctx):
+        return []
+    return _no_params, apply
+
+
+@register("HDF5_OUTPUT")
+def _hdf5_output():
+    # ref:src/caffe/layers/hdf5_output_layer.cpp — h5 dump per forward.
     def apply(params, inputs, cfg, ctx):
         return []
     return _no_params, apply

@@ -105,6 +105,15 @@ class Net:
                 self.data_layer_tops[layer.get("name")] = tops
                 self.input_names.extend(tops)
 
+        # host sinks (WRITE_TO_FILE / HDF5_OUTPUT): dumped host-side from the
+        # returned blobs (jit graphs cannot do file IO)
+        from videovector_tpu.graph.layers import SINK_LAYER_TYPES
+        self.host_sinks = [
+            {"name": l.get("name"), "type": l.get("type"),
+             "bottoms": [str(b) for b in l.get_list("bottom")], "cfg": l}
+            for l in self.layers if l.get("type") in SINK_LAYER_TYPES
+        ]
+
         # loss weights per (layer, top index)
         self.loss_weights: dict[str, list[float]] = {}
         for layer in self.layers:
@@ -298,6 +307,29 @@ class Net:
     def loss_fn(self, params, batch, rng=None):
         loss, _ = self.apply(params, batch, rng=rng)
         return loss
+
+    def process_host_sinks(self, blobs: dict, *, append: bool = True):
+        """Dump sink-layer bottoms (call with `return_blobs=True` outputs).
+        WRITE_TO_FILE → csv (ref write_to_file_layer.cpp:36-64);
+        HDF5_OUTPUT → .h5 (ref hdf5_output_layer.cpp)."""
+        import numpy as np
+        for sink in self.host_sinks:
+            cfg = sink["cfg"]
+            if sink["type"] == "WRITE_TO_FILE":
+                path = cfg.get_msg("write_to_file_param").get(
+                    "output_file", f"{sink['name']}.csv")
+                mode = "a" if append else "w"
+                with open(path, mode) as f:
+                    for bname in sink["bottoms"]:
+                        arr = np.asarray(blobs[bname])
+                        for row in arr.reshape(arr.shape[0], -1):
+                            f.write(",".join(f"{v:.6f}" for v in row) + "\n")
+            elif sink["type"] == "HDF5_OUTPUT":
+                from videovector_tpu.data.generic import hdf5_output
+                path = cfg.get_msg("hdf5_output_param").get(
+                    "file_name", f"{sink['name']}.h5")
+                hdf5_output(path, {b: np.asarray(blobs[b])
+                                   for b in sink["bottoms"]})
 
     # ------------------------------------------------------------------
     def flat_param_list(self, params):
