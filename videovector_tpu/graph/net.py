@@ -89,6 +89,12 @@ class Net:
 
     def __init__(self, net_msg: Message, phase: str = "TRAIN", *,
                  level: int = 0, stages: tuple = (), side: dict | None = None):
+        # legacy V0 auto-upgrade on load (ref ReadNetParamsFromTextFileOrDie →
+        # UpgradeV0Net, util/upgrade_proto.cpp)
+        from videovector_tpu.config.upgrade import net_needs_upgrade, upgrade_net
+        if net_needs_upgrade(net_msg):
+            log.info("Upgrading legacy V0 NetParameter")
+            net_msg = upgrade_net(net_msg)
         self.name = net_msg.get("name", "net")
         self.phase = phase
         self.layers = filter_layers(net_msg, phase, level, stages)
@@ -307,6 +313,21 @@ class Net:
     def loss_fn(self, params, batch, rng=None):
         loss, _ = self.apply(params, batch, rng=rng)
         return loss
+
+    def debug_info(self, params, batch, *, rng=None):
+        """Per-blob mean-abs activation stats, the analogue of Caffe's
+        `debug_info` forward printing (ref:src/caffe/net.cpp:581-636).
+        Returns {blob_name: mean_abs} plus {layer/param: mean_abs}."""
+        import jax.numpy as jnp
+        _, blobs = self.apply(params, batch, rng=rng, return_blobs=True)
+        stats = {name: float(jnp.mean(jnp.abs(v)))
+                 for name, v in blobs.items()}
+        for lname, lp in params.items():
+            for pname, arr in lp.items():
+                stats[f"param:{lname}/{pname}"] = float(jnp.mean(jnp.abs(arr)))
+        for name, value in sorted(stats.items()):
+            log.info("    [debug_info] %s: mean abs = %g", name, value)
+        return stats
 
     def process_host_sinks(self, blobs: dict, *, append: bool = True):
         """Dump sink-layer bottoms (call with `return_blobs=True` outputs).

@@ -1,0 +1,42 @@
+"""VisSnapshot — JSON dump of net structure + selected activations for web
+visualization (ref:src/caffe/solver.cpp:345-416 + util/pb2json.cpp).
+
+Emits one JSON file with the layer graph (name/type/bottoms/tops), parameter
+shapes, and truncated activation samples per blob (the reference's
+ToTruncatedProto keeps a corner of each blob; we keep the first
+`max_elements` values plus shape/stats).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def vis_snapshot(net, params, blobs: dict, out_path: str, *,
+                 max_elements: int = 64) -> dict:
+    doc: dict = {"name": net.name, "phase": net.phase, "layers": [],
+                 "blobs": {}}
+    for layer in net.layers:
+        doc["layers"].append({
+            "name": layer.get("name"),
+            "type": layer.get("type"),
+            "bottom": [str(b) for b in layer.get_list("bottom")],
+            "top": [str(t) for t in layer.get_list("top")],
+            "params": {p: list(np.asarray(a).shape)
+                       for p, a in params.get(layer.get("name"), {}).items()},
+        })
+    for name, arr in blobs.items():
+        arr = np.asarray(arr)
+        flat = arr.reshape(-1)
+        doc["blobs"][name] = {
+            "shape": list(arr.shape),
+            "mean_abs": float(np.abs(arr).mean()),
+            "min": float(arr.min()),
+            "max": float(arr.max()),
+            "values": [float(v) for v in flat[:max_elements]],
+        }
+    with open(out_path, "w") as f:
+        json.dump(doc, f)
+    return doc
