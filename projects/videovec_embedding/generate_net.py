@@ -1,0 +1,209 @@
+"""Generate the flagship embedding net prototxt.
+
+Emits the same graph shape as the reference's hand-written
+mednet_embedding_train.prototxt (ref:projects/videovec_embedding/
+mednet_embedding_train.prototxt): VIDEO_SAMPLED_SHOTS_DATA → 15-way SLICE →
+CONCAT → fc7 tower → role slicing → context average → normalize → dot scores
+→ MAX_MARGIN_LOSS, plus the TEST branch with RETRIEVAL_STATS. Parameterized
+so users generate variants (feature dim, negatives, margin) instead of
+editing 690 lines by hand.
+
+Usage: python generate_net.py --train_source=... --test_source=... \
+           [--batch=128 --negatives=10 --embed=4096 --margin=2.0] > net.prototxt
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def emit(train_source: str, test_source: str, *, batch: int = 128,
+         test_batch: int = 673, context_size: int = 5, negatives: int = 10,
+         embed: int = 4096, margin: float = 2.0, buffer_size: int = 5000,
+         swap: int = 50, same_video_negs: int = 6,
+         id_to_class_file: str = "") -> str:
+    ctx = context_size - 1  # context shots (window minus target)
+    lines = [f'name: "videovec_embedding_d{embed}"']
+
+    # --- data layers ---
+    lines.append(f"""
+layers {{
+  name: "shot_windows"
+  type: VIDEO_SAMPLED_SHOTS_DATA
+  top: "data"
+  video_sampled_shots_data_param {{
+    source: "{train_source}"
+    batch_size: {batch}
+    num_negative_samples: {negatives}
+    max_buffer_size: {buffer_size}
+    negative_swap_percentage: {swap}
+    max_same_video_negs: {same_video_negs}
+    context_type: WINDOW
+    context_size: {context_size}
+  }}
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "shot_windows"
+  type: VIDEO_SHOT_WINDOW_TEST_DATA
+  top: "data"
+  top: "video_ids"
+  video_shot_window_test_data_param {{
+    source: "{test_source}"
+    batch_size: {test_batch}
+  }}
+  include: {{ phase: TEST }}
+}}""")
+
+    roles = (["t"] + [f"c{i+1}" for i in range(ctx)]
+             + [f"n{i+1}" for i in range(negatives)])
+    tops = "\n".join(f'  top: "{r}"' for r in roles)
+    lines.append(f"""
+layers {{
+  name: "slice_input" type: SLICE bottom: "data"
+{tops}
+  slice_param {{ slice_dim: 1 }}
+  include: {{ phase: TRAIN }}
+}}""")
+    test_tops = "\n".join(f'  top: "c{i+1}"' for i in range(ctx))
+    lines.append(f"""
+layers {{
+  name: "slice_input" type: SLICE bottom: "data"
+{test_tops}
+  slice_param {{ slice_dim: 1 }}
+  include: {{ phase: TEST }}
+}}""")
+
+    bottoms = "\n".join(f'  bottom: "{r}"' for r in roles)
+    lines.append(f"""
+layers {{
+  name: "concat_all" type: CONCAT
+{bottoms}
+  top: "tower_in" concat_param {{ concat_dim: 0 }}
+  include: {{ phase: TRAIN }}
+}}""")
+    test_bottoms = "\n".join(f'  bottom: "c{i+1}"' for i in range(ctx))
+    lines.append(f"""
+layers {{
+  name: "concat_all" type: CONCAT
+{test_bottoms}
+  top: "tower_in" concat_param {{ concat_dim: 0 }}
+  include: {{ phase: TEST }}
+}}""")
+
+    # --- tower (fc7 + relu + dropout .9, ref :190-230) ---
+    lines.append(f"""
+layers {{
+  name: "fc7" type: INNER_PRODUCT bottom: "tower_in" top: "emb"
+  blobs_lr: 1 blobs_lr: 2
+  weight_decay: 1 weight_decay: 0
+  inner_product_param {{
+    num_output: {embed}
+    weight_filler {{ type: "gaussian" std: 0.001 }}
+    bias_filler {{ type: "constant" }}
+  }}
+}}
+layers {{ name: "relu7" type: RELU bottom: "emb" top: "emb" }}
+layers {{
+  name: "drop7" type: DROPOUT bottom: "emb" top: "emb"
+  dropout_param {{ dropout_ratio: 0.9 }}
+  include: {{ phase: TRAIN }}
+}}""")
+
+    etops = "\n".join(f'  top: "e{r}"' for r in roles)
+    lines.append(f"""
+layers {{
+  name: "slice_emb" type: SLICE bottom: "emb"
+{etops}
+  slice_param {{ slice_dim: 0 }}
+  include: {{ phase: TRAIN }}
+}}""")
+    etest = "\n".join(f'  top: "ec{i+1}"' for i in range(ctx))
+    lines.append(f"""
+layers {{
+  name: "slice_emb" type: SLICE bottom: "emb"
+{etest}
+  slice_param {{ slice_dim: 0 }}
+  include: {{ phase: TEST }}
+}}""")
+
+    coeff = 1.0 / ctx
+    cbot = "\n".join(f'  bottom: "ec{i+1}"' for i in range(ctx))
+    coeffs = "\n".join(f"  coeff: {coeff}" for _ in range(ctx))
+    lines.append(f"""
+layers {{
+  name: "ctx_avg" type: ELTWISE
+{cbot}
+  top: "ctx"
+  eltwise_param {{ operation: SUM
+{coeffs}
+  }}
+}}
+layers {{ name: "ctx_norm" type: NORMALIZATION bottom: "ctx" top: "ctxn" }}
+layers {{
+  name: "tgt_norm" type: NORMALIZATION bottom: "et" top: "etn"
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "true_prod" type: ELTWISE bottom: "ctxn" bottom: "etn" top: "tprod"
+  eltwise_param {{ operation: PROD }} include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "true_score" type: SUM bottom: "tprod" top: "ts"
+  sum_param {{ num_output: {negatives} }} include: {{ phase: TRAIN }}
+}}""")
+
+    for i in range(negatives):
+        lines.append(f"""
+layers {{ name: "neg{i+1}_norm" type: NORMALIZATION bottom: "en{i+1}"
+  top: "en{i+1}x" include: {{ phase: TRAIN }} }}
+layers {{ name: "neg{i+1}_prod" type: ELTWISE bottom: "ctxn" bottom: "en{i+1}x"
+  top: "np{i+1}" eltwise_param {{ operation: PROD }} include: {{ phase: TRAIN }} }}
+layers {{ name: "neg{i+1}_score" type: SUM bottom: "np{i+1}" top: "ns{i+1}"
+  include: {{ phase: TRAIN }} }}""")
+
+    nbot = "\n".join(f'  bottom: "ns{i+1}"' for i in range(negatives))
+    id2w = (f'    id_to_weight_file: "{id_to_class_file}"\n'
+            if id_to_class_file else "")
+    lines.append(f"""
+layers {{
+  name: "neg_concat" type: CONCAT
+{nbot}
+  top: "negative_scores" concat_param {{ concat_dim: 1 }}
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "max_margin_loss" type: MAX_MARGIN_LOSS
+  bottom: "ts" bottom: "negative_scores"
+  top: "loss_output" top: "train_violations"
+  loss_weight: 1.0 loss_weight: 0.0
+  max_margin_loss_param {{ margin: {margin} norm: L2
+{id2w}  }}
+  include: {{ phase: TRAIN }}
+}}
+layers {{
+  name: "retrieval_stats" type: RETRIEVAL_STATS
+  bottom: "ctxn" bottom: "video_ids"
+  top: "test_map" top: "test_hit1" top: "test_hit5"
+  include: {{ phase: TEST }}
+}}""")
+    return "\n".join(lines) + "\n"
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--train_source", required=True)
+    p.add_argument("--test_source", required=True)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--test_batch", type=int, default=673)
+    p.add_argument("--negatives", type=int, default=10)
+    p.add_argument("--embed", type=int, default=4096)
+    p.add_argument("--margin", type=float, default=2.0)
+    args = p.parse_args()
+    print(emit(args.train_source, args.test_source, batch=args.batch,
+               test_batch=args.test_batch, negatives=args.negatives,
+               embed=args.embed, margin=args.margin), end="")
+
+
+if __name__ == "__main__":
+    main()
