@@ -196,6 +196,27 @@ def main(argv=None) -> int:
     p.add_argument("--iterations", type=int, default=50)
     p.set_defaults(fn=cmd_time)
 
+    # deprecated shims (ref:tools/train_net.cpp:3-6 etc. — thin aliases)
+    p = sub.add_parser("train_net", help="[deprecated] use train")
+    p.add_argument("solver")
+    p.add_argument("snapshot", nargs="?", default="")
+    p.set_defaults(fn=lambda a: cmd_train(argparse.Namespace(
+        solver=a.solver, snapshot=a.snapshot, weights="")))
+    p = sub.add_parser("finetune_net", help="[deprecated] use train --weights")
+    p.add_argument("solver")
+    p.add_argument("weights")
+    p.set_defaults(fn=lambda a: cmd_train(argparse.Namespace(
+        solver=a.solver, snapshot="", weights=a.weights)))
+    p = sub.add_parser("test_net", help="[deprecated] use test")
+    p.add_argument("model")
+    p.add_argument("weights")
+    p.add_argument("iterations", nargs="?", type=int, default=50)
+    p.set_defaults(fn=cmd_test)
+    p = sub.add_parser("net_speed_benchmark", help="[deprecated] use time")
+    p.add_argument("model")
+    p.add_argument("iterations", nargs="?", type=int, default=50)
+    p.set_defaults(fn=cmd_time)
+
     args = parser.parse_args(argv)
     return args.fn(args)
 
