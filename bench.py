@@ -83,7 +83,19 @@ def measure_tpu() -> float:
 
 
 def main():
+    # Fail fast instead of hanging forever if the TPU tunnel is wedged
+    # (the experimental axon platform can block indefinitely on execute).
+    import signal
+
+    def _alarm(signum, frame):
+        print("bench: TPU execution did not complete within the time limit",
+              file=sys.stderr)
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(540)
     triplets_per_sec = measure_tpu()
+    signal.alarm(0)
     baseline = None
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
