@@ -187,6 +187,7 @@ class SampledShotsConfig:
     output_shot_distance: bool = False
     max_shot_distance: float = 5.0
     output_video_ids: bool = True
+    rand_skip: int = 0
     seed: int = 1234
 
     @classmethod
@@ -195,7 +196,7 @@ class SampledShotsConfig:
         for f in ("batch_size", "num_negative_samples", "max_buffer_size",
                   "negative_swap_percentage", "max_same_video_negs",
                   "context_type", "context_size", "output_shot_distance",
-                  "max_shot_distance"):
+                  "max_shot_distance", "rand_skip"):
             if msg.has(f):
                 kw[f] = msg.get(f)
         return cls(**kw)
@@ -220,7 +221,10 @@ class VideoSampledShotsSource:
             raise ValueError("context_size must be >= 2")
         self.feature_dim = dataset.feature_dim
         self.channels = self.context_size + cfg.num_negative_samples
-        self._cursor = 0
+        # async-SGD staggering (ref caffe.proto rand_skip: skip point =
+        # rand_skip * rand(0,1))
+        self._cursor = (self.rng.randint(cfg.rand_skip) % len(dataset)
+                        if cfg.rand_skip else 0)
         self.reservoir = None
         if cfg.num_negative_samples > 0:
             self.reservoir = NegativeReservoir(

@@ -233,10 +233,16 @@ class Net:
                     if sname in shared_owner_by_name:
                         owner_layer, owner_blob = shared_owner_by_name[sname]
                         owned = params[owner_layer][owner_blob]
+                        modes = layer.get_list("blob_share_mode")
+                        mode = str(modes[i]) if i < len(modes) else "STRICT"
                         if owned.shape != lparams[pname].shape:
-                            raise ValueError(
-                                f"shared param {sname!r} shape mismatch: "
-                                f"{owned.shape} vs {lparams[pname].shape}")
+                            # PERMISSIVE: element-count match suffices
+                            # (ref AppendParam net.cpp:405-464, DimCheckMode)
+                            if mode != "PERMISSIVE" or \
+                                    owned.size != lparams[pname].size:
+                                raise ValueError(
+                                    f"shared param {sname!r} shape mismatch: "
+                                    f"{owned.shape} vs {lparams[pname].shape}")
                         del lparams[pname]
                         m.shared_owner = owner_layer
                     else:
@@ -265,9 +271,9 @@ class Net:
         out = dict(params.get(lname, {}))
         for pname, m in meta.get(lname, {}).items():
             if m.shared_owner is not None:
-                owner = params[m.shared_owner]
-                # owner stores it under the same blob name by construction
-                out[pname] = owner[pname]
+                # owner stores it under the same blob name by construction;
+                # PERMISSIVE shares may need a reshape (count-matched)
+                out[pname] = params[m.shared_owner][pname]
         return out
 
     # ------------------------------------------------------------------
