@@ -56,14 +56,31 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
     if rng is None:
         rng = jax.random.PRNGKey(cfg.random_seed if cfg.random_seed >= 0 else 0)
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
     def raw_step(p, s, batch, key):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, batch, key)
+        (loss, aux), grads = grad_fn(p, batch, key)
         p2, s2 = solver_update(cfg, p, grads, s,
                                lr_mults=lr_mults, decay_mults=decay_mults)
         return p2, s2, {"loss": loss, **aux}
 
-    step = jax.jit(raw_step, donate_argnums=(0, 1)) if jit else raw_step
+    def raw_accum(p, grads_acc, batch, key):
+        # iter_size gradient accumulation: average grads over sub-batches
+        (loss, aux), grads = grad_fn(p, batch, key)
+        grads_acc = jax.tree.map(lambda a, g: a + g / cfg.iter_size,
+                                 grads_acc, grads)
+        return grads_acc, {"loss": loss, **aux}
+
+    def raw_apply(p, s, grads_acc):
+        return solver_update(cfg, p, grads_acc, s,
+                             lr_mults=lr_mults, decay_mults=decay_mults)
+
+    if jit:
+        step = jax.jit(raw_step, donate_argnums=(0, 1))
+        accum = jax.jit(raw_accum, donate_argnums=(1,))
+        apply_update = jax.jit(raw_apply, donate_argnums=(0, 1, 2))
+    else:
+        step, accum, apply_update = raw_step, raw_accum, raw_apply
     eval_step = (jax.jit(eval_fn) if (jit and eval_fn is not None) else eval_fn)
 
     result = TrainResult(params, state)
@@ -91,9 +108,17 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         if cfg.test_interval and it % cfg.test_interval == 0:
             run_test(params, it)
 
-        batch = next(data)
         key = jax.random.fold_in(rng, it)
-        params, state, metrics = step(params, state, batch, key)
+        if cfg.iter_size > 1:
+            grads_acc = jax.tree.map(jax.numpy.zeros_like, params)
+            for sub in range(cfg.iter_size):
+                grads_acc, metrics = accum(
+                    params, grads_acc, next(data),
+                    jax.random.fold_in(key, sub))
+            params, state = apply_update(params, state, grads_acc)
+        else:
+            batch = next(data)
+            params, state, metrics = step(params, state, batch, key)
 
         if cfg.display and it % cfg.display == 0:
             loss = float(metrics["loss"])

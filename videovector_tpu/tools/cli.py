@@ -30,10 +30,30 @@ log = get_logger(__name__)
 def cmd_train(args) -> int:
     from videovector_tpu.solver.driver import SolverDriver
     driver = SolverDriver.from_prototxt(args.solver).build()
-    driver.train(resume_state_path=args.snapshot or None,
+    snapshot = args.snapshot or None
+    if getattr(args, "auto_resume", False) and not snapshot:
+        snapshot = _latest_snapshot(driver.cfg.snapshot_prefix)
+        if snapshot:
+            log.info("Auto-resuming from %s", snapshot)
+    driver.train(resume_state_path=snapshot,
                  weights_path=args.weights or None)
     log.info("Optimization Done.")
     return 0
+
+
+def _latest_snapshot(prefix: str):
+    """Newest <prefix>_iter_N.vvstate, for crash-restart recovery (the
+    reference's recovery story is manual --snapshot; this automates it)."""
+    import glob
+    import re
+    if not prefix:
+        return None
+    best, best_iter = None, -1
+    for path in glob.glob(f"{prefix}_iter_*.vvstate"):
+        m = re.search(r"_iter_(\d+)\.vvstate$", path)
+        if m and int(m.group(1)) > best_iter:
+            best, best_iter = path, int(m.group(1))
+    return best
 
 
 def cmd_test(args) -> int:
@@ -180,6 +200,9 @@ def main(argv=None) -> int:
                    help="resume from a .vvstate snapshot")
     p.add_argument("--weights", default="",
                    help="finetune from .vvmodel/.caffemodel weights")
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the newest snapshot matching the "
+                        "solver's snapshot_prefix, if any")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("test", help="score a model")
