@@ -109,10 +109,11 @@ def load_into_params(weights: NetWeights, params: dict, *, strict: bool = False)
         for k, blob in zip(order, blobs):
             arr = blob.to_array()
             tgt = lparams[k]
-            if k == "w":
-                # Caffe (1,1,N,K) → ours (K,N)
+            if k == "w" and len(tgt.shape) == 2:
+                # InnerProduct: Caffe (1,1,N,K) → ours (K,N)
                 arr = arr.reshape(arr.shape[-2], arr.shape[-1]).T
             else:
+                # conv (OIHW, identical layout), biases, tables
                 arr = arr.reshape(tgt.shape)
             if tuple(arr.shape) != tuple(tgt.shape):
                 raise ValueError(
@@ -132,7 +133,7 @@ def params_to_weights(params: dict, name: str = "net") -> NetWeights:
             if k not in lp:
                 continue
             arr = np.asarray(lp[k], np.float32)
-            if k == "w":
+            if k == "w" and arr.ndim == 2:
                 arr = arr.T  # ours (K,N) → Caffe (N,K)
                 blob = BlobProto(num=1, channels=1, height=arr.shape[0],
                                  width=arr.shape[1], data=arr.reshape(-1))
