@@ -48,15 +48,19 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
 
     fwd = jax.jit(lambda p, b: net.apply(p, b, return_blobs=True)[1])
 
+    # background host batching + async H2D, overlapping the forward pass
+    # (the reference's prefetch-thread pattern, base_data_layer.cpp:52-95)
+    from videovector_tpu.data.prefetch import DevicePrefetcher
+    prefetcher = DevicePrefetcher(iter(source), depth=2,
+                                  max_batches=num_batches)
+
     writers = {name: RecordWriter(f"{out_prefix}_{name}.vvr")
                for name in blob_names}
     texts = {name: open(f"{out_prefix}_{name}.txt", "w")
              for name in blob_names}
     counts = {name: 0 for name in blob_names}
     try:
-        for bi in range(num_batches):
-            batch = batch0 if bi == 0 else {
-                k: jnp.asarray(v) for k, v in source.next_batch().items()}
+        for bi, batch in enumerate(prefetcher):
             blobs = fwd(params, batch)
             for name in blob_names:
                 feats = np.asarray(blobs[name])
