@@ -40,6 +40,15 @@ def measure_tpu() -> float:
     # ~25% of the step on v5e (measured); dropout only needs statistical
     # quality, not cryptographic counter-based keys.
     jax.config.update("jax_default_prng_impl", "rbg")
+    # persistent compile cache: the axon tunnel's remote compile is slow and
+    # flaky after hiccups; reuse executables across bench invocations.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from videovector_tpu.models import VideoEmbeddingConfig, VideoEmbeddingModel
     from videovector_tpu.solver import SolverConfig, init_solver_state, solver_update
@@ -93,7 +102,7 @@ def main():
         os._exit(1)
 
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(540)
+    signal.alarm(int(os.environ.get("VVTPU_BENCH_TIMEOUT", "540")))
     triplets_per_sec = measure_tpu()
     signal.alarm(0)
     baseline = None
