@@ -294,9 +294,10 @@ def _dropout():
 @register("SOFTMAX")
 def _softmax():
     def apply(params, inputs, cfg, ctx):
+        # Caffe softmax normalizes over channels per spatial position
+        # (ref:src/caffe/layers/softmax_layer.cpp:24-60): axis 1.
         x = inputs[0]
-        n = x.shape[0]
-        return [jax.nn.softmax(x.reshape(n, -1), axis=-1).reshape(x.shape)]
+        return [jax.nn.softmax(x, axis=1 if x.ndim > 1 else 0)]
     return _no_params, apply
 
 
