@@ -6,9 +6,13 @@ for each cell). Complements bench.py (which pins the reference workload).
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
