@@ -354,7 +354,60 @@ struct Sampler {
 // C ABI
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// VVR writer (native twin of records.RecordWriter)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Writer {
+  FILE* f = nullptr;
+  std::vector<Entry> index;
+};
+
+}  // namespace
+
 extern "C" {
+
+void* vvr_writer_open(const char* path) {
+  FILE* f = fopen(path, "wb");
+  if (!f) return nullptr;
+  fwrite(kMagic, 1, 8, f);
+  auto* w = new Writer;
+  w->f = f;
+  return w;
+}
+
+int vvr_writer_append(void* h, const char* key, int64_t key_len,
+                      const uint8_t* value, int64_t value_len) {
+  auto* w = static_cast<Writer*>(h);
+  Entry e;
+  e.offset = ftello(w->f);
+  e.length = static_cast<uint32_t>(value_len);
+  e.key.assign(key, key_len);
+  if (fwrite(value, 1, value_len, w->f) != size_t(value_len)) return -1;
+  w->index.push_back(std::move(e));
+  return 0;
+}
+
+int vvr_writer_close(void* h) {
+  auto* w = static_cast<Writer*>(h);
+  uint64_t index_offset = ftello(w->f);
+  for (const Entry& e : w->index) {
+    uint32_t klen = e.key.size();
+    fwrite(&e.offset, 8, 1, w->f);
+    fwrite(&e.length, 4, 1, w->f);
+    fwrite(&klen, 4, 1, w->f);
+    fwrite(e.key.data(), 1, klen, w->f);
+  }
+  uint64_t count = w->index.size();
+  fwrite(&index_offset, 8, 1, w->f);
+  fwrite(&count, 8, 1, w->f);
+  fwrite(kMagic, 1, 8, w->f);
+  int rc = fclose(w->f);
+  delete w;
+  return rc;
+}
 
 void* vvr_open(const char* path) { return reader_open(path); }
 

@@ -90,6 +90,19 @@ def test_native_sampler_layout_and_semantics(tmp_path, rng):
     src.close()
 
 
+def test_native_writer_byte_identical(tmp_path, rng):
+    _ensure_lib()
+    p1, p2 = str(tmp_path / "py.vvr"), str(tmp_path / "nat.vvr")
+    items = [(f"k{i}", bytes(rng.bytes(10 + i))) for i in range(5)]
+    with RecordWriter(p1) as w:
+        for k, v in items:
+            w.append(k, v)
+    with native.NativeRecordWriter(p2) as w:
+        for k, v in items:
+            w.append(k, v)
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
 def test_native_sampler_skips_short_videos(tmp_path, rng):
     _ensure_lib()
     videos = [ShotVideo(1, np.arange(2, dtype=np.int32),

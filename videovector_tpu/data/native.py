@@ -72,6 +72,13 @@ def _configure(lib):
     lib.vv_sampler_next.restype = ctypes.c_int
     lib.vv_sampler_next.argtypes = [ctypes.c_void_p, f32p, f32p]
     lib.vv_sampler_destroy.argtypes = [ctypes.c_void_p]
+    lib.vvr_writer_open.restype = ctypes.c_void_p
+    lib.vvr_writer_open.argtypes = [ctypes.c_char_p]
+    lib.vvr_writer_append.restype = ctypes.c_int
+    lib.vvr_writer_append.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                      ctypes.c_int64, u8p, ctypes.c_int64]
+    lib.vvr_writer_close.restype = ctypes.c_int
+    lib.vvr_writer_close.argtypes = [ctypes.c_void_p]
 
 
 def available() -> bool:
@@ -122,6 +129,39 @@ class NativeRecordReader:
             self.close()
         except Exception:
             pass
+
+
+class NativeRecordWriter:
+    """Native VVR writer; byte-identical files to records.RecordWriter."""
+
+    def __init__(self, path: str):
+        lib = _find_lib()
+        if lib is None:
+            raise RuntimeError("libvvdata.so not built (make -C native)")
+        self._lib = lib
+        self._h = lib.vvr_writer_open(path.encode())
+        if not self._h:
+            raise IOError(f"cannot create {path}")
+
+    def append(self, key, value: bytes) -> None:
+        if isinstance(key, str):
+            key = key.encode()
+        buf = (ctypes.c_uint8 * len(value)).from_buffer_copy(value)
+        rc = self._lib.vvr_writer_append(self._h, key, len(key), buf,
+                                         len(value))
+        if rc != 0:
+            raise IOError("native append failed")
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.vvr_writer_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 class NativeSampledShotsSource:

@@ -101,37 +101,47 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         result.test_history.append((it, avg))
 
     it = start_iter
-    while it < cfg.max_iter:
-        if cfg.snapshot and it > start_iter and it % cfg.snapshot == 0:
-            snapshot(cfg.snapshot_prefix or "snapshot", it,
-                     jax.device_get(params), jax.device_get(state))
-        if cfg.test_interval and it % cfg.test_interval == 0:
-            run_test(params, it)
+    try:
+        while it < cfg.max_iter:
+            if cfg.snapshot and it > start_iter and it % cfg.snapshot == 0:
+                snapshot(cfg.snapshot_prefix or "snapshot", it,
+                         jax.device_get(params), jax.device_get(state))
+            if cfg.test_interval and it % cfg.test_interval == 0:
+                run_test(params, it)
 
-        key = jax.random.fold_in(rng, it)
-        if cfg.iter_size > 1:
-            grads_acc = jax.tree.map(jax.numpy.zeros_like, params)
-            for sub in range(cfg.iter_size):
-                grads_acc, metrics = accum(
-                    params, grads_acc, next(data),
-                    jax.random.fold_in(key, sub))
-            params, state = apply_update(params, state, grads_acc)
-        else:
-            batch = next(data)
-            params, state, metrics = step(params, state, batch, key)
+            key = jax.random.fold_in(rng, it)
+            if cfg.iter_size > 1:
+                grads_acc = jax.tree.map(jax.numpy.zeros_like, params)
+                for sub in range(cfg.iter_size):
+                    grads_acc, metrics = accum(
+                        params, grads_acc, next(data),
+                        jax.random.fold_in(key, sub))
+                params, state = apply_update(params, state, grads_acc)
+            else:
+                batch = next(data)
+                params, state, metrics = step(params, state, batch, key)
 
-        if cfg.display and it % cfg.display == 0:
-            loss = float(metrics["loss"])
-            lr = float(learning_rate(cfg, it))
-            log.info("Iteration %d, lr = %g", it, lr)
-            log.info("Iteration %d, loss = %g", it, loss)
-            for i, (k, v) in enumerate(sorted(metrics.items())):
-                if k == "loss":
-                    continue
-                log.info("    Train net output #%d: %s = %g", i, k, float(v))
-            result.metrics_history.append(
-                (it, {k: float(v) for k, v in metrics.items()}))
-        it += 1
+            if cfg.display and it % cfg.display == 0:
+                loss = float(metrics["loss"])
+                lr = float(learning_rate(cfg, it))
+                log.info("Iteration %d, lr = %g", it, lr)
+                log.info("Iteration %d, loss = %g", it, loss)
+                for i, (k, v) in enumerate(sorted(metrics.items())):
+                    if k == "loss":
+                        continue
+                    log.info("    Train net output #%d: %s = %g",
+                             i, k, float(v))
+                result.metrics_history.append(
+                    (it, {k: float(v) for k, v in metrics.items()}))
+            it += 1
+    except KeyboardInterrupt:
+        # emergency snapshot on interrupt (the reference aborts and loses
+        # progress since the last scheduled snapshot)
+        if cfg.snapshot_prefix:
+            log.info("Interrupted at iteration %d — writing snapshot", it)
+            snapshot(cfg.snapshot_prefix, it, jax.device_get(params),
+                     jax.device_get(state))
+        raise
 
     if cfg.snapshot_after_train and cfg.snapshot_prefix:
         snapshot(cfg.snapshot_prefix, it, jax.device_get(params),
