@@ -1,0 +1,67 @@
+"""Prototxt training over a multi-device mesh via SolverDriver + CLI flag,
+and the retrieval csv report."""
+
+import numpy as np
+
+from videovector_tpu.config.textformat import Message
+from videovector_tpu.data.shots import ShotDataset, ShotVideo
+from videovector_tpu.parallel import make_mesh
+from videovector_tpu.solver.driver import SolverDriver
+
+
+def _mini_solver(tmp_path, rng):
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "projects", "videovec_embedding"))
+    from generate_net import emit
+    videos = []
+    for v in range(10):
+        center = rng.randn(32).astype(np.float32)
+        feats = np.abs(center + 0.3 * rng.randn(8, 32).astype(np.float32))
+        videos.append(ShotVideo(v + 1, np.arange(8, dtype=np.int32), feats))
+    train = str(tmp_path / "train.vvr")
+    ShotDataset(videos).to_records(train)
+    net_path = tmp_path / "net.prototxt"
+    # train-only net (test branch removed via test_interval=0)
+    text = emit(train, train, batch=8, test_batch=8, negatives=4, embed=16,
+                buffer_size=16, same_video_negs=1)
+    net_path.write_text(text)
+    solver = Message()
+    solver.add("net", str(net_path))
+    solver.add("base_lr", 0.02)
+    solver.add("momentum", 0.9)
+    solver.add("max_iter", 8)
+    solver.add("display", 4)
+    return solver
+
+
+def test_driver_trains_over_mesh(tmp_path, rng):
+    solver = _mini_solver(tmp_path, rng)
+    driver = SolverDriver(solver).build()
+    mesh = make_mesh(data=4, model=2)
+    res = driver.train(mesh=mesh)
+    assert res.metrics_history
+    assert np.isfinite(res.metrics_history[-1][1]["loss"])
+
+
+def test_retrieval_stats_report(tmp_path, rng):
+    from videovector_tpu.metrics.retrieval import (
+        retrieval_stats, retrieval_stats_report,
+    )
+    import jax.numpy as jnp
+    feats = rng.randn(12, 6).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    vids = rng.randint(0, 4, size=(12,))
+    classes = vids % 2
+    path = str(tmp_path / "stats.csv")
+    agg = retrieval_stats_report(feats, vids, classes, path)
+    ref = retrieval_stats(jnp.asarray(feats), jnp.asarray(vids),
+                          jnp.asarray(classes))
+    np.testing.assert_allclose(agg["mean_ap"], float(ref["mean_ap"]),
+                               rtol=1e-5)
+    lines = open(path).read().strip().split("\n")
+    assert lines[0].startswith("#video_id,class_id,ap")
+    assert len(lines) == 13  # header + 12 queries
+    # per-row ap values average to the aggregate
+    aps = [float(l.split(",")[2]) for l in lines[1:]]
+    np.testing.assert_allclose(np.mean(aps), agg["mean_ap"], rtol=1e-5)

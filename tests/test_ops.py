@@ -77,6 +77,19 @@ def test_inner_product_regularization_grad_scale(rng):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0) * 1.5, rtol=1e-5)
 
 
+def test_l2_normalize_zero_row_grad_is_zero(rng):
+    """Regression: zero rows (ReLU+dropout make these common) must yield a
+    zero gradient, not NaN — matching the reference backward
+    (normalization_layer.cpp:63-112)."""
+    x = jnp.asarray(np.vstack([np.zeros((1, 4), np.float32),
+                               rng.randn(2, 4).astype(np.float32)]))
+    y = ops.l2_normalize_rows(x)
+    np.testing.assert_allclose(np.asarray(y)[0], 0.0)
+    g = jax.grad(lambda x: jnp.sum(ops.l2_normalize_rows(x) * 3.0))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(g)[0], 0.0)
+
+
 def test_l2_normalize_rows(rng):
     x = jnp.asarray(rng.randn(5, 8).astype(np.float32))
     y = ops.l2_normalize_rows(x)

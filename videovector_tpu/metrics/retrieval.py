@@ -123,6 +123,54 @@ def retrieval_stats(features, video_ids, class_ids, *,
     }
 
 
+def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
+                           exclude_same_video_shots: bool = False) -> dict:
+    """Host-side per-query csv dump matching the reference's
+    `stats_output_file` (ref:src/caffe/layers/retrieval_stats_layer.cpp:
+    148-155, 310-340): header `#video_id,class_id,ap,acc@1,acc@5,` + top-5
+    retrieved indices and their classes. Returns the aggregate stats dict."""
+    feats = np.asarray(features, np.float32)
+    vids = np.asarray(video_ids).astype(np.int64)
+    classes = np.asarray(class_ids).astype(np.int64)
+    n = feats.shape[0]
+    dist = -2.0 * feats @ feats.T
+    np.fill_diagonal(dist, -1e15)
+    order = np.argsort(dist, axis=1, kind="stable")
+
+    agg = retrieval_stats(jnp.asarray(feats), jnp.asarray(vids),
+                          jnp.asarray(classes),
+                          exclude_same_video_shots=exclude_same_video_shots)
+    with open(path, "w") as f:
+        f.write("#video_id,class_id,ap,acc@1,acc@5"
+                ",ret_id_1,ret_id_2,ret_id_3,ret_id_4,ret_id_5"
+                ",class_id_1,class_id_2,class_id_3,class_id_4,class_id_5\n")
+        for i in range(n):
+            if classes[i] < 0:
+                continue
+            ap = acc1 = acc5 = 0.0
+            val = ret = 0.0
+            for j in order[i, 1:]:
+                if exclude_same_video_shots and vids[j] == vids[i]:
+                    continue
+                val += 1
+                if classes[j] == classes[i]:
+                    if val <= 1:
+                        acc1 += 1
+                    if val <= 5:
+                        acc5 += 1
+                    ret += 1
+                    ap += ret / val
+            ap = ap / ret if ret > 0 else 0.0
+            acc5 /= 5
+            # top-5 retrieved from other videos (ref :315-321)
+            top5 = [j for j in order[i] if vids[j] != vids[i]][:5]
+            top5 += [0] * (5 - len(top5))
+            f.write(f"{vids[i]},{classes[i]},{ap},{acc1},{acc5},"
+                    + ",".join(str(j) for j in top5) + ","
+                    + ",".join(str(classes[j]) for j in top5) + "\n")
+    return {k: float(v) for k, v in agg.items()}
+
+
 def _bucket_video_id(item_idx, num_videos: int, positive_size: int):
     """ref GetVideoId (retrieval_rank_stats_layer.cpp:108-129): items are laid
     out in buckets of num_videos; the first positive_size buckets are

@@ -108,7 +108,10 @@ class VideoEmbeddingModel:
         tgt_n = ops.l2_normalize_rows(target)
         # negatives normalized jointly with the target in the reference
         # (CONCAT + NORMALIZATION) — row-wise, so identical per row.
-        negs_n = negs / (jnp.linalg.norm(negs, axis=-1, keepdims=True) + 1e-10)
+        # Same zero-row NaN guard as ops.l2_normalize_rows.
+        neg_sq = jnp.sum(negs * negs, axis=-1, keepdims=True)
+        neg_norm = jnp.sqrt(jnp.where(neg_sq > 0, neg_sq, 1.0))
+        negs_n = jnp.where(neg_sq > 0, negs / (neg_norm + 1e-10), 0.0)
 
         s_true = jnp.sum(ctx_n * tgt_n, axis=-1)             # (B,)
         s_neg = jnp.einsum("bnd,bd->bn", negs_n, ctx_n)      # (B, N)

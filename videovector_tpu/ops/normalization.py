@@ -12,12 +12,17 @@ def l2_normalize_rows(x, eps: float = L2_NORM_EPS):
     features = everything else (ref:src/caffe/layers/normalization_layer.cpp:29-61;
     eps added to the norm, not to the squared norm).
 
-    Retrieval configs rely on this exact form: downstream −2·x·yᵀ "distances"
-    are rank-equivalent to Euclidean distance only for unit rows.
+    Zero rows (common after ReLU + dropout .9) need care: naive autodiff of
+    sqrt(Σx²) is 0/0 = NaN at x = 0, poisoning training. The reference's
+    hand-written backward returns a zero gradient there (its numerator terms
+    all carry x, normalization_layer.cpp:63-112); the where-guard below
+    reproduces that: zero rows output 0 with zero gradient, nonzero rows get
+    the exact quotient-rule gradient.
     """
     feat_axes = tuple(range(1, x.ndim))
-    norm = jnp.sqrt(jnp.sum(x * x, axis=feat_axes, keepdims=True))
-    return x / (norm + eps)
+    sq = jnp.sum(x * x, axis=feat_axes, keepdims=True)
+    safe_norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    return jnp.where(sq > 0, x / (safe_norm + eps), 0.0)
 
 
 def mvn(x, *, normalize_variance: bool = True, across_channels: bool = False,

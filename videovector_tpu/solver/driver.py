@@ -96,8 +96,11 @@ class SolverDriver:
             yield {k: jnp.asarray(v) for k, v in batch.items()}
 
     def train(self, *, resume_state_path: str | None = None,
-              weights_path: str | None = None, max_iter: int | None = None
-              ) -> TrainResult:
+              weights_path: str | None = None, max_iter: int | None = None,
+              mesh=None) -> TrainResult:
+        """With `mesh` (jax.sharding.Mesh with axes data/model), the batch is
+        sharded over "data" and 2-D params column-sharded over "model" —
+        prototxt training runs multi-chip with GSPMD collectives."""
         params = self.params
         if weights_path:  # finetune (ref tools/caffe.cpp:110-117)
             from videovector_tpu.data.weights import NetWeights, load_into_params
@@ -131,7 +134,14 @@ class SolverDriver:
 
             test_iter = self._data_iter(self.test_source)
 
-        return train(loss_fn, params, self._data_iter(self.train_source), cfg,
+        data_iter = self._data_iter(self.train_source)
+        if mesh is not None:
+            from videovector_tpu.parallel.train import shard_batch, shard_params
+            params = shard_params(params, mesh,
+                                  model_axis=mesh.shape.get("model", 1) > 1)
+            data_iter = (shard_batch(b, mesh) for b in data_iter)
+
+        return train(loss_fn, params, data_iter, cfg,
                      lr_mults=self.lr_mults, decay_mults=self.decay_mults,
                      eval_fn=eval_fn, test_data=test_iter,
                      resume_state_path=resume_state_path)

@@ -35,8 +35,15 @@ def cmd_train(args) -> int:
         snapshot = _latest_snapshot(driver.cfg.snapshot_prefix)
         if snapshot:
             log.info("Auto-resuming from %s", snapshot)
+    mesh = None
+    mesh_spec = getattr(args, "mesh", "")
+    if mesh_spec:
+        from videovector_tpu.parallel import make_mesh
+        data_sz, _, model_sz = mesh_spec.partition("x")
+        mesh = make_mesh(data=int(data_sz), model=int(model_sz or 1))
+        log.info("Training over mesh data=%s model=%s", data_sz, model_sz or 1)
     driver.train(resume_state_path=snapshot,
-                 weights_path=args.weights or None)
+                 weights_path=args.weights or None, mesh=mesh)
     log.info("Optimization Done.")
     return 0
 
@@ -203,6 +210,9 @@ def main(argv=None) -> int:
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the newest snapshot matching the "
                         "solver's snapshot_prefix, if any")
+    p.add_argument("--mesh", default="",
+                   help="multi-chip mesh as DATAxMODEL (e.g. 4x2): batch "
+                        "sharded over data, tower column-sharded over model")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("test", help="score a model")
