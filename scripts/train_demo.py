@@ -1,0 +1,99 @@
+"""End-to-end training demo at reference scale on real hardware.
+
+Generates the synthetic videovec dataset (fc7-like 4096-d features), builds
+the flagship prototxt with the shipped generator, trains with the reference
+solver schedule for --iters iterations, and reports the test-phase retrieval
+mAP trajectory — the full `train_mednet_embedding.sh` workflow compressed
+into one script.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "projects", "videovec_embedding"))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=1500)
+    p.add_argument("--dim", type=int, default=4096)
+    p.add_argument("--videos", type=int, default=200)
+    p.add_argument("--workdir", default="/tmp/vvtpu_demo")
+    args = p.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    import numpy as np
+    from generate_net import emit
+    from videovector_tpu.config.textformat import Message
+    from videovector_tpu.data.records import RecordWriter
+    from videovector_tpu.data.shots import ShotDataset, ShotVideo
+    from videovector_tpu.data.wire import Datum, TestVideoShotWindows
+    from videovector_tpu.solver.driver import SolverDriver
+
+    os.makedirs(args.workdir, exist_ok=True)
+    rng = np.random.RandomState(0)
+
+    train_path = os.path.join(args.workdir, "train.vvr")
+    test_path = os.path.join(args.workdir, "test.vvr")
+    if not os.path.exists(train_path):
+        videos = []
+        for v in range(args.videos):
+            center = rng.randn(args.dim).astype(np.float32)
+            feats = np.abs(center + 0.4 * rng.randn(12, args.dim)
+                           .astype(np.float32))
+            videos.append(ShotVideo(v + 1, np.arange(12, dtype=np.int32),
+                                    feats))
+        ShotDataset(videos).to_records(train_path)
+        with RecordWriter(test_path) as w:
+            for i in range(673):
+                video = videos[i % len(videos)]
+                ids = rng.choice(12, size=4, replace=False)
+                tw = TestVideoShotWindows(
+                    video_id=int(video.video_id),
+                    context_shot_words=[Datum(float_data=video.features[j])
+                                        for j in ids])
+                w.append(str(i), tw.encode())
+        print(f"dataset written to {args.workdir}")
+
+    net_path = os.path.join(args.workdir, "net.prototxt")
+    with open(net_path, "w") as f:
+        buffer_size = min(5000, args.videos * 12 // 2)
+        f.write(emit(train_path, test_path, batch=128, test_batch=673,
+                     negatives=10, embed=args.dim, margin=2.0,
+                     buffer_size=buffer_size))
+
+    solver = Message()
+    solver.add("net", net_path)
+    solver.add("base_lr", 0.001)
+    solver.add("momentum", 0.9)
+    solver.add("weight_decay", 0.0005)
+    solver.add("lr_policy", "inv")
+    solver.add("gamma", 0.001)
+    solver.add("power", 0.75)
+    solver.add("display", 100)
+    solver.add("max_iter", args.iters)
+    solver.add("test_interval", 250)
+    solver.add("test_iter", 1)
+    solver.add("snapshot_prefix", os.path.join(args.workdir, "demo"))
+
+    driver = SolverDriver(solver).build()
+    res = driver.train()
+    print("\n=== retrieval trajectory (test phase, 673-window gallery) ===")
+    for it, metrics in res.test_history:
+        print(f"iter {it:5d}: mAP={metrics.get('test_map', float('nan')):.4f} "
+              f"hit@1={metrics.get('test_hit1', float('nan')):.4f} "
+              f"hit@5={metrics.get('test_hit5', float('nan')):.4f}")
+    losses = [m[1]["loss"] for m in res.metrics_history]
+    print(f"loss: first={losses[0]:.4f} last={losses[-1]:.4f}")
+
+
+if __name__ == "__main__":
+    main()

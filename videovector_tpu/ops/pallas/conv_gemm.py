@@ -11,8 +11,6 @@ reference's conv math, (b) shapes where the explicit GEMM schedule wins.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from videovector_tpu.ops.conv import im2col
 from videovector_tpu.ops.pallas.matmul import matmul_padded
 

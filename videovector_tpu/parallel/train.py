@@ -16,11 +16,9 @@ The host never sees activations; only scalar loss/aux leave the device.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from videovector_tpu.solver import SolverConfig, solver_update

@@ -15,7 +15,6 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Iterator
 
 import jax
-import numpy as np
 
 from videovector_tpu.solver.checkpoint import restore, snapshot
 from videovector_tpu.solver.solvers import (
