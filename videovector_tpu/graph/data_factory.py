@@ -54,6 +54,7 @@ def make_data_source(layer: Message, *, phase: str = "TRAIN", seed: int = 1234):
     train = phase == "TRAIN"
 
     if ltype == "VIDEO_SAMPLED_SHOTS_DATA":
+        import os
         from videovector_tpu.data.shots import (
             SampledShotsConfig, ShotDataset, VideoSampledShotsSource,
         )
@@ -61,6 +62,21 @@ def make_data_source(layer: Message, *, phase: str = "TRAIN", seed: int = 1234):
         cfg = SampledShotsConfig.from_message(p)
         cfg.seed = seed
         cfg.output_video_ids = len(tops) > 1
+        # fast path: the C++ sampler (WINDOW mode, no separate negative
+        # dataset) with its own prefetch thread; VVTPU_NATIVE_DATA=0 disables
+        if (cfg.context_type == "WINDOW" and not p.get("negative_dataset")
+                and os.environ.get("VVTPU_NATIVE_DATA", "1") != "0"):
+            from videovector_tpu.data import native
+            if native.available():
+                src = native.NativeSampledShotsSource(
+                    convert_dir_or_file(p.get("source")),
+                    batch_size=cfg.batch_size,
+                    context_size=cfg.context_size,
+                    num_negative_samples=cfg.num_negative_samples,
+                    max_buffer_size=cfg.max_buffer_size,
+                    negative_swap_percentage=cfg.negative_swap_percentage,
+                    max_same_video_negs=cfg.max_same_video_negs, seed=seed)
+                return _RenamingSource(src, ["data", "video_id"], tops)
         ds = ShotDataset.from_records(convert_dir_or_file(p.get("source")))
         neg = p.get("negative_dataset")
         neg_ds = ShotDataset.from_records(convert_dir_or_file(neg)) if neg else None

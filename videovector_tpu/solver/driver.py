@@ -92,8 +92,10 @@ class SolverDriver:
 
     # ------------------------------------------------------------------
     def _data_iter(self, source):
-        for batch in source:
-            yield {k: jnp.asarray(v) for k, v in batch.items()}
+        # background host batching + async H2D (double buffered), the
+        # reference's prefetch-thread overlap at the jit boundary
+        from videovector_tpu.data.prefetch import DevicePrefetcher
+        return iter(DevicePrefetcher(iter(source), depth=2))
 
     def train(self, *, resume_state_path: str | None = None,
               weights_path: str | None = None, max_iter: int | None = None,
