@@ -54,6 +54,10 @@ class VideoEmbeddingConfig:
     # scoring block; bf16 halves the largest activation's HBM traffic in
     # fwd+bwd at ~1e-3 relative loss error (validated in tests).
     activation_dtype: str = "float32"
+    # rematerialize the tower in backward (jax.checkpoint): trades one extra
+    # fwd GEMM for not storing the (B, R, E) activations — useful at large
+    # batch where the activation working set degrades throughput (PERF.md).
+    remat_tower: bool = False
 
     @property
     def num_roles(self) -> int:
@@ -79,6 +83,14 @@ class VideoEmbeddingModel:
     # -- embedding tower -------------------------------------------------
     def embed(self, params, x, *, rng=None, train: bool = False):
         """x: (..., D) → (..., E). fc7 + ReLU (+ dropout at train)."""
+        if self.cfg.remat_tower:
+            import functools
+            fn = jax.checkpoint(functools.partial(
+                self._embed_impl, rng=rng, train=train))
+            return fn(params, x)
+        return self._embed_impl(params, x, rng=rng, train=train)
+
+    def _embed_impl(self, params, x, *, rng=None, train: bool = False):
         cfg = self.cfg
         t = params["tower"]
         lead = x.shape[:-1]
