@@ -21,6 +21,7 @@ def emit(train_source: str, test_source: str, *, batch: int = 128,
          test_batch: int = 673, context_size: int = 5, negatives: int = 10,
          embed: int = 4096, margin: float = 2.0, buffer_size: int = 5000,
          swap: int = 50, same_video_negs: int = 6,
+         weight_std: float = 0.001, dropout: float = 0.9,
          id_to_class_file: str = "") -> str:
     ctx = context_size - 1  # context shots (window minus target)
     lines = [f'name: "videovec_embedding_d{embed}"']
@@ -99,14 +100,14 @@ layers {{
   weight_decay: 1 weight_decay: 0
   inner_product_param {{
     num_output: {embed}
-    weight_filler {{ type: "gaussian" std: 0.001 }}
+    weight_filler {{ type: "gaussian" std: {weight_std} }}
     bias_filler {{ type: "constant" }}
   }}
 }}
 layers {{ name: "relu7" type: RELU bottom: "emb" top: "emb" }}
 layers {{
   name: "drop7" type: DROPOUT bottom: "emb" top: "emb"
-  dropout_param {{ dropout_ratio: 0.9 }}
+  dropout_param {{ dropout_ratio: {dropout} }}
   include: {{ phase: TRAIN }}
 }}""")
 

@@ -45,10 +45,15 @@ def main():
     test_path = os.path.join(args.workdir, "test.vvr")
     if not os.path.exists(train_path):
         videos = []
+        # hard data: shared global structure dominates; video identity is a
+        # weak direction + heavy noise, so raw-feature retrieval is mediocre
+        # and the ranking loss has something to learn
+        basis = rng.randn(24, args.dim).astype(np.float32)
         for v in range(args.videos):
-            center = rng.randn(args.dim).astype(np.float32)
-            feats = np.abs(center + 0.4 * rng.randn(12, args.dim)
-                           .astype(np.float32))
+            vdir = rng.randn(args.dim).astype(np.float32) * 0.35
+            coef = rng.rand(12, 24).astype(np.float32)
+            feats = np.abs(coef @ basis + vdir
+                           + 0.7 * rng.randn(12, args.dim).astype(np.float32))
             videos.append(ShotVideo(v + 1, np.arange(12, dtype=np.int32),
                                     feats))
         ShotDataset(videos).to_records(train_path)
@@ -66,13 +71,17 @@ def main():
     net_path = os.path.join(args.workdir, "net.prototxt")
     with open(net_path, "w") as f:
         buffer_size = min(5000, args.videos * 12 // 2)
+        # scale-aware hyperparams (the reference values assume 4096-d fc7
+        # features; see PERF.md demo notes)
+        weight_std = 0.001 if args.dim >= 2048 else 0.05
         f.write(emit(train_path, test_path, batch=128, test_batch=673,
-                     negatives=10, embed=args.dim, margin=2.0,
+                     negatives=10, embed=args.dim, margin=1.0,
+                     weight_std=weight_std, dropout=0.5,
                      buffer_size=buffer_size))
 
     solver = Message()
     solver.add("net", net_path)
-    solver.add("base_lr", 0.001)
+    solver.add("base_lr", 0.003)
     solver.add("momentum", 0.9)
     solver.add("weight_decay", 0.0005)
     solver.add("lr_policy", "inv")
