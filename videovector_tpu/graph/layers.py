@@ -284,8 +284,11 @@ def _dropout():
         rate = float(cfg.get_msg("dropout_param").get("dropout_ratio", 0.5))
         deterministic = ctx.phase != "TRAIN" or ctx.rng is None
         rng = ctx.rng if ctx.rng is not None else jax.random.PRNGKey(0)
-        # fold in the layer name so stacked dropouts decorrelate
-        rng = jax.random.fold_in(rng, hash(cfg.get("name", "dropout")) & 0x7FFFFFFF)
+        # fold in a stable hash of the layer name so stacked dropouts
+        # decorrelate (zlib.crc32: Python's hash() is per-process salted)
+        import zlib
+        rng = jax.random.fold_in(
+            rng, zlib.crc32(str(cfg.get("name", "dropout")).encode()) & 0x7FFFFFFF)
         return [ops.dropout(inputs[0], rate=rate, rng=rng,
                             deterministic=deterministic)]
     return _no_params, apply
