@@ -113,6 +113,23 @@ def test_param_sharing(rng):
     np.testing.assert_allclose(np.asarray(g2), 2 * np.asarray(g1), rtol=1e-5)
 
 
+def test_auto_top_blobs(rng):
+    """Loss layers may omit `top:` — the engine auto-creates the implicit
+    loss top (ref AutoTopBlobs, include/caffe/layer.hpp:258)."""
+    net = Net(parse("""
+    layers { name: "d" type: MEMORY_DATA top: "p" top: "y" }
+    layers { name: "loss" type: EUCLIDEAN_LOSS bottom: "p" bottom: "y" }
+    """), phase="TRAIN")
+    spec = {"p": _spec((3, 2)), "y": _spec((3, 2))}
+    params, _ = net.init(jax.random.PRNGKey(0), spec)
+    batch = {"p": jnp.asarray(rng.randn(3, 2).astype(np.float32)),
+             "y": jnp.asarray(rng.randn(3, 2).astype(np.float32))}
+    loss, outputs = net.apply(params, batch)
+    assert "loss_auto_top_0" in outputs
+    np.testing.assert_allclose(float(loss), float(outputs["loss_auto_top_0"]),
+                               rtol=1e-6)
+
+
 def test_loss_weight_override(rng):
     msg = parse("""
     layers { name: "d" type: MEMORY_DATA top: "p" top: "y" }

@@ -120,6 +120,15 @@ class Net:
             for l in self.layers if l.get("type") in SINK_LAYER_TYPES
         ]
 
+        # AutoTopBlobs (ref:include/caffe/layer.hpp:258 + net.cpp AppendTop):
+        # loss layers may omit `top:`; auto-name the implicit loss tops
+        for layer in self.layers:
+            ldef = LAYERS.get(layer.get("type"))
+            if (ldef is not None and ldef.default_loss_weights
+                    and not layer.get_list("top")):
+                for i in range(len(ldef.default_loss_weights)):
+                    layer.add("top", f"{layer.get('name')}_auto_top_{i}")
+
         # loss weights per (layer, top index)
         self.loss_weights: dict[str, list[float]] = {}
         for layer in self.layers:

@@ -153,13 +153,16 @@ def cmd_time(args) -> int:
         k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
         for k, v in batch.items()})
 
+    iters = args.iterations
+    log.info("*** Benchmark begins ***")
+    if getattr(args, "fused_only", False):
+        return _time_fused(net, params, batch, iters)
+
     # materialize all blobs once
     _, blobs = net.apply(params, batch, rng=jax.random.PRNGKey(0),
                          return_blobs=True)
     ctx = ApplyContext(phase="TRAIN", rng=jax.random.PRNGKey(0), side=net.side)
 
-    iters = args.iterations
-    log.info("*** Benchmark begins ***")
     total = 0.0
     for layer in net.layers:
         ltype = layer.get("type")
@@ -182,15 +185,21 @@ def cmd_time(args) -> int:
         log.info("%-24s forward: %.3f ms", lname, dt)
     log.info("Total per-layer forward: %.3f ms", total)
 
-    # whole-program forward+backward (what actually runs in training)
+    _time_fused(net, params, batch, iters)
+    return 0
+
+
+def _time_fused(net, params, batch, iters):
+    import jax
+    import jax.numpy as jnp
     step = jax.jit(jax.value_and_grad(lambda p: net.loss_fn(p, batch,
                                                             jax.random.PRNGKey(0))))
     loss, g = step(params)
-    jax.block_until_ready(g)
+    float(loss)  # scalar fetch: reliable fence (block_until_ready is not on axon)
     t0 = _time.perf_counter()
     for _ in range(iters):
         loss, g = step(params)
-    jax.block_until_ready(g)
+    float(loss)
     dt = (_time.perf_counter() - t0) / iters * 1e3
     log.info("Fused forward-backward: %.3f ms (%.1f steps/s)", dt, 1e3 / dt)
     log.info("*** Benchmark ends ***")
@@ -227,6 +236,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("time", help="per-layer timing benchmark")
     p.add_argument("--model", required=True)
     p.add_argument("--iterations", type=int, default=50)
+    p.add_argument("--fused_only", action="store_true",
+                   help="skip per-layer timing (one compile per layer — slow "
+                        "over remote-compile tunnels); time the whole jitted "
+                        "forward-backward only")
     p.set_defaults(fn=cmd_time)
 
     # deprecated shims (ref:tools/train_net.cpp:3-6 etc. — thin aliases)
