@@ -86,8 +86,7 @@ def make_tp_loss_fn(cfg, mesh: Mesh):
     sharded = shard_map(
         local_loss, mesh=mesh,
         in_specs=(P(None, "model"), P("model"), P("data", None, None), P()),
-        out_specs=(P(), P()),
-        check_rep=False)
+        out_specs=(P(), P()))
 
     def loss_fn(params, batch, rng):
         loss, violations = sharded(params["tower"]["w"], params["tower"]["b"],
