@@ -135,6 +135,15 @@ def test_flexible_data_source(tmp_path, rng):
     np.testing.assert_allclose(b["data"][0, 3], 50.0)
 
 
+def test_video_id_text_source(tmp_path):
+    from videovector_tpu.data.generic import VideoIdTextSource
+    f = tmp_path / "ids.txt"
+    f.write_text("5 7 11\n13")
+    src = VideoIdTextSource(str(f), batch_size=6)
+    b = src.next_batch()
+    np.testing.assert_array_equal(b["data"], [5, 7, 11, 13, 5, 7])
+
+
 def test_video_shot_window_source(tmp_path, rng):
     path = str(tmp_path / "wins.vvr")
     dim = 5

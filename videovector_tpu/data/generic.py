@@ -396,6 +396,32 @@ class FlexibleDataSource:
             yield self.next_batch()
 
 
+class VideoIdTextSource:
+    """VIDEO_ID_TEXT backend of VideoShotWindowDataLayer
+    (ref:src/caffe/layers/video_shot_window_data_layer.cpp:154-183, :379-383):
+    cycles the integer ids in a whitespace-separated text file, emitting one
+    (batch,) array per batch — used to feed id-driven layers at test time."""
+
+    def __init__(self, path: str, batch_size: int):
+        with open(path) as f:
+            self.ids = [int(tok) for tok in f.read().split()]
+        if not self.ids:
+            raise ValueError(f"{path}: no video ids")
+        self.batch_size = batch_size
+        self._cursor = 0
+
+    def next_batch(self) -> dict:
+        out = np.empty((self.batch_size,), np.float32)
+        for i in range(self.batch_size):
+            out[i] = self.ids[self._cursor]
+            self._cursor = (self._cursor + 1) % len(self.ids)
+        return {"data": out}
+
+    def __iter__(self):
+        while True:
+            yield self.next_batch()
+
+
 # ---------------------------------------------------------------------------
 # VIDEO_SHOT_WINDOW_DATA — precomputed windows + reservoir negatives
 # ---------------------------------------------------------------------------

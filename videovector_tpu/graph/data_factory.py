@@ -102,8 +102,14 @@ def make_data_source(layer: Message, *, phase: str = "TRAIN", seed: int = 1234):
         return _RenamingSource(src, ["data", "video_id"], tops)
 
     if ltype == "VIDEO_SHOT_WINDOW_DATA":
-        from videovector_tpu.data.generic import VideoShotWindowSource
+        from videovector_tpu.data.generic import (
+            VideoIdTextSource, VideoShotWindowSource,
+        )
         p = layer.get_msg("video_shot_window_data_param")
+        if p.get("backend") == "VIDEO_ID_TEXT":
+            src = VideoIdTextSource(p.get("source"),
+                                    int(p.get("batch_size", 1)))
+            return _RenamingSource(src, ["data"], tops)
         src = VideoShotWindowSource(
             convert_dir_or_file(p.get("source")),
             int(p.get("batch_size", 1)),
