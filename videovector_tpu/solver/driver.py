@@ -32,13 +32,22 @@ def _spec_from_batch(batch):
 class SolverDriver:
     def __init__(self, solver_msg: Message, *, net_dir: str = "."):
         self.cfg = SolverConfig.from_message(solver_msg)
-        net_path = (solver_msg.get("net") or solver_msg.get("train_net"))
+
+        def resolve(p):
+            if p and not os.path.isabs(p):
+                cand = os.path.join(net_dir, p)
+                return cand if os.path.exists(cand) else p
+            return p
+
+        net_path = resolve(solver_msg.get("net") or solver_msg.get("train_net"))
         if net_path is None:
             raise ValueError("solver prototxt needs a net/train_net field")
-        if not os.path.isabs(net_path):
-            cand = os.path.join(net_dir, net_path)
-            net_path = cand if os.path.exists(cand) else net_path
         self.net_msg = parse_file(net_path)
+        # separate test net file (ref SolverParameter.test_net; Solver::
+        # InitTestNets) — falls back to the TEST phase of the merged net
+        test_net_path = resolve(solver_msg.get("test_net"))
+        self.test_net_msg = parse_file(test_net_path) if test_net_path \
+            else self.net_msg
         self.has_test = bool(solver_msg.get("test_interval"))
 
     @classmethod
@@ -59,7 +68,7 @@ class SolverDriver:
         self.test_net = None
         self.test_source = None
         if self.has_test:
-            self.test_net = Net(self.net_msg, phase="TEST")
+            self.test_net = Net(self.test_net_msg, phase="TEST")
             self.test_net.param_meta = {}
             self.test_source = self._build_sources(self.test_net, "TEST",
                                                    seed + 1)
