@@ -140,6 +140,28 @@ def test_eval_interval(rng):
     assert "eval_loss" in res.test_history[0][1]
 
 
+def test_iter_size_accumulation_matches_plain(rng):
+    """iter_size=k over k identical batches == one step on that batch."""
+    X = rng.randn(8, 3).astype(np.float32)
+    y = X @ rng.randn(3).astype(np.float32)
+
+    def loss_fn(p, batch, key):
+        pred = batch["x"] @ p["w"]
+        return 0.5 * jnp.mean((pred - batch["y"]) ** 2), {}
+
+    def data():
+        while True:
+            yield {"x": jnp.asarray(X), "y": jnp.asarray(y)}
+
+    from videovector_tpu.solver import SolverConfig
+    params = {"w": jnp.zeros(3)}
+    r1 = train(loss_fn, params, data(), SolverConfig(base_lr=0.3, max_iter=20))
+    r2 = train(loss_fn, params, data(),
+               SolverConfig(base_lr=0.3, max_iter=20, iter_size=2))
+    np.testing.assert_allclose(np.asarray(r1.params["w"]),
+                               np.asarray(r2.params["w"]), atol=1e-5)
+
+
 def test_caffemodel_weight_io_roundtrip(rng, tmp_path):
     """params → .caffemodel bytes → params (name-matched, transposed)."""
     params = {"fc7": {"w": jnp.asarray(rng.randn(6, 4).astype(np.float32)),
