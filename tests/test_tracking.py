@@ -122,6 +122,28 @@ def test_trajectory_model_learns(rng):
     assert last < first * 0.7
 
 
+def test_trajectory_conditional_decoder_learns(rng):
+    """Conditional (self-feeding) decoder variant learns linear motion."""
+    ds = _make_windows(rng, num_windows=6, tracks_per=3)
+    cfg = TrackingConfig(batch_size=6, temporal_observed_size=8,
+                         temporal_predicted_size=4)
+    src = TrackingWindowsSocialSource(ds, cfg)
+    model = TrajectoryModel(TrajectoryConfig(
+        feature_size=3, hidden=32, pool_feat_size=8, conditional_decoder=True))
+    params = model.init(jax.random.PRNGKey(0))
+    assert "w_h2o" in params["decoder"]
+
+    def loss_fn(p, batch, key):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        return model.loss(p, batch)
+
+    scfg = SolverConfig(base_lr=0.01, momentum=0.9, max_iter=80, display=40)
+    res = train(loss_fn, params, iter(src), scfg)
+    first = res.metrics_history[0][1]["loss"]
+    last = res.metrics_history[-1][1]["loss"]
+    assert last < first * 0.8
+
+
 def test_social_pooling_graph_layer(rng):
     from videovector_tpu.config import parse
     from videovector_tpu.graph import Net

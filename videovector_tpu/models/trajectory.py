@@ -28,6 +28,9 @@ class TrajectoryConfig:
     pool_feat_size: int = 32
     use_social: bool = True
     clip_threshold: float = 0.0
+    # conditional decoding (ref LSTM_CONDITIONAL): the decoder consumes its
+    # own previous (dx, dy) prediction instead of a fixed zero/scene input
+    conditional_decoder: bool = False
 
 
 class TrajectoryModel:
@@ -39,7 +42,9 @@ class TrajectoryModel:
         k_enc, k_dec, k_soc, k_out = jax.random.split(key, 4)
         params = {
             "encoder": init_lstm_params(k_enc, cfg.feature_size, cfg.hidden),
-            "decoder": init_lstm_params(k_dec, cfg.feature_size, cfg.hidden),
+            "decoder": init_lstm_params(
+                k_dec, cfg.feature_size, cfg.hidden,
+                output_dim=2, conditional=cfg.conditional_decoder),
             "readout": {
                 "w": 0.1 * jax.random.normal(k_out, (cfg.hidden, 2)),
                 "b": jnp.zeros((2,)),
@@ -79,6 +84,17 @@ class TrajectoryModel:
             h = h + jnp.dot(pooled, params["social_proj"]["w"],
                             preferred_element_type=jnp.float32)
         dec_state = LstmState(enc_state.c, h)
+        if cfg.conditional_decoder:
+            # self-feeding decoder: seed with the last observed offset (0, 0)
+            # after recentering; each step's (dx, dy) output feeds the next
+            # step (ref lstm_conditional_layer.cpp:169-345)
+            from videovector_tpu.ops.recurrent import lstm_conditional
+            first = obs[-1][:, :2] * 0.0
+            out, _ = lstm_conditional(
+                params["decoder"], batch["predicted"], first,
+                batch["cont_predicted"], state=dec_state,
+                clip_threshold=cfg.clip_threshold)
+            return out
         dec_h, _ = lstm(params["decoder"], batch["predicted"],
                         batch["cont_predicted"], state=dec_state,
                         clip_threshold=cfg.clip_threshold)
