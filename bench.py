@@ -72,8 +72,11 @@ def measure_tpu() -> float:
         p2, s2 = solver_update(solver_cfg, p, g, s)
         return p2, s2, loss
 
-    rng_np = np.random.RandomState(0)
-    data = jnp.asarray(rng_np.randn(BATCH, cfg.num_roles, FEAT).astype(np.float32))
+    # batch generated on device: the benchmark measures the training step;
+    # host→device feeding is a separate pipeline concern (and this harness's
+    # tunnel H2D is erratically slow — see PERF.md tunnel notes)
+    data = jax.jit(lambda k: jax.random.normal(
+        k, (BATCH, cfg.num_roles, FEAT), jnp.float32))(jax.random.PRNGKey(0))
     batch = {"data": data}
     key = jax.random.PRNGKey(1)
 
