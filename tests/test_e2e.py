@@ -223,6 +223,23 @@ def test_solver_driver_end_to_end(mini_project):
     assert "violations" in res.metrics_history[0][1]
 
 
+def test_snapshot_vis_and_debug_info_hooks(mini_project, tmp_path):
+    """snapshot_vis / debug_info solver knobs (ref solver.cpp:183-193)."""
+    from videovector_tpu.config.textformat import parse_file
+    solver_msg = parse_file(mini_project["solver"])
+    solver_msg.fields["max_iter"] = [6]
+    solver_msg.fields["test_interval"] = [0]
+    solver_msg.add("snapshot_vis", 3)
+    solver_msg.add("snapshot_vis_dir", str(tmp_path / "vis"))
+    solver_msg.add("debug_info", True)
+    driver = SolverDriver(solver_msg).build()
+    driver.train()
+    vis_files = sorted(os.listdir(tmp_path / "vis"))
+    assert "vis_iter_0.json" in vis_files and "vis_iter_3.json" in vis_files
+    doc = json.load(open(tmp_path / "vis" / "vis_iter_3.json"))
+    assert any(l["name"] == "fc7" for l in doc["layers"])
+
+
 def test_cli_train_and_test(mini_project, capsys):
     from videovector_tpu.tools.cli import main
     assert main(["train", "--solver", mini_project["solver"]]) == 0

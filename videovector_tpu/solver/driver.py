@@ -32,6 +32,11 @@ def _spec_from_batch(batch):
 class SolverDriver:
     def __init__(self, solver_msg: Message, *, net_dir: str = "."):
         self.cfg = SolverConfig.from_message(solver_msg)
+        # reference visualization/debug knobs (ref solver.cpp:183-193)
+        self.snapshot_vis = int(solver_msg.get("snapshot_vis", 0) or 0)
+        self.snapshot_vis_dir = solver_msg.get("snapshot_vis_dir", ".")
+        self.debug_info_every = (int(solver_msg.get("display", 0) or 0)
+                                 if solver_msg.get("debug_info") else 0)
 
         def resolve(p):
             if p and not os.path.isabs(p):
@@ -145,6 +150,24 @@ class SolverDriver:
 
             test_iter = self._data_iter(self.test_source)
 
+        hooks = []
+        if self.snapshot_vis:
+            import os
+            from videovector_tpu.tools.vis_snapshot import vis_snapshot
+
+            def vis_hook(p, it):
+                os.makedirs(self.snapshot_vis_dir, exist_ok=True)
+                _, blobs = net.apply(p, self._first_batch_jnp(), rng=None,
+                                     return_blobs=True)
+                vis_snapshot(net, p, blobs, os.path.join(
+                    self.snapshot_vis_dir, f"vis_iter_{it}.json"))
+
+            hooks.append((self.snapshot_vis, vis_hook))
+        if self.debug_info_every:
+            hooks.append((self.debug_info_every,
+                          lambda p, it: net.debug_info(
+                              p, self._first_batch_jnp())))
+
         data_iter = self._data_iter(self.train_source)
         if mesh is not None:
             from videovector_tpu.parallel.train import shard_batch, shard_params
@@ -154,8 +177,11 @@ class SolverDriver:
 
         return train(loss_fn, params, data_iter, cfg,
                      lr_mults=self.lr_mults, decay_mults=self.decay_mults,
-                     eval_fn=eval_fn, test_data=test_iter,
+                     eval_fn=eval_fn, test_data=test_iter, hooks=hooks,
                      resume_state_path=resume_state_path)
+
+    def _first_batch_jnp(self):
+        return {k: jnp.asarray(v) for k, v in self._first_batch.items()}
 
     @staticmethod
     def _loss_with_outputs(net, p, batch, key):

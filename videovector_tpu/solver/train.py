@@ -38,10 +38,13 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
           eval_fn: Callable | None = None,
           test_data: Iterator[dict] | None = None,
           resume_state_path: str | None = None,
+          hooks: list | None = None,
           rng=None, jit: bool = True) -> TrainResult:
     """loss_fn(params, batch, rng) -> (loss, aux_dict).
     eval_fn(params, batch) -> dict of scalars; averaged over cfg.test_iter[0]
-    batches every cfg.test_interval iterations."""
+    batches every cfg.test_interval iterations.
+    hooks: [(interval, fn(params, it))] — called every `interval` iterations
+    (the mechanism behind snapshot_vis / debug_info, ref solver.cpp:183-193)."""
     # private copies: the jitted step donates its param/state buffers, and the
     # caller's arrays must survive the call
     params = jax.tree.map(jax.numpy.array, params)
@@ -107,6 +110,9 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                          jax.device_get(params), jax.device_get(state))
             if cfg.test_interval and it % cfg.test_interval == 0:
                 run_test(params, it)
+            for interval, hook in (hooks or ()):
+                if interval and it % interval == 0:
+                    hook(params, it)
 
             key = jax.random.fold_in(rng, it)
             if cfg.iter_size > 1:
