@@ -240,6 +240,23 @@ def test_snapshot_vis_and_debug_info_hooks(mini_project, tmp_path):
     assert any(l["name"] == "fc7" for l in doc["layers"])
 
 
+def test_driver_training_is_deterministic(mini_project):
+    """Same solver + same seeds → identical loss trajectory (guards stable
+    dropout streams, sampler seeding, init seeding)."""
+    from videovector_tpu.config.textformat import parse_file
+    solver_msg = parse_file(mini_project["solver"])
+    solver_msg.fields["max_iter"] = [8]
+    solver_msg.fields["display"] = [2]
+    solver_msg.fields["test_interval"] = [0]
+
+    def run():
+        driver = SolverDriver(solver_msg).build()
+        res = driver.train()
+        return [m[1]["loss"] for m in res.metrics_history]
+
+    np.testing.assert_allclose(run(), run(), rtol=1e-6)
+
+
 def test_cli_train_and_test(mini_project, capsys):
     from videovector_tpu.tools.cli import main
     assert main(["train", "--solver", mini_project["solver"]]) == 0
