@@ -106,29 +106,46 @@ class VideoEmbeddingModel:
         return h.reshape(*lead, cfg.embed_dim)
 
     # -- scoring ---------------------------------------------------------
+    @staticmethod
+    def _safe_norm(sq):
+        """‖x‖ with zero gradients for zero rows (the reference backward
+        returns 0 there — see ops.l2_normalize_rows)."""
+        norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+        return jnp.where(sq > 0, norm, 0.0)
+
     def scores(self, params, data, *, rng=None, train: bool = False):
-        """data: (B, R, D) → (s_true (B,), s_neg (B, N), embeddings dict)."""
+        """data: (B, R, D) → (s_true (B,), s_neg (B, N), embeddings dict).
+
+        Scores are computed in cosine form,
+        s = (x·y) / ((‖x‖+eps)(‖y‖+eps)), which is EXACTLY the reference's
+        normalize-then-dot (x/(‖x‖+eps))·(y/(‖y‖+eps)) — but never
+        materializes normalized (B, N, E) tensors: the dominant cost of the
+        scoring block at large batch (measured 6× superlinear growth with the
+        naive formulation; PERF.md)."""
         cfg = self.cfg
+        eps = 1e-10
         h = self.embed(params, data, rng=rng, train=train)   # (B, R, E)
         target = h[:, 0].astype(jnp.float32)
         context = h[:, 1:1 + cfg.num_context]
-        negs = h[:, 1 + cfg.num_context:].astype(jnp.float32)
+        negs = h[:, 1 + cfg.num_context:]
 
         # ref eltwise SUM with coeff 0.25 over 4 contexts == mean over C
         ctx_avg = jnp.mean(context.astype(jnp.float32), axis=1)
-        ctx_n = ops.l2_normalize_rows(ctx_avg)
-        tgt_n = ops.l2_normalize_rows(target)
-        # negatives normalized jointly with the target in the reference
-        # (CONCAT + NORMALIZATION) — row-wise, so identical per row.
-        # Same zero-row NaN guard as ops.l2_normalize_rows.
-        neg_sq = jnp.sum(negs * negs, axis=-1, keepdims=True)
-        neg_norm = jnp.sqrt(jnp.where(neg_sq > 0, neg_sq, 1.0))
-        negs_n = jnp.where(neg_sq > 0, negs / (neg_norm + 1e-10), 0.0)
+        ctx_norm = self._safe_norm(jnp.sum(ctx_avg * ctx_avg, -1))     # (B,)
+        tgt_norm = self._safe_norm(jnp.sum(target * target, -1))      # (B,)
+        neg_norm = self._safe_norm(
+            jnp.sum((negs * negs).astype(jnp.float32), -1))           # (B, N)
 
-        s_true = jnp.sum(ctx_n * tgt_n, axis=-1)             # (B,)
-        s_neg = jnp.einsum("bnd,bd->bn", negs_n, ctx_n)      # (B, N)
-        return s_true, s_neg, {"target": tgt_n, "context": ctx_n,
-                               "negatives": negs_n}
+        s_true = (jnp.sum(ctx_avg * target, -1)
+                  / ((ctx_norm + eps) * (tgt_norm + eps)))            # (B,)
+        ctx_dot_negs = jnp.einsum("bnd,bd->bn", negs.astype(jnp.float32),
+                                  ctx_avg)
+        s_neg = ctx_dot_negs / ((neg_norm + eps)
+                                * (ctx_norm + eps)[:, None])          # (B, N)
+
+        emb = {"target": target / (tgt_norm + eps)[:, None],
+               "context": ctx_avg / (ctx_norm + eps)[:, None]}
+        return s_true, s_neg, emb
 
     # -- losses ----------------------------------------------------------
     def loss(self, params, batch, *, rng=None, train: bool = True,
