@@ -110,12 +110,16 @@ def lstm(params, x, cont, state: LstmState | None = None, *,
     t, b, i_dim = x.shape
     hidden = params["w_h"].shape[0]
     if state is None:
-        state = zero_state(b, hidden, x.dtype)
+        state = zero_state(b, hidden)
+    # cell/hidden state carries in f32 (the accumulation dtype) regardless of
+    # input/param dtype — keeps the scan carry type stable under bf16 params
+    state = LstmState(state.c.astype(jnp.float32),
+                      state.h.astype(jnp.float32))
 
     # all-timestep input projection: one MXU GEMM
     pre_x = jnp.dot(x.reshape(t * b, i_dim), params["w_i"],
                     preferred_element_type=jnp.float32) + params["b"]
-    pre_x = pre_x.reshape(t, b, 4 * hidden)
+    pre_x = pre_x.reshape(t, b, 4 * hidden).astype(jnp.float32)
 
     def step(carry, inp):
         c_prev, h_prev = carry
@@ -129,7 +133,7 @@ def lstm(params, x, cont, state: LstmState | None = None, *,
         return (c, h), h
 
     (c_fin, h_fin), h_all = lax.scan(step, (state.c, state.h),
-                                     (pre_x, cont.astype(x.dtype)))
+                                     (pre_x, cont.astype(jnp.float32)))
     return h_all, LstmState(c_fin, h_fin)
 
 
@@ -181,11 +185,14 @@ def lstm_conditional(params, x, first_input, cont,
     t, b, i_dim = x.shape
     hidden = params["w_h"].shape[0]
     if state is None:
-        state = zero_state(b, hidden, x.dtype)
+        state = zero_state(b, hidden)
+    state = LstmState(state.c.astype(jnp.float32),
+                      state.h.astype(jnp.float32))
+    first_input = first_input.astype(jnp.float32)
 
     pre_x = jnp.dot(x.reshape(t * b, i_dim), params["w_i"],
                     preferred_element_type=jnp.float32) + params["b"]
-    pre_x = pre_x.reshape(t, b, 4 * hidden)
+    pre_x = pre_x.reshape(t, b, 4 * hidden).astype(jnp.float32)
 
     def step(carry, inp):
         c_prev, h_prev, out_prev = carry
@@ -198,10 +205,11 @@ def lstm_conditional(params, x, first_input, cont,
                          preferred_element_type=jnp.float32))
         c, h = _cell(pre, c_prev * mask, hidden, linear=False,
                      clip_threshold=clip_threshold)
-        out = jnp.dot(h, params["w_h2o"],
-                      preferred_element_type=jnp.float32) + params["b_h2o"]
+        out = (jnp.dot(h, params["w_h2o"],
+                       preferred_element_type=jnp.float32)
+               + params["b_h2o"]).astype(jnp.float32)
         return (c, h, out), out
 
     (c_fin, h_fin, _), outputs = lax.scan(
-        step, (state.c, state.h, first_input), (pre_x, cont.astype(x.dtype)))
+        step, (state.c, state.h, first_input), (pre_x, cont.astype(jnp.float32)))
     return outputs, LstmState(c_fin, h_fin)
