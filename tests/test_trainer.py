@@ -181,6 +181,24 @@ def test_caffemodel_weight_io_roundtrip(rng, tmp_path):
                                np.asarray(params["emb"]["table"]), rtol=1e-6)
 
 
+def test_lstm_caffemodel_roundtrip(rng, tmp_path):
+    """LSTM blobs round-trip through the Caffe (1,4,H,I) layout."""
+    from videovector_tpu.data.weights import (
+        NetWeights, load_into_params, params_to_weights,
+    )
+    from videovector_tpu.ops.recurrent import init_lstm_params
+    params = {"lstm1": jax.tree.map(
+        jnp.asarray, init_lstm_params(jax.random.PRNGKey(3), 5, 4))}
+    path = str(tmp_path / "lstm.caffemodel")
+    params_to_weights(params).save(path)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    loaded = load_into_params(NetWeights.load(path), zeros)
+    for k in ("w_i", "w_h", "b"):
+        np.testing.assert_allclose(np.asarray(loaded["lstm1"][k]),
+                                   np.asarray(params["lstm1"][k]), rtol=1e-6,
+                                   err_msg=k)
+
+
 def test_checkpoint_roundtrip(rng, tmp_path):
     params = {"a": {"w": jnp.asarray(rng.randn(3, 2).astype(np.float32))}}
     state = {"iter": jnp.int32(17),

@@ -89,11 +89,30 @@ class NetWeights:
         return {l.name: l for l in self.layers}
 
 
+def lstm_blobs_to_params(blobs: list, hidden: int) -> dict:
+    """Caffe LSTM blobs → our layout. Reference blobs (lstm_layer.cpp:70-97):
+    W_i (1, 4, H, I), W_h (1, 4, H, H), bias (1, 1, 4, H), gate blocks in
+    [i, f, o, g] order (same as ours). Ours: w_i (I, 4H), w_h (H, 4H),
+    b (4H,) with 4H column blocks in gate order."""
+    def weight(blob):
+        arr = blob.to_array()          # (1, 4, H, I)
+        _, g, h, i = arr.shape
+        # (4, H, I) → (I, 4, H) → (I, 4H)
+        return np.transpose(arr[0], (2, 0, 1)).reshape(i, g * h)
+
+    w_i = weight(blobs[0])
+    w_h = weight(blobs[1])
+    out = {"w_i": w_i.astype(np.float32), "w_h": w_h.astype(np.float32)}
+    if len(blobs) > 2:
+        out["b"] = blobs[2].to_array().reshape(-1).astype(np.float32)
+    return out
+
+
 def load_into_params(weights: NetWeights, params: dict, *, strict: bool = False):
     """Name-matched weight copy into a graph-engine param pytree
-    ({layer: {"w"/"b"/"table": array}}). Mirrors CopyTrainedLayersFrom
-    (ref:src/caffe/net.cpp:692-763): unmatched source layers are ignored;
-    shape mismatches raise. Returns a new params pytree."""
+    ({layer: {"w"/"b"/"table": array}} or LSTM param dicts). Mirrors
+    CopyTrainedLayersFrom (ref:src/caffe/net.cpp:692-763): unmatched source
+    layers are ignored; shape mismatches raise. Returns a new params pytree."""
     src = weights.by_name()
     out = {ln: dict(lp) for ln, lp in params.items()}
     for lname, lparams in out.items():
@@ -102,6 +121,17 @@ def load_into_params(weights: NetWeights, params: dict, *, strict: bool = False)
                 raise KeyError(f"no weights for layer {lname!r}")
             continue
         blobs = src[lname].blobs
+        if "w_i" in lparams:  # LSTM family
+            hidden = lparams["w_h"].shape[0]
+            converted = lstm_blobs_to_params(blobs, hidden)
+            for k, arr in converted.items():
+                if k in lparams:
+                    if tuple(arr.shape) != tuple(lparams[k].shape):
+                        raise ValueError(
+                            f"layer {lname!r} param {k!r}: shape "
+                            f"{arr.shape} vs {tuple(lparams[k].shape)}")
+                    lparams[k] = arr
+            continue
         order = [k for k in ("w", "table", "b") if k in lparams]
         if len(blobs) < len(order):
             raise ValueError(f"layer {lname!r}: {len(blobs)} blobs for "
@@ -128,6 +158,23 @@ def params_to_weights(params: dict, name: str = "net") -> NetWeights:
     layers = []
     for lname in sorted(params.keys()):
         lp = params[lname]
+        if "w_i" in lp:  # LSTM family: ours (I, 4H) → Caffe (1, 4, H, I)
+            hidden = np.asarray(lp["w_h"]).shape[0]
+            blobs = []
+            for k in ("w_i", "w_h"):
+                arr = np.asarray(lp[k], np.float32)       # (I, 4H)
+                i_dim = arr.shape[0]
+                caffe = arr.reshape(i_dim, 4, hidden).transpose(1, 2, 0)
+                blobs.append(BlobProto(num=1, channels=4, height=hidden,
+                                       width=i_dim,
+                                       data=np.ascontiguousarray(caffe)
+                                       .reshape(-1)))
+            if "b" in lp:
+                blobs.append(BlobProto(num=1, channels=1, height=4,
+                                       width=hidden,
+                                       data=np.asarray(lp["b"], np.float32)))
+            layers.append(LayerBlobs(name=lname, blobs=blobs))
+            continue
         blobs = []
         for k in ("w", "table", "b"):
             if k not in lp:
