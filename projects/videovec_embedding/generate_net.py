@@ -83,12 +83,18 @@ layers {{
   top: "tower_in" concat_param {{ concat_dim: 0 }}
   include: {{ phase: TRAIN }}
 }}""")
+    # TEST: average the RAW context frames first (reference order —
+    # slice_test → ELTWISE coeff .25 → fc7, mednet_embedding_train.prototxt)
     test_bottoms = "\n".join(f'  bottom: "c{i+1}"' for i in range(ctx))
+    test_coeffs = "\n".join(f"  coeff: {1.0 / ctx}" for _ in range(ctx))
     lines.append(f"""
 layers {{
-  name: "concat_all" type: CONCAT
+  name: "average_for_test" type: ELTWISE
 {test_bottoms}
-  top: "tower_in" concat_param {{ concat_dim: 0 }}
+  top: "tower_in"
+  eltwise_param {{ operation: SUM
+{test_coeffs}
+  }}
   include: {{ phase: TEST }}
 }}""")
 
@@ -119,14 +125,7 @@ layers {{
   slice_param {{ slice_dim: 0 }}
   include: {{ phase: TRAIN }}
 }}""")
-    etest = "\n".join(f'  top: "ec{i+1}"' for i in range(ctx))
-    lines.append(f"""
-layers {{
-  name: "slice_emb" type: SLICE bottom: "emb"
-{etest}
-  slice_param {{ slice_dim: 0 }}
-  include: {{ phase: TEST }}
-}}""")
+
 
     coeff = 1.0 / ctx
     cbot = "\n".join(f'  bottom: "ec{i+1}"' for i in range(ctx))
@@ -139,8 +138,12 @@ layers {{
   eltwise_param {{ operation: SUM
 {coeffs}
   }}
+  include: {{ phase: TRAIN }}
 }}
-layers {{ name: "ctx_norm" type: NORMALIZATION bottom: "ctx" top: "ctxn" }}
+layers {{ name: "ctx_norm" type: NORMALIZATION bottom: "ctx" top: "ctxn"
+  include: {{ phase: TRAIN }} }}
+layers {{ name: "test_norm" type: NORMALIZATION bottom: "emb" top: "ctxn"
+  include: {{ phase: TEST }} }}
 layers {{
   name: "tgt_norm" type: NORMALIZATION bottom: "et" top: "etn"
   include: {{ phase: TRAIN }}

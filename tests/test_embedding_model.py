@@ -68,6 +68,32 @@ def test_parity_with_reference_prototxt(rng):
     np.testing.assert_allclose(float(loss_engine), float(loss_model), rtol=1e-4)
 
 
+@pytest.mark.skipif(not os.path.exists(REF_TRAIN), reason="reference not mounted")
+def test_extract_parity_with_reference_test_phase(rng):
+    """TEST branch of the reference prototxt (4-context frame average → fc7 →
+    normalize → ctxn) vs model.extract with the same weights."""
+    feat = 4096
+    net = Net(parse_file(REF_TRAIN), phase="TEST")
+    spec = {"data": jax.ShapeDtypeStruct((3, 4, feat, 1), jnp.float32),
+            "video_ids": jax.ShapeDtypeStruct((3,), jnp.float32)}
+    net_params, _ = net.init(jax.random.PRNGKey(2), spec)
+
+    cfg = VideoEmbeddingConfig(feature_dim=feat, embed_dim=4096,
+                               dropout_rate=0.0, compute_dtype="float32")
+    model = VideoEmbeddingModel(cfg)
+    params = {"tower": {"w": net_params["fc7"]["w"],
+                        "b": net_params["fc7"]["b"]}}
+
+    data = rng.randn(3, 4, feat, 1).astype(np.float32)
+    _, blobs = net.apply(net_params,
+                         {"data": jnp.asarray(data),
+                          "video_ids": jnp.zeros((3,), jnp.float32)},
+                         return_blobs=True)
+    ours = np.asarray(model.extract(params, jnp.asarray(data[..., 0])))
+    engine_out = np.asarray(blobs["ip2_norm"])
+    np.testing.assert_allclose(engine_out, ours, rtol=2e-4, atol=2e-5)
+
+
 def test_sharded_training_step_8_devices(rng):
     """DP×TP train step on the virtual 8-device mesh: loss decreases and
     matches the single-device step."""

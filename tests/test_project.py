@@ -47,9 +47,9 @@ def test_generated_net_parses_and_matches_reference_shape(tmp_path, rng):
     layers = msg.get_list("layers")
     types = [l.get("type") for l in layers]
     # same layer-type census as the reference graph
-    assert types.count("NORMALIZATION") == 12   # ctx + tgt + 10 negs
+    assert types.count("NORMALIZATION") == 13   # ctx + tgt + 10 negs + test
     assert types.count("SUM") == 11             # true + 10 neg scores
-    assert types.count("ELTWISE") == 12         # ctx avg + 11 PRODs
+    assert types.count("ELTWISE") == 13         # ctx avg + test avg + 11 PRODs
     assert types.count("MAX_MARGIN_LOSS") == 1
     assert types.count("RETRIEVAL_STATS") == 1
     loss = next(l for l in layers if l.get("type") == "MAX_MARGIN_LOSS")

@@ -165,10 +165,11 @@ class VideoEmbeddingModel:
 
     # -- eval ------------------------------------------------------------
     def extract(self, params, feats):
-        """Test-time feature path (ref TEST phase: frame-average context
-        features → fc7 → normalize,
-        mednet_embedding_train.prototxt:86-131,180-186 TEST branch):
-        feats (B, F, D) frame features → (B, E) normalized embeddings."""
+        """Test-time feature path matching the reference TEST branch
+        (mednet_embedding_train.prototxt: slice_test → ELTWISE coeff .25 →
+        fc7 → ReLU → NORMALIZATION — i.e. the RAW frames are averaged FIRST,
+        then embedded): feats (B, F, D) frame features → (B, E) normalized
+        embeddings."""
         avg = jnp.mean(feats, axis=1) if feats.ndim == 3 else feats
         h = self.embed(params, avg, train=False)
         return ops.l2_normalize_rows(h)
