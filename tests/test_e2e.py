@@ -223,6 +223,38 @@ def test_solver_driver_end_to_end(mini_project):
     assert "violations" in res.metrics_history[0][1]
 
 
+def test_multi_test_nets_and_compute_loss(mini_project, tmp_path):
+    """Repeated test_net + per-net test_iter + test_compute_loss
+    (ref caffe.proto:86-116)."""
+    from videovector_tpu.config.textformat import parse_file
+    solver_msg = parse_file(mini_project["solver"])
+    solver_msg.fields["max_iter"] = [4]
+    solver_msg.fields["test_interval"] = [2]
+    solver_msg.fields["test_iter"] = [1, 1]
+    solver_msg.add("test_net", mini_project["net"])
+    solver_msg.add("test_net", mini_project["net"])
+    solver_msg.add("test_compute_loss", True)
+    driver = SolverDriver(solver_msg).build()
+    assert len(driver.test_nets) == 2
+    res = driver.train()
+    metrics = res.test_history[0][1]
+    assert "net0/map" in metrics and "net1/map" in metrics
+    assert "net0/loss" in metrics
+
+
+def test_test_initialization_flag(mini_project):
+    from videovector_tpu.config.textformat import parse_file
+    solver_msg = parse_file(mini_project["solver"])
+    solver_msg.fields["max_iter"] = [4]
+    solver_msg.fields["test_interval"] = [2]
+    solver_msg.add("test_initialization", False)
+    driver = SolverDriver(solver_msg).build()
+    res = driver.train()
+    its = [t[0] for t in res.test_history]
+    assert 0 not in its          # skipped at iter 0
+    assert 2 in its and 4 in its
+
+
 def test_snapshot_vis_and_debug_info_hooks(mini_project, tmp_path):
     """snapshot_vis / debug_info solver knobs (ref solver.cpp:183-193)."""
     from videovector_tpu.config.textformat import parse_file

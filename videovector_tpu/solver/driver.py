@@ -48,11 +48,11 @@ class SolverDriver:
         if net_path is None:
             raise ValueError("solver prototxt needs a net/train_net field")
         self.net_msg = parse_file(net_path)
-        # separate test net file (ref SolverParameter.test_net; Solver::
-        # InitTestNets) — falls back to the TEST phase of the merged net
-        test_net_path = resolve(solver_msg.get("test_net"))
-        self.test_net_msg = parse_file(test_net_path) if test_net_path \
-            else self.net_msg
+        # separate test net files (ref repeated SolverParameter.test_net;
+        # Solver::InitTestNets) — falls back to the TEST phase of the merged net
+        test_paths = [resolve(str(p)) for p in solver_msg.get_list("test_net")]
+        self.test_net_msgs = ([parse_file(p) for p in test_paths]
+                              if test_paths else [self.net_msg])
         self.has_test = bool(solver_msg.get("test_interval"))
 
     @classmethod
@@ -70,18 +70,19 @@ class SolverDriver:
             jax.random.PRNGKey(seed), _spec_from_batch(batch0))
         self.params = params
 
-        self.test_net = None
-        self.test_source = None
+        self.test_nets = []
+        self.test_sources = []
         if self.has_test:
-            self.test_net = Net(self.test_net_msg, phase="TEST")
-            self.test_net.param_meta = {}
-            self.test_source = self._build_sources(self.test_net, "TEST",
-                                                   seed + 1)
-            # the test net reuses the train net's params (shared by layer
-            # name — ref ShareTrainedLayersWith, net.cpp)
-            tb = self.test_source.next_batch()
-            _, test_meta = self.test_net.init(jax.random.PRNGKey(0),
-                                              _spec_from_batch(tb))
+            for i, msg in enumerate(self.test_net_msgs):
+                test_net = Net(msg, phase="TEST")
+                test_net.param_meta = {}
+                source = self._build_sources(test_net, "TEST", seed + 1 + i)
+                # the test net reuses the train net's params (shared by layer
+                # name — ref ShareTrainedLayersWith, net.cpp)
+                tb = source.next_batch()
+                test_net.init(jax.random.PRNGKey(0), _spec_from_batch(tb))
+                self.test_nets.append(test_net)
+                self.test_sources.append(source)
 
         # lr/decay multiplier pytrees
         self.lr_mults = {}
@@ -140,15 +141,21 @@ class SolverDriver:
 
         eval_fn = None
         test_iter = None
-        if self.test_net is not None:
-            test_net = self.test_net
+        if self.test_nets:
+            include_loss = self.cfg.test_compute_loss
 
-            def eval_fn(p, batch):
-                loss, outputs = test_net.apply(p, batch)
-                return {k: jnp.sum(v) for k, v in outputs.items()
-                        if getattr(v, "size", 2) == 1}
+            def make_eval(test_net):
+                def eval_fn(p, batch):
+                    loss, outputs = test_net.apply(p, batch)
+                    out = {k: jnp.sum(v) for k, v in outputs.items()
+                           if getattr(v, "size", 2) == 1}
+                    if include_loss:  # ref test_compute_loss, caffe.proto:116
+                        out["loss"] = loss
+                    return out
+                return eval_fn
 
-            test_iter = self._data_iter(self.test_source)
+            eval_fn = [make_eval(n) for n in self.test_nets]
+            test_iter = [self._data_iter(s) for s in self.test_sources]
 
         hooks = []
         if self.snapshot_vis:

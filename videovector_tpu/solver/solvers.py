@@ -51,6 +51,8 @@ class SolverConfig:
     snapshot: int = 0
     snapshot_prefix: str = ""
     snapshot_after_train: bool = True
+    test_initialization: bool = True    # test at iter 0 (ref caffe.proto:119)
+    test_compute_loss: bool = False     # include test-net loss (ref :116)
     random_seed: int = -1
     extras: dict = field(default_factory=dict)
 
@@ -69,6 +71,8 @@ class SolverConfig:
             ("display", "display"), ("test_interval", "test_interval"),
             ("snapshot", "snapshot"), ("snapshot_prefix", "snapshot_prefix"),
             ("snapshot_after_train", "snapshot_after_train"),
+            ("test_initialization", "test_initialization"),
+            ("test_compute_loss", "test_compute_loss"),
             ("random_seed", "random_seed"),
         ]:
             if msg.has(fname):

@@ -83,24 +83,35 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         apply_update = jax.jit(raw_apply, donate_argnums=(0, 1, 2))
     else:
         step, accum, apply_update = raw_step, raw_accum, raw_apply
-    eval_step = (jax.jit(eval_fn) if (jit and eval_fn is not None) else eval_fn)
 
     result = TrainResult(params, state)
 
+    # normalize to parallel lists (multi-test-net support, ref repeated
+    # test_net + per-net test_iter, caffe.proto:86-112)
+    eval_fns = eval_fn if isinstance(eval_fn, (list, tuple)) else \
+        ([eval_fn] if eval_fn is not None else [])
+    test_datas = test_data if isinstance(test_data, (list, tuple)) else \
+        ([test_data] if test_data is not None else [])
+    eval_steps = [jax.jit(f) if jit else f for f in eval_fns]
+
     def run_test(p, it):
-        if eval_fn is None or test_data is None:
+        if not eval_steps or not test_datas:
             return
-        n = cfg.test_iter[0] if cfg.test_iter else 1
-        sums: dict[str, float] = {}
-        for _ in range(n):
-            out = eval_step(p, next(test_data))
-            for k, v in out.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-        avg = {k: v / n for k, v in sums.items()}
-        log.info("Iteration %d, Testing net", it)
-        for i, (k, v) in enumerate(sorted(avg.items())):
-            log.info("    Test net output #%d: %s = %g", i, k, v)
-        result.test_history.append((it, avg))
+        merged: dict[str, float] = {}
+        for net_id, (estep, tdata) in enumerate(zip(eval_steps, test_datas)):
+            n = cfg.test_iter[net_id] if net_id < len(cfg.test_iter) else 1
+            sums: dict[str, float] = {}
+            for _ in range(n):
+                out = estep(p, next(tdata))
+                for k, v in out.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+            avg = {k: v / n for k, v in sums.items()}
+            log.info("Iteration %d, Testing net (#%d)", it, net_id)
+            for i, (k, v) in enumerate(sorted(avg.items())):
+                log.info("    Test net output #%d: %s = %g", i, k, v)
+            prefix = "" if len(eval_steps) == 1 else f"net{net_id}/"
+            merged.update({prefix + k: v for k, v in avg.items()})
+        result.test_history.append((it, merged))
 
     it = start_iter
     try:
@@ -108,7 +119,8 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
             if cfg.snapshot and it > start_iter and it % cfg.snapshot == 0:
                 snapshot(cfg.snapshot_prefix or "snapshot", it,
                          jax.device_get(params), jax.device_get(state))
-            if cfg.test_interval and it % cfg.test_interval == 0:
+            if cfg.test_interval and it % cfg.test_interval == 0 and (
+                    it > start_iter or cfg.test_initialization):
                 run_test(params, it)
             for interval, hook in (hooks or ()):
                 if interval and it % interval == 0:
