@@ -300,6 +300,29 @@ def test_cli_train_and_test(mini_project, capsys):
     assert main(["device_query"]) == 0
 
 
+def test_cli_finetune_from_caffemodel(mini_project, tmp_path):
+    """--weights finetune: .caffemodel weights land in the train net
+    (ref tools/caffe.cpp:110-117 CopyTrainedLayersFrom)."""
+    import jax
+    import jax.numpy as jnp
+    from videovector_tpu.config.textformat import parse_file
+    from videovector_tpu.data.weights import params_to_weights
+    from videovector_tpu.solver.driver import SolverDriver
+
+    solver_msg = parse_file(mini_project["solver"])
+    solver_msg.fields["max_iter"] = [1]
+    solver_msg.fields["test_interval"] = [0]
+    solver_msg.fields["display"] = [0]
+    driver = SolverDriver(solver_msg).build()
+    # craft recognizable fc7 weights and save as .caffemodel
+    shaped = jax.tree.map(lambda a: jnp.full_like(a, 0.123), driver.params)
+    cm = str(tmp_path / "pre.caffemodel")
+    params_to_weights({"fc7": shaped["fc7"]}).save(cm)
+    res = driver.train(weights_path=cm, max_iter=0)   # load only, no steps
+    np.testing.assert_allclose(np.asarray(res.params["fc7"]["w"]), 0.123,
+                               rtol=1e-6)
+
+
 def test_cli_time(mini_project):
     from videovector_tpu.tools.cli import main
     assert main(["time", "--model", mini_project["net"],
