@@ -1,7 +1,8 @@
 """ctypes bindings for the C++ data plane (native/vvdata.cpp).
 
 The reference's data path is C++ (LMDB cursor + proto parse + sampling in a
-prefetch thread); `libvvdata.so` is our native twin: mmap'd VVR reads,
+prefetch thread — ref:src/caffe/layers/video_sampled_shots_data_layer.cpp:768-909,
+ref:src/caffe/layers/base_data_layer.cpp:52-95); `libvvdata.so` is our native twin: mmap'd VVR reads,
 zero-copy wire decode, and the flagship WINDOW sampler with its negative
 reservoir running in a C++ prefetch thread. Every entry point has a pure-
 Python fallback (records.py / shots.py), selected automatically when the

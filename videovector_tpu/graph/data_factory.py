@@ -1,7 +1,8 @@
 """Data-source factory: build host batch sources from data-layer configs.
 
 The reference's data layers construct themselves from LayerParameter inside
-Net::Init; in this framework the graph engine treats their tops as inputs and
+Net::Init (ref:src/caffe/layer_factory.cpp:177-309 dispatch; per-layer params
+ref:src/caffe/proto/caffe.proto:497-688,1010-1041); in this framework the graph engine treats their tops as inputs and
 THIS factory builds the matching host-side source from the same
 LayerParameter message, renaming source fields to the layer's top names so
 batches slot straight into `Net.apply`.
