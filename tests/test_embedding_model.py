@@ -151,3 +151,57 @@ def test_extract_is_normalized(rng, key):
     # rows with non-zero embedding are unit; relu can zero entire rows
     nz = norms > 1e-6
     np.testing.assert_allclose(norms[nz], 1.0, rtol=1e-5)
+
+
+def test_zero_embedding_rows_give_zero_gradient(rng, key):
+    """With all-zero params every embedding row is zero; the reference's
+    normalization backward returns exactly 0 there (normalization_layer.cpp
+    zero-row case), so the score gradient must be 0 — not amplified ~1/eps
+    as a bare eps-denominator cosine form would give."""
+    cfg = _small_cfg()
+    model = VideoEmbeddingModel(cfg)
+    params = jax.tree.map(jnp.zeros_like, model.init(key))
+    data = jnp.asarray(rng.randn(4, cfg.num_roles, cfg.feature_dim)
+                       .astype(np.float32))
+
+    def loss(p):
+        l, _ = model.loss(p, {"data": data}, rng=None, train=False)
+        return l
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    # hinge at s_true==s_neg==0 contributes margin only; through zero rows
+    # the score grad must vanish entirely
+    total = sum(float(jnp.abs(x).sum()) for x in leaves)
+    assert total == 0.0
+
+
+def test_cosine_form_matches_normalize_then_dot(rng, key):
+    """The cosine-form scores must be value-identical to the reference's
+    normalize-then-dot pipeline (NORMALIZATION -> ELTWISE PROD -> SUM)."""
+    from videovector_tpu import ops
+    cfg = _small_cfg()
+    model = VideoEmbeddingModel(cfg)
+    params = model.init(key)
+    data = jnp.asarray(rng.randn(4, cfg.num_roles, cfg.feature_dim)
+                       .astype(np.float32))
+    s_true, s_neg, _ = model.scores(params, data, rng=None, train=False)
+
+    h = model.embed(params, data, rng=None, train=False)
+    target = np.asarray(h[:, 0], np.float32)
+    ctx_avg = np.asarray(jnp.mean(h[:, 1:1 + cfg.num_context], axis=1),
+                         np.float32)
+    negs = np.asarray(h[:, 1 + cfg.num_context:], np.float32)
+    eps = 1e-10
+
+    def nrm(x):
+        return x / (np.linalg.norm(x, axis=-1, keepdims=True) + eps)
+
+    np.testing.assert_allclose(np.asarray(s_true),
+                               np.sum(nrm(ctx_avg) * nrm(target), -1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(s_neg),
+        np.einsum("bnd,bd->bn", nrm(negs), nrm(ctx_avg)),
+        rtol=1e-5, atol=1e-6)

@@ -172,3 +172,75 @@ class TestFlagshipPrototxt:
         g = jax.grad(net.loss_fn)(params, {"data": data})
         gw = np.asarray(g["fc7"]["w"]) if "fc7" in g else None
         assert gw is not None and np.abs(gw).sum() > 0
+
+
+def test_permissive_share_reshapes(rng):
+    """A count-matched, shape-mismatched PERMISSIVE share views the owner's
+    data through the consumer's blob shape (ref AppendParam DimCheckMode,
+    net.cpp:405-464): ipA is 6->4 (w: 4x6), ipB is 4->6 (w: 6x4) over the
+    same 24 elements."""
+    msg = parse("""
+    layers { name: "d" type: MEMORY_DATA top: "x1" top: "x2" }
+    layers { name: "ipA" type: INNER_PRODUCT bottom: "x1" top: "h1"
+      param: "shared_w" param: "biasA"
+      inner_product_param { num_output: 4 weight_filler { type: "gaussian" } } }
+    layers { name: "ipB" type: INNER_PRODUCT bottom: "x2" top: "h2"
+      param: "shared_w" param: "biasB"
+      blob_share_mode: PERMISSIVE blob_share_mode: PERMISSIVE
+      inner_product_param { num_output: 6 weight_filler { type: "gaussian" } } }
+    """)
+    net = Net(msg, phase="TRAIN")
+    spec = {"x1": _spec((2, 6)), "x2": _spec((2, 4))}
+    params, meta = net.init(jax.random.PRNGKey(1), spec)
+    assert meta["ipB"]["w"].shared_owner == "ipA"
+    assert meta["ipB"]["w"].shared_shape is not None
+
+    x1 = jnp.asarray(rng.randn(2, 6).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(2, 4).astype(np.float32))
+    _, blobs = net.apply(params, {"x1": x1, "x2": x2}, return_blobs=True)
+    assert blobs["h1"].shape == (2, 4)
+    assert blobs["h2"].shape == (2, 6)
+
+    # h2 must use ipA's storage viewed in ipB's layout
+    w_owner = np.asarray(params["ipA"]["w"])
+    w_viewed = w_owner.reshape(meta["ipB"]["w"].shared_shape)
+    expect = x2 @ jnp.asarray(w_viewed) + params["ipB"]["b"] \
+        if "b" in params.get("ipB", {}) else None
+    if expect is not None:
+        np.testing.assert_allclose(np.asarray(blobs["h2"]),
+                                   np.asarray(expect), rtol=1e-5)
+
+    # gradients flow back to the owner through the reshape
+    def loss(p):
+        _, b = net.apply(p, {"x1": x1, "x2": x2}, return_blobs=True)
+        return jnp.sum(b["h2"] ** 2)
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["ipA"]["w"]).sum()) > 0
+
+
+def test_strict_share_shape_mismatch_raises():
+    msg = parse("""
+    layers { name: "d" type: MEMORY_DATA top: "x1" top: "x2" }
+    layers { name: "ipA" type: INNER_PRODUCT bottom: "x1" top: "h1"
+      param: "shared_w"
+      inner_product_param { num_output: 4 weight_filler { type: "gaussian" } } }
+    layers { name: "ipB" type: INNER_PRODUCT bottom: "x2" top: "h2"
+      param: "shared_w"
+      inner_product_param { num_output: 6 weight_filler { type: "gaussian" } } }
+    """)
+    net = Net(msg, phase="TRAIN")
+    spec = {"x1": _spec((2, 6)), "x2": _spec((2, 4))}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        net.init(jax.random.PRNGKey(1), spec)
+
+
+def test_slice_non_divisible_raises(rng):
+    """SLICE without slice_point on a non-divisible dim must fail loudly
+    (ref slice_layer.cpp:60-66 CHECK_EQ), not silently shift shapes."""
+    net = Net(parse("""
+    layers { name: "d" type: MEMORY_DATA top: "x" }
+    layers { name: "s" type: SLICE bottom: "x" top: "a" top: "b" top: "c"
+      slice_param { slice_dim: 1 } }
+    """), phase="TRAIN")
+    with pytest.raises(ValueError, match="not divisible"):
+        net.init(jax.random.PRNGKey(0), {"x": _spec((2, 7))})

@@ -327,6 +327,13 @@ def _slice():
         if points:
             bounds = [0] + points + [x.shape[dim]]
         else:
+            if x.shape[dim] % n_out != 0:
+                # ref slice_layer.cpp:60-66 CHECK_EQ-fails here; a silent
+                # remainder would cause shape drift downstream.
+                raise ValueError(
+                    f"SLICE {cfg.get('name')!r}: dim {dim} size "
+                    f"{x.shape[dim]} not divisible by {n_out} tops and no "
+                    "slice_point given")
             step = x.shape[dim] // n_out
             bounds = [i * step for i in range(n_out)] + [x.shape[dim]]
         outs = []

@@ -82,6 +82,9 @@ class ParamMeta:
     lr_mult: float = 1.0
     decay_mult: float = 1.0
     shared_owner: str | None = None  # layer name that owns the array, if shared
+    shared_shape: tuple | None = None  # consumer's own blob shape, when it
+    # differs from the owner's (PERMISSIVE count-matched share; Caffe gives
+    # each consumer its own Blob shape over the shared data, net.cpp:405-464)
 
 
 class Net:
@@ -252,6 +255,7 @@ class Net:
                                 raise ValueError(
                                     f"shared param {sname!r} shape mismatch: "
                                     f"{owned.shape} vs {lparams[pname].shape}")
+                            m.shared_shape = tuple(lparams[pname].shape)
                         del lparams[pname]
                         m.shared_owner = owner_layer
                     else:
@@ -280,9 +284,14 @@ class Net:
         out = dict(params.get(lname, {}))
         for pname, m in meta.get(lname, {}).items():
             if m.shared_owner is not None:
-                # owner stores it under the same blob name by construction;
-                # PERMISSIVE shares may need a reshape (count-matched)
-                out[pname] = params[m.shared_owner][pname]
+                # owner stores it under the same blob name by construction
+                arr = params[m.shared_owner][pname]
+                if m.shared_shape is not None:
+                    # PERMISSIVE count-matched share: view the owner's data
+                    # through this consumer's blob shape (Caffe keeps a
+                    # per-consumer Blob shape over shared storage)
+                    arr = arr.reshape(m.shared_shape)
+                out[pname] = arr
         return out
 
     # ------------------------------------------------------------------

@@ -107,11 +107,13 @@ class VideoEmbeddingModel:
 
     # -- scoring ---------------------------------------------------------
     @staticmethod
-    def _safe_norm(sq):
-        """‖x‖ with zero gradients for zero rows (the reference backward
-        returns 0 there — see ops.l2_normalize_rows)."""
+    def _safe_inv_norm(sq, eps=1e-10):
+        """1/(‖x‖+eps), but exactly 0 (value AND gradient) for zero rows —
+        the reference backward returns 0 there (see ops.l2_normalize_rows).
+        Multiplying dots by this reproduces normalize-then-dot without the
+        ~1/eps gradient blow-up a bare eps denominator gives at zero rows."""
         norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
-        return jnp.where(sq > 0, norm, 0.0)
+        return jnp.where(sq > 0, 1.0 / (norm + eps), 0.0)
 
     def scores(self, params, data, *, rng=None, train: bool = False):
         """data: (B, R, D) → (s_true (B,), s_neg (B, N), embeddings dict).
@@ -123,7 +125,6 @@ class VideoEmbeddingModel:
         scoring block at large batch (measured 6× superlinear growth with the
         naive formulation; PERF.md)."""
         cfg = self.cfg
-        eps = 1e-10
         h = self.embed(params, data, rng=rng, train=train)   # (B, R, E)
         target = h[:, 0].astype(jnp.float32)
         context = h[:, 1:1 + cfg.num_context]
@@ -131,20 +132,18 @@ class VideoEmbeddingModel:
 
         # ref eltwise SUM with coeff 0.25 over 4 contexts == mean over C
         ctx_avg = jnp.mean(context.astype(jnp.float32), axis=1)
-        ctx_norm = self._safe_norm(jnp.sum(ctx_avg * ctx_avg, -1))     # (B,)
-        tgt_norm = self._safe_norm(jnp.sum(target * target, -1))      # (B,)
-        neg_norm = self._safe_norm(
+        ctx_inv = self._safe_inv_norm(jnp.sum(ctx_avg * ctx_avg, -1))  # (B,)
+        tgt_inv = self._safe_inv_norm(jnp.sum(target * target, -1))   # (B,)
+        neg_inv = self._safe_inv_norm(
             jnp.sum((negs * negs).astype(jnp.float32), -1))           # (B, N)
 
-        s_true = (jnp.sum(ctx_avg * target, -1)
-                  / ((ctx_norm + eps) * (tgt_norm + eps)))            # (B,)
+        s_true = jnp.sum(ctx_avg * target, -1) * ctx_inv * tgt_inv    # (B,)
         ctx_dot_negs = jnp.einsum("bnd,bd->bn", negs.astype(jnp.float32),
                                   ctx_avg)
-        s_neg = ctx_dot_negs / ((neg_norm + eps)
-                                * (ctx_norm + eps)[:, None])          # (B, N)
+        s_neg = ctx_dot_negs * neg_inv * ctx_inv[:, None]             # (B, N)
 
-        emb = {"target": target / (tgt_norm + eps)[:, None],
-               "context": ctx_avg / (ctx_norm + eps)[:, None]}
+        emb = {"target": target * tgt_inv[:, None],
+               "context": ctx_avg * ctx_inv[:, None]}
         return s_true, s_neg, emb
 
     # -- losses ----------------------------------------------------------
