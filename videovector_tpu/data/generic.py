@@ -23,7 +23,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from videovector_tpu.data.records import RecordReader
+from videovector_tpu.data.records import open_store
 from videovector_tpu.data.shots import NegativeReservoir
 from videovector_tpu.data.transformer import TransformConfig, transform_datum
 from videovector_tpu.data.wire import Datum, VideoShotWindow
@@ -40,7 +40,7 @@ class DatumRecordSource:
                  transform: TransformConfig | None = None,
                  mean: np.ndarray | None = None, train: bool = False,
                  rand_skip: int = 0, seed: int = 1234):
-        self.reader = RecordReader(path)
+        self.reader = open_store(path)
         self.batch_size = batch_size
         self.transform = transform or TransformConfig()
         self.mean = mean
@@ -327,8 +327,8 @@ class FlexibleDataSource:
         self.mean = mean
         self.train = train
         self.rng = np.random.RandomState(seed)
-        self.index = RecordReader(cfg.source)
-        self.frames = RecordReader(cfg.flexible_source)
+        self.index = open_store(cfg.source)
+        self.frames = open_store(cfg.flexible_source)
         self._cursor = 0
         self.frames_per_item = (cfg.backward_len + cfg.forward_len
                                 + (1 if cfg.use_center_datum else 0))
@@ -435,7 +435,7 @@ class VideoShotWindowSource:
                  num_negative_samples: int = 0, max_buffer_size: int = 0,
                  negative_swap_percentage: int = 0,
                  negative_path: str | None = None, seed: int = 1234):
-        self.reader = RecordReader(path)
+        self.reader = open_store(path)
         self.batch_size = batch_size
         self.num_negatives = num_negative_samples
         self.rng = np.random.RandomState(seed)
@@ -452,7 +452,7 @@ class VideoShotWindowSource:
             self._fill_reservoir(negative_path or path)
 
     def _fill_reservoir(self, path: str):
-        reader = RecordReader(path) if path else self.reader
+        reader = open_store(path) if path else self.reader
         added = 0
         i = 0
         while added < self.reservoir.max_size:

@@ -126,10 +126,42 @@ def write_records(path: str, items) -> None:
 
 def convert_dir_or_file(source: str) -> str:
     """Dataset paths in reference prototxts point at LMDB dirs; our stores are
-    single .vvr files. Accept either `<path>.vvr` or a directory containing
-    `data.vvr`."""
+    single .vvr files. Accept `<path>.vvr`, a directory containing `data.vvr`,
+    or a reference LMDB environment (directory with data.mdb / direct .mdb
+    file) — `open_store` dispatches on content."""
     if os.path.isdir(source):
         cand = os.path.join(source, "data.vvr")
         if os.path.exists(cand):
             return cand
+        mdb = os.path.join(source, "data.mdb")
+        if os.path.exists(mdb):
+            return mdb
     return source
+
+
+def is_vvr(path: str) -> bool:
+    """True when the (resolved) path is a VVR file — gates fast paths that
+    speak only the native record format (e.g. the C++ sampler)."""
+    path = convert_dir_or_file(path)
+    try:
+        with open(path, "rb") as f:
+            return f.read(8) == MAGIC
+    except OSError:
+        return False
+
+
+def open_store(path: str):
+    """Open a key→value store by content sniffing: VVR magic → RecordReader,
+    LMDB meta magic → lmdbio.LmdbReader (pure-Python walker over reference
+    databases, ref:src/caffe/layers/video_sampled_shots_data_layer.cpp:122-135).
+    Both expose len/key/value/__getitem__/__iter__/index_of/get."""
+    path = convert_dir_or_file(path)
+    with open(path, "rb") as f:
+        head = f.read(24)
+    if head[:8] == MAGIC:
+        return RecordReader(path)
+    from videovector_tpu.data.lmdbio import MDB_MAGIC, LmdbReader
+    import struct as _struct
+    if len(head) >= 20 and _struct.unpack_from("<I", head, 16)[0] == MDB_MAGIC:
+        return LmdbReader(path)
+    raise ValueError(f"{path}: neither a VVR file nor an LMDB database")

@@ -30,7 +30,7 @@ from typing import Iterator
 
 import numpy as np
 
-from videovector_tpu.data.records import RecordReader, RecordWriter
+from videovector_tpu.data.records import RecordWriter, open_store
 from videovector_tpu.data.wire import TestVideoShotWindows, VideoShots, Datum
 
 
@@ -68,7 +68,7 @@ class ShotDataset:
     # -- VVR round-trip (VideoShots wire protos as record values) ---------
     @classmethod
     def from_records(cls, path: str) -> "ShotDataset":
-        reader = RecordReader(path)
+        reader = open_store(path)
         videos = []
         for _, value in reader:
             msg = VideoShots.decode(bytes(value))
@@ -530,7 +530,7 @@ class TestWindowDataset:
 
     @classmethod
     def from_records(cls, path: str) -> "TestWindowDataset":
-        reader = RecordReader(path)
+        reader = open_store(path)
         windows = [TestVideoShotWindows.decode(bytes(v)) for _, v in reader]
         reader.close()
         return cls(windows)
@@ -594,7 +594,7 @@ class FixedVideoShotGallery:
 
     @classmethod
     def from_records(cls, path: str) -> "FixedVideoShotGallery":
-        reader = RecordReader(path)
+        reader = open_store(path)
         feats, vids = [], []
         for _, value in reader:
             w = TestVideoShotWindows.decode(bytes(value))

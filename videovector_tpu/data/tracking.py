@@ -28,7 +28,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from videovector_tpu.data.records import RecordReader
+from videovector_tpu.data.records import open_store
 from videovector_tpu.data.wire import TrackingWindow
 
 
@@ -54,7 +54,7 @@ class TrackingWindowDataset:
 
     @classmethod
     def from_records(cls, path: str) -> "TrackingWindowDataset":
-        r = RecordReader(path)
+        r = open_store(path)
         windows = [TrackingWindow.decode(bytes(v)) for _, v in r]
         r.close()
         return cls(windows)

@@ -64,8 +64,11 @@ def make_data_source(layer: Message, *, phase: str = "TRAIN", seed: int = 1234):
         cfg.seed = seed
         cfg.output_video_ids = len(tops) > 1
         # fast path: the C++ sampler (WINDOW mode, no separate negative
-        # dataset) with its own prefetch thread; VVTPU_NATIVE_DATA=0 disables
+        # dataset, VVR store — LMDB sources go through the Python reader)
+        # with its own prefetch thread; VVTPU_NATIVE_DATA=0 disables
+        from videovector_tpu.data.records import is_vvr
         if (cfg.context_type == "WINDOW" and not p.get("negative_dataset")
+                and is_vvr(p.get("source"))
                 and os.environ.get("VVTPU_NATIVE_DATA", "1") != "0"):
             from videovector_tpu.data import native
             if native.available():

@@ -119,9 +119,9 @@ def convert_flexible_list(root: str, list_file: str, out: str, *,
 def compute_image_mean(records_path: str, out: str) -> np.ndarray:
     """Stream Datum records, accumulate the mean image, write a BlobProto
     (ref compute_image_mean.cpp:17-60)."""
-    from videovector_tpu.data.records import RecordReader
+    from videovector_tpu.data.records import open_store
     from videovector_tpu.data.transformer import datum_to_array
-    reader = RecordReader(records_path)
+    reader = open_store(records_path)
     acc = None
     n = 0
     for _, value in reader:
@@ -145,6 +145,34 @@ def write_mean_to_binary_proto(out: str, bgr: tuple[float, float, float],
         mean[0, c] = v
     with open(out, "wb") as f:
         f.write(BlobProto.from_array(mean[0][None]).encode())
+
+
+def import_lmdb(db_path: str, out: str) -> int:
+    """Copy a reference LMDB environment into a VVR store (cursor order ==
+    key order, matching MDB_FIRST/MDB_NEXT iteration,
+    ref:src/caffe/layers/video_sampled_shots_data_layer.cpp:134-135).
+    The converted file also unlocks the native C++ prefetch reader, which
+    speaks VVR only. Returns the entry count."""
+    from videovector_tpu.data.lmdbio import LmdbReader
+    reader = LmdbReader(db_path)
+    with RecordWriter(out) as w:
+        for key, value in reader:
+            w.append(key, bytes(value))
+    n = len(reader)
+    reader.close()
+    return n
+
+
+def export_lmdb(records_path: str, db_path: str) -> int:
+    """Write a VVR store out as an LMDB environment the reference binaries
+    can open (liblmdb data format v1). Returns the entry count."""
+    from videovector_tpu.data.lmdbio import LmdbWriter
+    from videovector_tpu.data.records import open_store
+    reader = open_store(records_path)
+    with LmdbWriter(db_path) as w:
+        for key, value in reader:
+            w.put(key, bytes(value))
+    return len(reader)
 
 
 def main(argv=None) -> int:
@@ -182,6 +210,14 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, required=True)
     p.add_argument("--width", type=int, required=True)
 
+    p = sub.add_parser("import_lmdb")
+    p.add_argument("db")
+    p.add_argument("out")
+
+    p = sub.add_parser("export_lmdb")
+    p.add_argument("records")
+    p.add_argument("db")
+
     args = parser.parse_args(argv)
     if args.command == "imageset":
         convert_imageset(args.root, args.list_file, args.out,
@@ -199,6 +235,12 @@ def main(argv=None) -> int:
     elif args.command == "write_mean":
         bgr = tuple(float(v) for v in args.bgr.split(","))
         write_mean_to_binary_proto(args.out, bgr, args.height, args.width)
+    elif args.command == "import_lmdb":
+        n = import_lmdb(args.db, args.out)
+        print(f"imported {n} entries from {args.db} -> {args.out}")
+    elif args.command == "export_lmdb":
+        n = export_lmdb(args.records, args.db)
+        print(f"exported {n} entries from {args.records} -> {args.db}")
     return 0
 
 

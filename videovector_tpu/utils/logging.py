@@ -44,9 +44,13 @@ def get_logger(name: str = "vvtpu") -> logging.Logger:
         if not _CONFIGURED:
             handler = logging.StreamHandler(sys.stderr)
             handler.setFormatter(GlogFormatter())
-            root = logging.getLogger("vvtpu")
-            root.addHandler(handler)
-            root.setLevel(os.environ.get("VVTPU_LOG_LEVEL", "INFO"))
-            root.propagate = False
+            # callers pass __name__, so hang the handler on both hierarchy
+            # roots ("vvtpu" and "videovector_tpu.*") — a handler on only
+            # one silently swallows every module logger under the other
+            for root_name in ("vvtpu", "videovector_tpu"):
+                root = logging.getLogger(root_name)
+                root.addHandler(handler)
+                root.setLevel(os.environ.get("VVTPU_LOG_LEVEL", "INFO"))
+                root.propagate = False
             _CONFIGURED = True
     return logging.getLogger(name)
