@@ -12,9 +12,11 @@ step (the unit of the reference's ranking objective,
 ref:src/caffe/layers/max_margin_loss_layer.cpp).
 
 vs_baseline compares against the measured CPU baseline in
-BASELINE_MEASURED.json (torch-CPU implementation of the identical step —
-stand-in for CPU-mode Caffe, which uses the same BLAS path; methodology in
-that file). Falls back to vs_baseline = null if absent.
+BASELINE_MEASURED.json (torch-CPU implementation of the identical step with
+threads = all host cores — stand-in for CPU-mode Caffe, which uses the same
+BLAS path; methodology in that file). This host exposes one core, so the
+ratio reads "× one Caffe-class CPU core" (see the note field there).
+Falls back to vs_baseline = null if absent.
 """
 
 from __future__ import annotations
