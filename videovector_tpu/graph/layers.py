@@ -34,6 +34,13 @@ class ApplyContext:
     phase: str = "TRAIN"            # TRAIN or TEST
     rng: Any = None                 # PRNGKey for stochastic layers (dropout)
     side: dict = field(default_factory=dict)   # layer_name -> host-loaded tables
+    # cross-batch recurrent state (ref next_cell_/next_out_ carry,
+    # lstm_layer.cpp:171-173,261-264): layer_name -> LstmState in/out.
+    # A pure jit graph cannot hold hidden state, so the engine threads it
+    # explicitly — stateful layers read state_in and write state_out, and
+    # Net.apply(state=..., return_state=True) exposes both ends.
+    state_in: Any = None
+    state_out: dict = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -650,11 +657,15 @@ def _social_pooling():
 # ---------------------------------------------------------------------------
 # LSTM family
 # ---------------------------------------------------------------------------
-# Graph-engine note: the reference layers carry (cell, hidden) state across
-# forward calls (next_cell_/next_out_); a pure jit graph cannot hold hidden
-# state, so the engine starts each forward from zero state (sequence packing
-# via cont bits still works within a batch). For cross-batch carry use the
-# functional API in ops/recurrent.py and thread the returned LstmState.
+# The reference layers carry (cell, hidden) state across forward calls
+# (next_cell_/next_out_, ref lstm_layer.cpp:171-173,261-264). The engine
+# mirrors this as explicit carry: LSTM/LSTM_LINEAR read ctx.state_in[name]
+# (zero state when absent — same as the reference's initial zero buffers)
+# and write their final LstmState into ctx.state_out[name]. The train loop
+# threads the dict across batches; cont bits still gate whether carried
+# state is used at sequence starts.
+
+STATEFUL_LAYER_TYPES = {"LSTM", "LSTM_LINEAR"}
 
 
 def _lstm_init(key, cfg, in_shapes, *, conditional=False):
@@ -695,8 +706,11 @@ def _lstm():
         return _lstm_init(key, cfg, in_shapes)
 
     def apply(params, inputs, cfg, ctx):
-        h, _ = recurrent.lstm(params, _as_tbi(inputs[0]), _as_tb(inputs[1]),
-                              **_lstm_args(cfg))
+        st = (ctx.state_in or {}).get(cfg.get("name"))
+        h, fin = recurrent.lstm(params, _as_tbi(inputs[0]),
+                                _as_tb(inputs[1]), state=st,
+                                **_lstm_args(cfg))
+        ctx.state_out[cfg.get("name")] = fin
         return [h]
 
     return init, apply
@@ -710,8 +724,11 @@ def _lstm_linear():
         return _lstm_init(key, cfg, in_shapes)
 
     def apply(params, inputs, cfg, ctx):
-        h, _ = recurrent.lstm(params, _as_tbi(inputs[0]), _as_tb(inputs[1]),
-                              linear=True, **_lstm_args(cfg))
+        st = (ctx.state_in or {}).get(cfg.get("name"))
+        h, fin = recurrent.lstm(params, _as_tbi(inputs[0]),
+                                _as_tb(inputs[1]), state=st, linear=True,
+                                **_lstm_args(cfg))
+        ctx.state_out[cfg.get("name")] = fin
         return [h]
 
     return init, apply

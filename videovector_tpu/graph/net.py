@@ -296,17 +296,25 @@ class Net:
 
     # ------------------------------------------------------------------
     def apply(self, params, batch: dict[str, Any], *, rng=None,
-              return_blobs: bool = False):
+              return_blobs: bool = False, state=None,
+              return_state: bool = False):
         """Forward pass. Returns (loss, outputs) where outputs maps every
         blob name that is not consumed downstream (net outputs,
-        ref:src/caffe/net.cpp:206-212) — or all blobs if return_blobs."""
+        ref:src/caffe/net.cpp:206-212) — or all blobs if return_blobs.
+
+        `state` is the cross-batch recurrent carry (layer_name → LstmState,
+        the reference's next_cell_/next_out_ buffers,
+        ref:src/caffe/layers/lstm_layer.cpp:171-173,261-264); with
+        `return_state=True` the result gains a third element: the updated
+        carry to feed into the next forward."""
         blobs: dict[str, Any] = {}
         for name in self.input_names:
             if name not in batch:
                 raise ValueError(f"batch missing graph input {name!r}")
             blobs[name] = batch[name]
 
-        ctx = ApplyContext(phase=self.phase, rng=rng, side=self.side)
+        ctx = ApplyContext(phase=self.phase, rng=rng, side=self.side,
+                           state_in=state)
         loss = jnp.float32(0.0)
         consumed: set[str] = set()
 
@@ -329,10 +337,22 @@ class Net:
                 if w != 0.0:
                     loss = loss + w * jnp.sum(o)
 
+        if return_state:
+            if return_blobs:
+                return loss, blobs, dict(ctx.state_out)
+            outputs = {k: v for k, v in blobs.items() if k not in consumed}
+            return loss, outputs, dict(ctx.state_out)
         if return_blobs:
             return loss, blobs
         outputs = {k: v for k, v in blobs.items() if k not in consumed}
         return loss, outputs
+
+    @property
+    def stateful_layer_names(self) -> list:
+        """Names of layers that carry recurrent state across batches."""
+        from videovector_tpu.graph.layers import STATEFUL_LAYER_TYPES
+        return [str(l.get("name")) for l in self.layers
+                if l.get("type") in STATEFUL_LAYER_TYPES]
 
     def loss_fn(self, params, batch, rng=None):
         loss, _ = self.apply(params, batch, rng=rng)

@@ -136,8 +136,23 @@ class SolverDriver:
 
         net = self.train_net
 
-        def loss_fn(p, batch, key):
-            return self._loss_with_outputs(net, p, batch, key)
+        if net.stateful_layer_names:
+            # cross-batch LSTM state carry (ref lstm_layer.cpp:171-173):
+            # carry rides the aux channel under a reserved key; train()
+            # moves it from step output into the next step's batch
+            def loss_fn(p, batch, key):
+                carry_in = batch.get("__carry__")
+                feed = {k: v for k, v in batch.items() if k != "__carry__"}
+                loss, outputs, carry = net.apply(p, feed, rng=key,
+                                                 state=carry_in,
+                                                 return_state=True)
+                aux = {k: jnp.sum(v) for k, v in outputs.items()
+                       if getattr(v, "size", 2) == 1}
+                aux["__carry__"] = carry
+                return loss, aux
+        else:
+            def loss_fn(p, batch, key):
+                return self._loss_with_outputs(net, p, batch, key)
 
         eval_fn = None
         test_iter = None
@@ -145,12 +160,23 @@ class SolverDriver:
             include_loss = self.cfg.test_compute_loss
 
             def make_eval(test_net):
+                stateful = bool(test_net.stateful_layer_names)
+
                 def eval_fn(p, batch):
-                    loss, outputs = test_net.apply(p, batch)
+                    carry_in = batch.get("__carry__")
+                    feed = {k: v for k, v in batch.items()
+                            if k != "__carry__"}
+                    if stateful:
+                        loss, outputs, carry = test_net.apply(
+                            p, feed, state=carry_in, return_state=True)
+                    else:
+                        loss, outputs = test_net.apply(p, feed)
                     out = {k: jnp.sum(v) for k, v in outputs.items()
                            if getattr(v, "size", 2) == 1}
                     if include_loss:  # ref test_compute_loss, caffe.proto:116
                         out["loss"] = loss
+                    if stateful:
+                        out["__carry__"] = carry
                     return out
                 return eval_fn
 

@@ -101,8 +101,13 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         for net_id, (estep, tdata) in enumerate(zip(eval_steps, test_datas)):
             n = cfg.test_iter[net_id] if net_id < len(cfg.test_iter) else 1
             sums: dict[str, float] = {}
+            t_carry = None  # recurrent state carries across test batches too
             for _ in range(n):
-                out = estep(p, next(tdata))
+                batch = next(tdata)
+                if t_carry is not None:
+                    batch = {**batch, "__carry__": t_carry}
+                out = dict(estep(p, batch))
+                t_carry = out.pop("__carry__", None)
                 for k, v in out.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
             avg = {k: v / n for k, v in sums.items()}
@@ -114,6 +119,7 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         result.test_history.append((it, merged))
 
     it = start_iter
+    carry = None  # cross-batch recurrent state (stateful nets only)
     try:
         while it < cfg.max_iter:
             if cfg.snapshot and it > start_iter and it % cfg.snapshot == 0:
@@ -130,13 +136,22 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
             if cfg.iter_size > 1:
                 grads_acc = jax.tree.map(jax.numpy.zeros_like, params)
                 for sub in range(cfg.iter_size):
+                    batch = next(data)
+                    if carry is not None:
+                        batch = {**batch, "__carry__": carry}
                     grads_acc, metrics = accum(
-                        params, grads_acc, next(data),
+                        params, grads_acc, batch,
                         jax.random.fold_in(key, sub))
+                    carry = metrics.pop("__carry__", None)
                 params, state = apply_update(params, state, grads_acc)
             else:
                 batch = next(data)
+                if carry is not None:
+                    batch = {**batch, "__carry__": carry}
                 params, state, metrics = step(params, state, batch, key)
+                # recurrent cross-batch state (ref lstm_layer.cpp:171-173):
+                # stateful nets return the updated carry through aux
+                carry = metrics.pop("__carry__", None)
 
             if cfg.display and it % cfg.display == 0:
                 loss = float(metrics["loss"])
