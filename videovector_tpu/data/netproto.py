@@ -1,0 +1,145 @@
+"""Full NetParameter serialization: layer configs + learned blobs (+ diffs).
+
+Net::ToProto writes the COMPLETE NetParameter — every LayerParameter with
+its configuration fields plus the learned BlobProtos (and the diffs when
+write_diff is set) — and the reference can construct a Net straight from
+such a binary file (ref:src/caffe/net.cpp:774-801; Snapshot at
+ref:src/caffe/solver.cpp:321-341; binary net reading via
+ReadNetParamsFromBinaryFileOrDie, ref:include/caffe/util/io.hpp:51-90).
+
+Round 1 only wrote blobs-only .caffemodel files (data/weights.py). This
+module composes the schema-driven config codec (config/binproto.py) with
+the existing blob layout conversions so a repo-trained net round-trips
+with its architecture: save → load → identical configs, identical weights.
+
+Blob payloads are spliced at the wire level (LayerParameter field 6)
+rather than going through Message float lists — a 4096×4096 blob stays a
+numpy array end to end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from videovector_tpu.config import binproto
+from videovector_tpu.config.textformat import Message
+from videovector_tpu.data.weights import (
+    LayerBlobs, NetWeights, params_to_weights,
+)
+from videovector_tpu.data.wire import (
+    BlobProto, iter_fields, write_bytes, write_msg,
+)
+
+_LAYERS_FNUM = 2      # NetParameter.layers
+_BLOBS_FNUM = 6       # LayerParameter.blobs
+
+
+def _strip_layers(net_msg: Message) -> Message:
+    top = Message()
+    for k, vals in net_msg.fields.items():
+        if k == "layers":
+            continue
+        for v in vals:
+            top.add(k, v)
+    return top
+
+
+def save_net(path: str, net_msg: Message, params: dict, *,
+             diffs: dict | None = None) -> None:
+    """Write a full binary NetParameter (configs + blobs [+ diffs]).
+
+    `net_msg` is the parsed net prototxt (the pre-filter graph — both
+    phases, like the reference which snapshots the phase-merged net);
+    `params` the trained pytree; `diffs` an optional grads pytree
+    (snapshot_diff semantics: BlobProto.diff alongside data)."""
+    blob_layers = params_to_weights(params).by_name()
+    diff_layers = params_to_weights(diffs).by_name() if diffs else {}
+
+    buf = bytearray(binproto.encode(_strip_layers(net_msg), "NetParameter"))
+    for layer in net_msg.get_list("layers"):
+        lbuf = bytearray(binproto.encode(layer, "LayerParameter"))
+        lname = str(layer.get("name"))
+        lw = blob_layers.get(lname)
+        if lw is not None:
+            ld = diff_layers.get(lname)
+            for i, blob in enumerate(lw.blobs):
+                if ld is not None and i < len(ld.blobs):
+                    blob = BlobProto(num=blob.num, channels=blob.channels,
+                                     height=blob.height, width=blob.width,
+                                     data=blob.data, diff=ld.blobs[i].data)
+                write_msg(lbuf, _BLOBS_FNUM, blob.encode())
+        write_msg(buf, _LAYERS_FNUM, bytes(lbuf))
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+
+def _split_blobs(layer_bytes: bytes):
+    """Separate LayerParameter.blobs from the config fields at wire level."""
+    cfg = bytearray()
+    blobs = []
+    for fnum, wt, v in iter_fields(layer_bytes):
+        if fnum == _BLOBS_FNUM and wt == 2:
+            blobs.append(BlobProto.decode(v))
+        elif wt == 2:
+            write_bytes(cfg, fnum, bytes(v))
+        elif wt == 0:
+            from videovector_tpu.data.wire import write_varint
+            write_varint(cfg, (fnum << 3) | 0)
+            write_varint(cfg, v)
+        else:  # 4/8-byte chunks: re-emit verbatim
+            from videovector_tpu.data.wire import write_varint
+            write_varint(cfg, (fnum << 3) | wt)
+            cfg += v
+    return bytes(cfg), blobs
+
+
+def load_net(path: str):
+    """Read a full binary NetParameter → (net_msg, NetWeights).
+
+    net_msg carries every config field (text-parser conventions, blobs
+    stripped); NetWeights carries the BlobProtos (data and, if present,
+    diffs) for name-matched loading via data/weights.load_into_params."""
+    with open(path, "rb") as f:
+        data = f.read()
+    top_cfg = bytearray()
+    layer_chunks = []
+    for fnum, wt, v in iter_fields(data):
+        if fnum == _LAYERS_FNUM and wt == 2:
+            layer_chunks.append(v)
+        elif wt == 2:
+            write_bytes(top_cfg, fnum, bytes(v))
+        else:
+            from videovector_tpu.data.wire import write_varint
+            write_varint(top_cfg, (fnum << 3) | wt)
+            if wt == 0:
+                write_varint(top_cfg, v)
+            else:
+                top_cfg += v
+    net_msg = binproto.decode(bytes(top_cfg), "NetParameter")
+    weights = NetWeights(name=net_msg.get("name", "") or "")
+    for chunk in layer_chunks:
+        cfg_bytes, blobs = _split_blobs(chunk)
+        layer_msg = binproto.decode(cfg_bytes, "LayerParameter")
+        net_msg.add("layers", layer_msg)
+        weights.layers.append(LayerBlobs(
+            name=str(layer_msg.get("name", "")), blobs=blobs))
+    return net_msg, weights
+
+
+def diffs_from_weights(weights: NetWeights, params: dict) -> dict | None:
+    """Extract the diff payloads of a snapshot_diff NetParameter into a
+    grads-shaped pytree (same layout rules as load_into_params)."""
+    from videovector_tpu.data.weights import load_into_params
+    has_diff = any(len(b.diff) for l in weights.layers for b in l.blobs)
+    if not has_diff:
+        return None
+    diff_weights = NetWeights(name=weights.name)
+    for l in weights.layers:
+        diff_weights.layers.append(LayerBlobs(name=l.name, blobs=[
+            BlobProto(num=b.num, channels=b.channels, height=b.height,
+                      width=b.width, data=np.asarray(b.diff, np.float32))
+            for b in l.blobs]))
+    import jax.numpy as jnp
+    zeros = {ln: {pn: np.zeros_like(np.asarray(a)) for pn, a in lp.items()}
+             for ln, lp in params.items()}
+    return load_into_params(diff_weights, zeros)

@@ -42,12 +42,21 @@ def _unflatten(flat: dict) -> dict:
     return out
 
 
-def snapshot(prefix: str, it: int, params: dict, state: dict | None = None):
-    """Write model (+ solver state). Returns (model_path, state_path|None)."""
+def snapshot(prefix: str, it: int, params: dict, state: dict | None = None,
+             diffs: dict | None = None):
+    """Write model (+ solver state). Returns (model_path, state_path|None).
+
+    `diffs` (a grads pytree matching params) is stored under "diff/" keys
+    when the solver sets snapshot_diff — the reference's
+    net_->ToProto(&net_param, param_.snapshot_diff())
+    (ref:src/caffe/solver.cpp:321-341)."""
     os.makedirs(os.path.dirname(os.path.abspath(prefix)) or ".", exist_ok=True)
     model_path = f"{prefix}_iter_{it}.vvmodel"
+    flat_model = _flatten(params)
+    if diffs is not None:
+        flat_model.update(_flatten({"diff": diffs}))
     with open(model_path, "wb") as f:  # file handle: keep our extension
-        np.savez(f, **_flatten(params))
+        np.savez(f, **flat_model)
     state_path = None
     if state is not None:
         state_path = f"{prefix}_iter_{it}.vvstate"
@@ -61,7 +70,16 @@ def snapshot(prefix: str, it: int, params: dict, state: dict | None = None):
 
 def load_model(path: str) -> dict:
     with np.load(path) as z:
-        return _unflatten({k: z[k] for k in z.files})
+        tree = _unflatten({k: z[k] for k in z.files})
+    tree.pop("diff", None)  # snapshot_diff payload is side data, not params
+    return tree
+
+
+def load_diffs(path: str) -> dict | None:
+    """Gradients stored by a snapshot_diff snapshot, or None."""
+    with np.load(path) as z:
+        tree = _unflatten({k: z[k] for k in z.files})
+    return tree.get("diff")
 
 
 def restore(state_path: str):

@@ -51,6 +51,7 @@ class SolverConfig:
     snapshot: int = 0
     snapshot_prefix: str = ""
     snapshot_after_train: bool = True
+    snapshot_diff: bool = False      # persist gradients in snapshots (ref caffe.proto:134-167, solver.cpp:321-341)
     test_initialization: bool = True    # test at iter 0 (ref caffe.proto:119)
     test_compute_loss: bool = False     # include test-net loss (ref :116)
     random_seed: int = -1
@@ -71,6 +72,7 @@ class SolverConfig:
             ("display", "display"), ("test_interval", "test_interval"),
             ("snapshot", "snapshot"), ("snapshot_prefix", "snapshot_prefix"),
             ("snapshot_after_train", "snapshot_after_train"),
+            ("snapshot_diff", "snapshot_diff"),
             ("test_initialization", "test_initialization"),
             ("test_compute_loss", "test_compute_loss"),
             ("random_seed", "random_seed"),

@@ -64,7 +64,12 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         (loss, aux), grads = grad_fn(p, batch, key)
         p2, s2 = solver_update(cfg, p, grads, s,
                                lr_mults=lr_mults, decay_mults=decay_mults)
-        return p2, s2, {"loss": loss, **aux}
+        metrics = {"loss": loss, **aux}
+        if cfg.snapshot_diff:
+            # snapshot_diff: expose the raw gradients so snapshots can
+            # persist them (ref net ToProto(write_diff), solver.cpp:321-341)
+            metrics["__diff__"] = grads
+        return p2, s2, metrics
 
     def raw_accum(p, grads_acc, batch, key):
         # iter_size gradient accumulation: average grads over sub-batches
@@ -120,11 +125,17 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
 
     it = start_iter
     carry = None  # cross-batch recurrent state (stateful nets only)
+    last_grads = None  # most recent gradients (kept when snapshot_diff)
+
+    def _snap(at_iter):
+        snapshot(cfg.snapshot_prefix or "snapshot", at_iter,
+                 jax.device_get(params), jax.device_get(state),
+                 diffs=jax.device_get(last_grads)
+                 if last_grads is not None else None)
     try:
         while it < cfg.max_iter:
             if cfg.snapshot and it > start_iter and it % cfg.snapshot == 0:
-                snapshot(cfg.snapshot_prefix or "snapshot", it,
-                         jax.device_get(params), jax.device_get(state))
+                _snap(it)
             if cfg.test_interval and it % cfg.test_interval == 0 and (
                     it > start_iter or cfg.test_initialization):
                 run_test(params, it)
@@ -143,6 +154,9 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                         params, grads_acc, batch,
                         jax.random.fold_in(key, sub))
                     carry = metrics.pop("__carry__", None)
+                if cfg.snapshot_diff:
+                    # host copy: apply_update donates the grads_acc buffers
+                    last_grads = jax.device_get(grads_acc)
                 params, state = apply_update(params, state, grads_acc)
             else:
                 batch = next(data)
@@ -152,6 +166,7 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                 # recurrent cross-batch state (ref lstm_layer.cpp:171-173):
                 # stateful nets return the updated carry through aux
                 carry = metrics.pop("__carry__", None)
+                last_grads = metrics.pop("__diff__", last_grads)
 
             if cfg.display and it % cfg.display == 0:
                 loss = float(metrics["loss"])
@@ -171,13 +186,11 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         # progress since the last scheduled snapshot)
         if cfg.snapshot_prefix:
             log.info("Interrupted at iteration %d — writing snapshot", it)
-            snapshot(cfg.snapshot_prefix, it, jax.device_get(params),
-                     jax.device_get(state))
+            _snap(it)
         raise
 
     if cfg.snapshot_after_train and cfg.snapshot_prefix:
-        snapshot(cfg.snapshot_prefix, it, jax.device_get(params),
-                 jax.device_get(state))
+        _snap(it)
     if cfg.test_interval:
         run_test(params, it)
     result.params = params

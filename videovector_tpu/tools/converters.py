@@ -175,6 +175,20 @@ def export_lmdb(records_path: str, db_path: str) -> int:
     return len(reader)
 
 
+def export_net(net_prototxt: str, model: str, out: str) -> None:
+    """Write a FULL binary NetParameter (layer configs + blobs [+ diffs if
+    the .vvmodel carries snapshot_diff payload]) — Net::ToProto parity
+    (ref:src/caffe/net.cpp:774-801): the reference can rebuild the net with
+    its architecture from this single file."""
+    from videovector_tpu.config.textformat import parse_file
+    from videovector_tpu.data.netproto import save_net
+    from videovector_tpu.solver.checkpoint import load_diffs, load_model
+    msg = parse_file(net_prototxt)
+    params = load_model(model)
+    diffs = load_diffs(model) if model.endswith(".vvmodel") else None
+    save_net(out, msg, params, diffs=diffs)
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="vvtpu-convert")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -218,6 +232,11 @@ def main(argv=None) -> int:
     p.add_argument("records")
     p.add_argument("db")
 
+    p = sub.add_parser("export_net")
+    p.add_argument("net_prototxt")
+    p.add_argument("model")
+    p.add_argument("out")
+
     args = parser.parse_args(argv)
     if args.command == "imageset":
         convert_imageset(args.root, args.list_file, args.out,
@@ -241,6 +260,9 @@ def main(argv=None) -> int:
     elif args.command == "export_lmdb":
         n = export_lmdb(args.records, args.db)
         print(f"exported {n} entries from {args.records} -> {args.db}")
+    elif args.command == "export_net":
+        export_net(args.net_prototxt, args.model, args.out)
+        print(f"wrote full NetParameter to {args.out}")
     return 0
 
 
