@@ -187,3 +187,15 @@ def test_upgrade_cli_binary(tmp_path):
     bin_out = str(tmp_path / "out.binaryproto")
     assert main([txt_out, bin_out]) == 0
     _semantic_eq(msg, binproto.read_binary(bin_out, "NetParameter"))
+
+
+def test_schema_aware_text_printer():
+    """to_text quotes string fields and leaves enums bare — strict
+    TextFormat the reference's text parser accepts."""
+    msg = parse(NET)
+    text = binproto.to_text(msg, "NetParameter")
+    assert 'name: "rt"' in text
+    assert 'name: "ip"' in text          # string field quoted
+    assert "type: INNER_PRODUCT" in text  # enum bare
+    assert 'type: "gaussian"' in text     # filler type is a string field
+    _semantic_eq(msg, parse(text))        # reparses to the same message

@@ -193,6 +193,39 @@ def _dec_scalar(msg: Message, fname: str, kind: str, wt: int, v) -> None:
         raise ValueError(f"unknown scalar kind {kind}")
 
 
+def to_text(msg: Message, msg_type: str, indent: int = 0) -> str:
+    """Schema-aware prototxt printer: string fields are ALWAYS quoted and
+    enums never are — strict protobuf TextFormat, parseable by the
+    reference's ReadProtoFromTextFile (the schema-free Message.dumps can't
+    tell a bare-identifier string from an enum and prints it unquoted,
+    which strict TextFormat rejects for string fields)."""
+    schema = MESSAGES[msg_type]
+    pad = "  " * indent
+    lines = []
+    for fname, values in msg.fields.items():
+        if fname not in schema:
+            raise ValueError(f"{msg_type} has no field {fname!r}")
+        _num, _label, (kind, detail), _packed, _default = schema[fname]
+        for v in values:
+            if kind == "msg":
+                lines.append(f"{pad}{fname} {{")
+                lines.append(to_text(v, detail, indent + 1))
+                lines.append(f"{pad}}}")
+            elif kind == "enum":
+                name = v if isinstance(v, str) else \
+                    {n: s for s, n in ENUMS[detail].items()}[int(v)]
+                lines.append(f"{pad}{fname}: {name}")
+            elif detail == "s":
+                esc = str(v).replace("\\", "\\\\").replace('"', '\\"')
+                lines.append(f'{pad}{fname}: "{esc}"')
+            elif detail == "b":
+                lines.append(
+                    f"{pad}{fname}: {'true' if _truthy(v) else 'false'}")
+            else:
+                lines.append(f"{pad}{fname}: {v}")
+    return "\n".join(lines)
+
+
 # -- file helpers -------------------------------------------------------
 
 

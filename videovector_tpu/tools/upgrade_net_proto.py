@@ -43,8 +43,10 @@ def main(argv=None) -> int:
     else:
         out = upgrade_net(msg)
     if args.output.endswith((".prototxt", ".txt")):
+        from videovector_tpu.config import binproto
         with open(args.output, "w") as f:
-            f.write(out.dumps() + "\n")
+            # schema-aware printer: strict TextFormat (quoted strings)
+            f.write(binproto.to_text(out, "NetParameter") + "\n")
     else:
         from videovector_tpu.config import binproto
         binproto.write_binary(args.output, out, "NetParameter")
