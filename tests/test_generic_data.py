@@ -161,3 +161,95 @@ def test_video_shot_window_source(tmp_path, rng):
     np.testing.assert_allclose(b["data"][1, 0], 1.0)    # target of win 1
     np.testing.assert_allclose(b["data"][1, 1], 101.0)  # first context
     np.testing.assert_array_equal(b["video_id"], [0, 1, 2])
+
+
+# ---------------------------------------------------------------------------
+# Reference window geometry (ref window_data_layer.cpp:238-324): hand-computed
+# pad-then-warp boxes, including edge-touching windows.
+# ---------------------------------------------------------------------------
+
+def test_window_geometry_interior_box():
+    from videovector_tpu.data.generic import window_geometry
+    # context_scale = 227/195; box 50x60 at (10,20) in a 500x400 image
+    roi, (rw, rh), pw, ph = window_geometry(
+        (10, 20, 59, 79), 500, 400, 227, 16)
+    assert roi == (6, 15, 64, 85)      # round(center ± half*227/195)
+    assert (rw, rh) == (227, 227)      # nothing clipped -> full warp
+    assert (pw, ph) == (0, 0)
+
+
+def test_window_geometry_edge_touching():
+    from videovector_tpu.data.generic import window_geometry
+    # box at the image corner: expansion goes 4px out of bounds on both axes
+    roi, (rw, rh), pw, ph = window_geometry((0, 0, 49, 49), 100, 100, 227, 16)
+    # x1 = round(25 - 25*227/195) = -4 -> clipped to 0, pad_x1 = 4
+    assert roi == (0, 0, 54, 54)
+    # scale = 227/59; resize = round(55*227/59) = 212; pad = round(4*227/59) = 15
+    assert (rw, rh) == (212, 212)
+    assert (pw, ph) == (15, 15)
+    assert pw + rw == 227 and ph + rh == 227
+
+
+def test_window_geometry_mirror_pads_right():
+    from videovector_tpu.data.generic import window_geometry
+    # overflow only on the right edge: without mirror pad_w = pad_x1 = 0,
+    # with mirror pad_w = pad_x2 (ref :309-314)
+    box = (50, 25, 99, 74)   # touches x = 99 in a 100-wide image
+    _, _, pw_plain, _ = window_geometry(box, 100, 100, 227, 16)
+    _, _, pw_mirror, _ = window_geometry(box, 100, 100, 227, 16,
+                                         do_mirror=True)
+    assert pw_plain == 0
+    assert pw_mirror > 0
+
+
+def test_window_geometry_square_mode():
+    from videovector_tpu.data.generic import window_geometry
+    # use_square with context_pad=0: tall 20x60 box becomes 60x60 expanded
+    roi, (rw, rh), pw, ph = window_geometry(
+        (100, 100, 119, 159), 500, 400, 227, 0, use_square=True)
+    x1, y1, x2, y2 = roi
+    # half sides become 30 each; inclusive round gives 2*30+1 = 61
+    assert roi == (80, 100, 140, 160)
+    assert (x2 - x1 + 1) == (y2 - y1 + 1) == 61
+    assert (rw, rh) == (227, 227)
+
+
+def test_window_geometry_no_context_pad_identity():
+    from videovector_tpu.data.generic import window_geometry
+    roi, size, pw, ph = window_geometry((3, 4, 30, 40), 100, 100, 227, 0)
+    assert roi == (3, 4, 30, 40) and size == (227, 227) and (pw, ph) == (0, 0)
+
+
+def test_window_source_zero_padding_and_content(tmp_path, rng):
+    """End to end: an edge window yields exact zeros in the padding band and
+    warped content elsewhere."""
+    import cv2
+    from videovector_tpu.data.generic import (
+        WindowDataConfig, WindowDataSource, window_geometry,
+    )
+    img = rng.randint(0, 256, (100, 100, 3)).astype(np.uint8)
+    path = str(tmp_path / "img.png")
+    cv2.imwrite(path, img)
+    win_file = tmp_path / "windows.txt"
+    win_file.write_text(
+        f"# 0\n{path}\n3\n100\n100\n2\n"
+        "1 0.9 0 0 49 49\n"     # fg, corner window
+        "0 0.1 60 60 90 90\n")  # bg
+    cfg = WindowDataConfig(source=str(win_file), batch_size=2,
+                           fg_fraction=0.5, context_pad=16, crop_size=227,
+                           mirror=False)
+    src = WindowDataSource(cfg, seed=0)
+    b = src.next_batch()
+    assert b["data"].shape == (2, 3, 227, 227)
+    fg = b["data"][0]
+    # pads computed above: 15 rows/cols of exact zeros, content elsewhere
+    assert np.all(fg[:, :15, :] == 0) and np.all(fg[:, :, :15] == 0)
+    assert np.any(fg[:, 15:, 15:] != 0)
+    # content equals cv2 warp of the clipped roi pasted at the pad offset
+    roi, (rw, rh), pw, ph = window_geometry((0, 0, 49, 49), 100, 100, 227, 16)
+    x1, y1, x2, y2 = roi
+    expect = cv2.resize(img[y1:y2 + 1, x1:x2 + 1], (rw, rh),
+                        interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_array_equal(
+        fg[:, ph:ph + rh, pw:pw + rw],
+        expect.astype(np.float32).transpose(2, 0, 1))

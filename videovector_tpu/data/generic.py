@@ -221,14 +221,83 @@ class WindowDataConfig:
     fg_fraction: float = 0.25
     context_pad: int = 0
     crop_size: int = 227
+    crop_mode: str = "warp"            # "warp" | "square" (ref :200-202)
     mirror: bool = True
+
+
+def window_geometry(box, img_w: int, img_h: int, crop_size: int,
+                    context_pad: int, *, use_square: bool = False,
+                    do_mirror: bool = False):
+    """The reference's pad-then-warp box arithmetic, value-exact
+    (ref:src/caffe/layers/window_data_layer.cpp:238-324): expand the box so
+    that after warping to crop_size×crop_size there is exactly context_pad
+    padding per side, clip to the image, and compute where the warped
+    clipped region lands in the output canvas.
+
+    box is (x1, y1, x2, y2) INCLUSIVE pixel coordinates. Returns
+    (roi (x1, y1, x2, y2) inclusive, (resize_w, resize_h), pad_w, pad_h).
+    The caller zero-fills the canvas (ref :205) and pastes the resized
+    patch at [pad_h : pad_h+resize_h, pad_w : pad_w+resize_w]."""
+    x1, y1, x2, y2 = (int(v) for v in box)
+    pad_w = pad_h = 0
+    resize_w = resize_h = crop_size
+    if context_pad > 0 or use_square:
+        if crop_size - 2 * context_pad <= 0:
+            # the reference divides by <=0 here (undefined behavior); fail
+            # loudly instead of producing an inverted box
+            raise ValueError(
+                f"context_pad {context_pad} must be < crop_size/2 "
+                f"({crop_size}/2)")
+        context_scale = crop_size / float(crop_size - 2 * context_pad)
+        half_height = (y2 - y1 + 1) / 2.0
+        half_width = (x2 - x1 + 1) / 2.0
+        center_x = x1 + half_width
+        center_y = y1 + half_height
+        if use_square:
+            half_width = half_height = max(half_width, half_height)
+        x1 = int(round(center_x - half_width * context_scale))
+        x2 = int(round(center_x + half_width * context_scale))
+        y1 = int(round(center_y - half_height * context_scale))
+        y2 = int(round(center_y + half_height * context_scale))
+
+        unclipped_h = y2 - y1 + 1
+        unclipped_w = x2 - x1 + 1
+        pad_x1 = max(0, -x1)
+        pad_y1 = max(0, -y1)
+        pad_x2 = max(0, x2 - img_w + 1)
+        pad_y2 = max(0, y2 - img_h + 1)
+        x1 += pad_x1
+        x2 -= pad_x2
+        y1 += pad_y1
+        y2 -= pad_y2
+        clipped_h = y2 - y1 + 1
+        clipped_w = x2 - x1 + 1
+
+        scale_x = crop_size / float(unclipped_w)
+        scale_y = crop_size / float(unclipped_h)
+        resize_w = int(round(clipped_w * scale_x))
+        resize_h = int(round(clipped_h * scale_y))
+        pad_x1 = int(round(pad_x1 * scale_x))
+        pad_x2 = int(round(pad_x2 * scale_x))
+        pad_y1 = int(round(pad_y1 * scale_y))
+
+        pad_h = pad_y1
+        # mirroring mirrors the padding too (ref :309-314)
+        pad_w = pad_x2 if do_mirror else pad_x1
+        if pad_h + resize_h > crop_size:
+            resize_h = crop_size - pad_h
+        if pad_w + resize_w > crop_size:
+            resize_w = crop_size - pad_w
+    return (x1, y1, x2, y2), (resize_w, resize_h), pad_w, pad_h
 
 
 class WindowDataSource:
     """Parses the reference's window-file format
     (`# <idx>\\n<img path>\\n<channels>\\n<h>\\n<w>\\n<num windows>\\n` then
     `<label> <overlap> <x1> <y1> <x2> <y2>` lines), samples fg/bg windows per
-    batch by fraction, crops + resizes with PIL."""
+    batch by fraction, crops with the reference's context-pad/warp geometry
+    (window_geometry above) and resizes with OpenCV INTER_LINEAR — the exact
+    operations of ref:src/caffe/layers/window_data_layer.cpp:326-352."""
 
     def __init__(self, cfg: WindowDataConfig, *, mean: np.ndarray | None = None,
                  seed: int = 1234):
@@ -259,21 +328,52 @@ class WindowDataSource:
                     self.bg.append((img_path, 0, box))
             i += 6 + num
 
-    def _crop(self, img_path: str, box) -> np.ndarray:
+    @staticmethod
+    def _imread_bgr(img_path: str) -> np.ndarray:
+        """(H, W, 3) uint8 BGR — cv::imread(CV_LOAD_IMAGE_COLOR) like the
+        reference (ref :230); PIL fallback keeps the source usable where
+        OpenCV is absent (identical geometry, near-identical resampling)."""
+        try:
+            import cv2
+            img = cv2.imread(img_path, 1)
+            if img is not None:
+                return img
+        except ImportError:
+            pass
         from PIL import Image
+        rgb = np.asarray(Image.open(img_path).convert("RGB"), np.uint8)
+        return np.ascontiguousarray(rgb[:, :, ::-1])
+
+    def _crop(self, img_path: str, box) -> np.ndarray:
         cs = self.cfg.crop_size
-        pad = self.cfg.context_pad
-        img = Image.open(img_path).convert("RGB")
-        x1, y1, x2, y2 = box
-        patch = img.crop((max(x1 - pad, 0), max(y1 - pad, 0),
-                          min(x2 + pad, img.width), min(y2 + pad, img.height)))
-        patch = patch.resize((cs, cs))
-        arr = np.asarray(patch, np.uint8)[:, :, ::-1].transpose(2, 0, 1)
-        out = arr.astype(np.float32)
+        img = self._imread_bgr(img_path)
+        img_h, img_w = img.shape[:2]
+        do_mirror = bool(self.cfg.mirror and self.rng.randint(2))
+        (x1, y1, x2, y2), (rw, rh), pad_w, pad_h = window_geometry(
+            box, img_w, img_h, cs, self.cfg.context_pad,
+            use_square=self.cfg.crop_mode == "square", do_mirror=do_mirror)
+        patch = img[y1:y2 + 1, x1:x2 + 1]
+        try:
+            import cv2
+            patch = cv2.resize(patch, (rw, rh), interpolation=cv2.INTER_LINEAR)
+        except ImportError:
+            from PIL import Image
+            patch = np.asarray(Image.fromarray(patch[:, :, ::-1]).resize(
+                (rw, rh), Image.BILINEAR), np.uint8)[:, :, ::-1]
+        if do_mirror:
+            patch = patch[:, ::-1]
+        # zero canvas + paste at the pad offset (ref :205, :343-348);
+        # mean subtraction applies only to the pasted region, with the
+        # mean indexed at the SAME padded offsets
+        out = np.zeros((3, cs, cs), np.float32)
+        hwc = patch.astype(np.float32)
+        region = hwc.transpose(2, 0, 1)
         if self.mean is not None:
-            out = out - self.mean[:, :cs, :cs]
-        if self.cfg.mirror and self.rng.randint(2):
-            out = out[:, :, ::-1]
+            mean_off = (self.mean.shape[-1] - cs) // 2
+            m = self.mean[:, mean_off + pad_h:mean_off + pad_h + rh,
+                          mean_off + pad_w:mean_off + pad_w + rw]
+            region = region - m
+        out[:, pad_h:pad_h + rh, pad_w:pad_w + rw] = region
         return out
 
     def next_batch(self) -> dict:

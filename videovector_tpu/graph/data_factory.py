@@ -183,6 +183,7 @@ def make_data_source(layer: Message, *, phase: str = "TRAIN", seed: int = 1234):
             bg_threshold=float(p.get("bg_threshold", 0.5)),
             fg_fraction=float(p.get("fg_fraction", 0.25)),
             context_pad=int(p.get("context_pad", 0)),
+            crop_mode=str(p.get("crop_mode", "warp")),
             crop_size=int(t.get("crop_size", 227)),
             mirror=bool(t.get("mirror", True)))
         src = WindowDataSource(cfg, mean=_load_mean(layer), seed=seed)
