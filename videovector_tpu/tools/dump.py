@@ -34,6 +34,10 @@ def _write_blob(path: str, arr: np.ndarray) -> None:
 def dump_network(model_path: str, out_dir: str, *,
                  weights: list[str] = (), batch: dict | None = None) -> dict:
     import jax
+    # parity dumps must be numerically faithful: on TPU, f32 matmuls default
+    # to fast bf16 passes (~1e-3 error) — force full f32 accumulation here
+    # (this tool is for debugging, never the perf path)
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
     from videovector_tpu.config.textformat import parse_file
     from videovector_tpu.graph.data_factory import MergedSource, make_data_source
@@ -84,12 +88,24 @@ def main(argv=None) -> int:
     p.add_argument("--model", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--weights", action="append", default=[])
+    p.add_argument("--input", action="append", default=[],
+                   help="name=path.blob — feed a fixed BlobProto as a graph "
+                        "input instead of pulling from the net's data layers "
+                        "(the dump_network parity workflow)")
     p = sub.add_parser("learned_blobs")
     p.add_argument("--weights", required=True, help=".vvmodel file")
     p.add_argument("--out", required=True)
     args = parser.parse_args(argv)
     if args.command == "network":
-        dump_network(args.model, args.out, weights=args.weights)
+        batch = None
+        if args.input:
+            from videovector_tpu.data.wire import BlobProto
+            batch = {}
+            for spec in args.input:
+                name, _, path = spec.partition("=")
+                with open(path, "rb") as f:
+                    batch[name] = BlobProto.decode(f.read()).to_array()
+        dump_network(args.model, args.out, weights=args.weights, batch=batch)
     else:
         from videovector_tpu.solver.checkpoint import load_model
         dump_learned_blobs(load_model(args.weights), args.out)
