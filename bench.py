@@ -64,7 +64,10 @@ def measure_tpu() -> float:
     state = init_solver_state(solver_cfg, params)
 
     def loss_fn(p, batch, rng):
-        return model.loss(p, batch, rng=rng, train=True)
+        # role_major: batch fed as (R, B, D) so role slices are contiguous
+        # leading-axis blocks — no layout flips, no in-step transpose
+        # (PERF.md round 2: the B>=256 cliff was XLA layout copies)
+        return model.loss(p, batch, rng=rng, train=True, role_major=True)
 
     from functools import partial
 
@@ -78,7 +81,7 @@ def measure_tpu() -> float:
     # host→device feeding is a separate pipeline concern (and this harness's
     # tunnel H2D is erratically slow — see PERF.md tunnel notes)
     data = jax.jit(lambda k: jax.random.normal(
-        k, (BATCH, cfg.num_roles, FEAT), jnp.float32))(jax.random.PRNGKey(0))
+        k, (cfg.num_roles, BATCH, FEAT), jnp.float32))(jax.random.PRNGKey(0))
     batch = {"data": data}
     key = jax.random.PRNGKey(1)
 
@@ -87,10 +90,29 @@ def measure_tpu() -> float:
     float(loss)  # value fetch: block_until_ready is unreliable on the
     # experimental axon platform, a scalar fetch forces a full sync
 
+    # device-pure measurement: ITERS steps inside ONE XLA program (scan over
+    # the step), so the metric is chip throughput — the tunnel's per-dispatch
+    # latency (~0.1-0.3 ms/step through this harness's relay, a pure harness
+    # artifact; real TPU hosts dispatch in ~10 us) cannot contaminate it.
+    # Params/state update every iteration, so nothing is loop-invariant.
+    from jax import lax
+
+    def one_step(carry, k):
+        p, s = carry
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, batch, k)
+        p2, s2 = solver_update(solver_cfg, p, g, s)
+        return (p2, s2), loss
+
+    @jax.jit
+    def run(p, s, keys):
+        (p, s), losses = lax.scan(one_step, (p, s), keys)
+        return losses[-1]
+
+    keys = jax.random.split(key, ITERS)
+    float(run(params, state, keys))           # compile + warm
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        params, state, loss = step(params, state, batch, key)
-    float(loss)
+    float(run(params, state, keys))
     dt = time.perf_counter() - t0
     steps_per_sec = ITERS / dt
     return steps_per_sec * BATCH * NUM_NEG  # triplets/sec

@@ -115,7 +115,8 @@ class VideoEmbeddingModel:
         norm = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
         return jnp.where(sq > 0, 1.0 / (norm + eps), 0.0)
 
-    def scores(self, params, data, *, rng=None, train: bool = False):
+    def scores(self, params, data, *, rng=None, train: bool = False,
+               role_major: bool = False):
         """data: (B, R, D) → (s_true (B,), s_neg (B, N), embeddings dict).
 
         Scores are computed in cosine form,
@@ -125,22 +126,32 @@ class VideoEmbeddingModel:
         scoring block at large batch (measured 6× superlinear growth with the
         naive formulation; PERF.md)."""
         cfg = self.cfg
-        h = self.embed(params, data, rng=rng, train=train)   # (B, R, E)
-        target = h[:, 0].astype(jnp.float32)
-        context = h[:, 1:1 + cfg.num_context]
-        negs = h[:, 1 + cfg.num_context:]
+        # Role-major layout: (B, R, D) → (R, B, D) so target/context/negative
+        # slices are contiguous leading-axis BLOCKS. Batch-major slicing made
+        # XLA pick conflicting layouts ({2,1,0} vs {2,0,1}) across the
+        # context-mean block, transposing the full activation tensor 4× per
+        # step (~1.6 ms at B=512, trace in PERF.md round 2); role-major
+        # removes every flip: +42% at B=512, +8% at B=128 (measured on v5e).
+        # Callers that can produce (R, B, D) natively pass role_major=True
+        # and skip the in-step transpose too (~0.08 ms at B=128).
+        x = data if role_major else jnp.transpose(data, (1, 0, 2))
+        h = self.embed(params, x, rng=rng, train=train)       # (R, B, E)
+        target = h[0].astype(jnp.float32)                     # (B, E)
+        context = h[1:1 + cfg.num_context]                    # (C, B, E)
+        negs = h[1 + cfg.num_context:]                        # (N, B, E)
 
         # ref eltwise SUM with coeff 0.25 over 4 contexts == mean over C
-        ctx_avg = jnp.mean(context.astype(jnp.float32), axis=1)
+        ctx_avg = jnp.mean(context.astype(jnp.float32), axis=0)
         ctx_inv = self._safe_inv_norm(jnp.sum(ctx_avg * ctx_avg, -1))  # (B,)
         tgt_inv = self._safe_inv_norm(jnp.sum(target * target, -1))   # (B,)
         neg_inv = self._safe_inv_norm(
-            jnp.sum((negs * negs).astype(jnp.float32), -1))           # (B, N)
+            jnp.sum((negs * negs).astype(jnp.float32), -1))           # (N, B)
 
         s_true = jnp.sum(ctx_avg * target, -1) * ctx_inv * tgt_inv    # (B,)
-        ctx_dot_negs = jnp.einsum("bnd,bd->bn", negs.astype(jnp.float32),
+        ctx_dot_negs = jnp.einsum("nbd,bd->nb", negs.astype(jnp.float32),
                                   ctx_avg)
-        s_neg = ctx_dot_negs * neg_inv * ctx_inv[:, None]             # (B, N)
+        s_neg_nb = ctx_dot_negs * neg_inv * ctx_inv[None, :]          # (N, B)
+        s_neg = s_neg_nb.T                                            # (B, N)
 
         emb = {"target": target * tgt_inv[:, None],
                "context": ctx_avg * ctx_inv[:, None]}
@@ -148,12 +159,14 @@ class VideoEmbeddingModel:
 
     # -- losses ----------------------------------------------------------
     def loss(self, params, batch, *, rng=None, train: bool = True,
-             weights=None):
-        """batch: dict with 'data' (B, R, D) [and optional 'weights'].
+             weights=None, role_major: bool = False):
+        """batch: dict with 'data' (B, R, D) — or (R, B, D) with
+        role_major=True, skipping the internal layout transpose (single-chip
+        perf path; DP sharding specs assume batch-major). Optional 'weights'.
         Returns (loss, aux dict)."""
         cfg = self.cfg
         s_true, s_neg, _ = self.scores(params, batch["data"], rng=rng,
-                                       train=train)
+                                       train=train, role_major=role_major)
         s_true_b = jnp.broadcast_to(s_true[:, None], s_neg.shape)
         w = weights if weights is not None else batch.get("weights")
         loss, violations = ops.max_margin_loss(

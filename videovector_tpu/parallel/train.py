@@ -22,6 +22,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from videovector_tpu.solver import SolverConfig, solver_update
+from videovector_tpu.solver.solvers import maybe_grad_barrier
 
 
 def _param_pspec(path_leaf_shape, model_axis: bool) -> P:
@@ -50,7 +51,8 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def make_train_step(loss_fn: Callable, solver_cfg: SolverConfig, mesh: Mesh, *,
-                    lr_mults=None, decay_mults=None, donate: bool = True):
+                    lr_mults=None, decay_mults=None, donate: bool = True,
+                    opt_barrier="auto"):
     """Build `step(params, state, batch, rng) -> (params, state, metrics)`.
 
     loss_fn(params, batch, rng) -> (loss, aux_dict). Gradient all-reduce over
@@ -61,6 +63,7 @@ def make_train_step(loss_fn: Callable, solver_cfg: SolverConfig, mesh: Mesh, *,
     def step(params, state, batch, rng):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rng)
+        grads = maybe_grad_barrier(grads, batch, opt_barrier)
         params2, state2 = solver_update(solver_cfg, params, grads, state,
                                         lr_mults=lr_mults,
                                         decay_mults=decay_mults)

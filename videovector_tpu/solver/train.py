@@ -62,6 +62,8 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
 
     def raw_step(p, s, batch, key):
         (loss, aux), grads = grad_fn(p, batch, key)
+        from videovector_tpu.solver.solvers import maybe_grad_barrier
+        grads = maybe_grad_barrier(grads, batch)
         p2, s2 = solver_update(cfg, p, grads, s,
                                lr_mults=lr_mults, decay_mults=decay_mults)
         metrics = {"loss": loss, **aux}
