@@ -20,14 +20,15 @@ import os
 import numpy as np
 
 _LIB = None
-_SEARCHED = False
+_BUILD_TRIED = False
 
 
 def _find_lib():
-    global _LIB, _SEARCHED
-    if _SEARCHED:
+    # Only a successful load is cached: an import that races ahead of the
+    # on-demand build must not latch "missing" for the rest of the process.
+    global _LIB, _BUILD_TRIED
+    if _LIB is not None:
         return _LIB
-    _SEARCHED = True
     here = os.path.dirname(os.path.abspath(__file__))
     candidates = [
         os.environ.get("VVDATA_LIB", ""),
@@ -39,6 +40,17 @@ def _find_lib():
             _configure(lib)
             _LIB = lib
             return lib
+    if not _BUILD_TRIED:
+        _BUILD_TRIED = True
+        import subprocess
+        native_dir = os.path.join(here, "..", "..", "native")
+        if os.path.exists(os.path.join(native_dir, "Makefile")):
+            try:
+                subprocess.run(["make", "-C", native_dir],
+                               capture_output=True, timeout=120)
+            except Exception:
+                pass
+            return _find_lib()
     return None
 
 
