@@ -345,6 +345,23 @@ def test_extract_features_tool(mini_project, tmp_path):
     assert len(lines) == 24
 
 
+def test_extract_features_leveldb_backend(mini_project, tmp_path):
+    """backend="leveldb" mirrors the reference's output format
+    (ref:tools/extract_features.cpp:127-146: a LevelDB of Datums per blob)."""
+    from videovector_tpu.tools.extract_features import extract
+    from videovector_tpu.data.leveldbio import LevelDbReader
+    from videovector_tpu.data.wire import Datum as D
+    out_prefix = str(tmp_path / "feats")
+    counts = extract(mini_project["net"], [], ["ctxn"], out_prefix, 2,
+                     backend="leveldb")
+    assert counts["ctxn"] == 24
+    r = LevelDbReader(out_prefix + "_ctxn_leveldb", verify_checksums=True)
+    assert len(r) == 24
+    assert r.key(0) == b"0000000000"
+    d = D.decode(r.value(0))
+    assert len(d.float_data) == 16
+
+
 def test_dump_network_tool(mini_project, tmp_path):
     from videovector_tpu.tools.dump import dump_network
     out = str(tmp_path / "dump")

@@ -44,6 +44,9 @@ class RecordWriter:
         self._f.write(value)
         self._index.append((off, len(value), key))
 
+    # uniform writer protocol shared with LmdbWriter / LevelDbWriter
+    put = append
+
     def close(self) -> None:
         if self._closed:
             return
@@ -125,10 +128,11 @@ def write_records(path: str, items) -> None:
 
 
 def convert_dir_or_file(source: str) -> str:
-    """Dataset paths in reference prototxts point at LMDB dirs; our stores are
-    single .vvr files. Accept `<path>.vvr`, a directory containing `data.vvr`,
-    or a reference LMDB environment (directory with data.mdb / direct .mdb
-    file) — `open_store` dispatches on content."""
+    """Dataset paths in reference prototxts point at LMDB/LevelDB dirs; our
+    stores are single .vvr files. Accept `<path>.vvr`, a directory containing
+    `data.vvr`, a reference LMDB environment (directory with data.mdb /
+    direct .mdb file), or a LevelDB directory (has CURRENT) — `open_store`
+    dispatches on content."""
     if os.path.isdir(source):
         cand = os.path.join(source, "data.vvr")
         if os.path.exists(cand):
@@ -150,12 +154,37 @@ def is_vvr(path: str) -> bool:
         return False
 
 
+def open_store_writer(path: str, backend: str = "vvr"):
+    """Uniform writer factory: `put(key, value)` + close/context-manager.
+    backend: "vvr" (native records), "lmdb" or "leveldb" (databases the
+    reference binaries open directly)."""
+    if backend == "vvr":
+        return RecordWriter(path)
+    if backend == "lmdb":
+        from videovector_tpu.data.lmdbio import LmdbWriter
+        return LmdbWriter(path)
+    if backend == "leveldb":
+        from videovector_tpu.data.leveldbio import LevelDbWriter
+        return LevelDbWriter(path)
+    raise ValueError(f"unknown store backend {backend!r}")
+
+
 def open_store(path: str):
     """Open a key→value store by content sniffing: VVR magic → RecordReader,
-    LMDB meta magic → lmdbio.LmdbReader (pure-Python walker over reference
-    databases, ref:src/caffe/layers/video_sampled_shots_data_layer.cpp:122-135).
-    Both expose len/key/value/__getitem__/__iter__/index_of/get."""
+    LMDB meta magic → lmdbio.LmdbReader, LevelDB directory (CURRENT file) →
+    leveldbio.LevelDbReader (the reference reads either db backend,
+    ref:src/caffe/layers/video_sampled_shots_data_layer.cpp:122-135,
+    ref:src/caffe/layers/data_layer.cpp:35-75).
+    All expose len/key/value/__getitem__/__iter__/index_of/get."""
     path = convert_dir_or_file(path)
+    if os.path.isdir(path):
+        from videovector_tpu.data.leveldbio import (
+            LevelDbReader, resolve_leveldb_path,
+        )
+        if resolve_leveldb_path(path):
+            return LevelDbReader(path)
+        raise ValueError(f"{path}: directory is not a LevelDB environment "
+                         "and holds no data.vvr / data.mdb")
     with open(path, "rb") as f:
         head = f.read(24)
     if head[:8] == MAGIC:

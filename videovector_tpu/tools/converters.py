@@ -175,6 +175,32 @@ def export_lmdb(records_path: str, db_path: str) -> int:
     return len(reader)
 
 
+def import_leveldb(db_path: str, out: str) -> int:
+    """Copy a reference LevelDB directory into a VVR store (iteration order
+    == key order, matching SeekToFirst/Next cursor walks,
+    ref:src/caffe/layers/data_layer.cpp:50-66). Returns the entry count."""
+    from videovector_tpu.data.leveldbio import LevelDbReader
+    reader = LevelDbReader(db_path)
+    with RecordWriter(out) as w:
+        for key, value in reader:
+            w.append(key, bytes(value))
+    n = len(reader)
+    reader.close()
+    return n
+
+
+def export_leveldb(records_path: str, db_path: str) -> int:
+    """Write a store out as a LevelDB directory the reference binaries can
+    open (compacted level-0 tables + MANIFEST). Returns the entry count."""
+    from videovector_tpu.data.leveldbio import LevelDbWriter
+    from videovector_tpu.data.records import open_store
+    reader = open_store(records_path)
+    with LevelDbWriter(db_path) as w:
+        for key, value in reader:
+            w.put(key, bytes(value))
+    return len(reader)
+
+
 def export_net(net_prototxt: str, model: str, out: str) -> None:
     """Write a FULL binary NetParameter (layer configs + blobs [+ diffs if
     the .vvmodel carries snapshot_diff payload]) — Net::ToProto parity
@@ -232,6 +258,14 @@ def main(argv=None) -> int:
     p.add_argument("records")
     p.add_argument("db")
 
+    p = sub.add_parser("import_leveldb")
+    p.add_argument("db")
+    p.add_argument("out")
+
+    p = sub.add_parser("export_leveldb")
+    p.add_argument("records")
+    p.add_argument("db")
+
     p = sub.add_parser("export_net")
     p.add_argument("net_prototxt")
     p.add_argument("model")
@@ -259,6 +293,12 @@ def main(argv=None) -> int:
         print(f"imported {n} entries from {args.db} -> {args.out}")
     elif args.command == "export_lmdb":
         n = export_lmdb(args.records, args.db)
+        print(f"exported {n} entries from {args.records} -> {args.db}")
+    elif args.command == "import_leveldb":
+        n = import_leveldb(args.db, args.out)
+        print(f"imported {n} entries from {args.db} -> {args.out}")
+    elif args.command == "export_leveldb":
+        n = export_leveldb(args.records, args.db)
         print(f"exported {n} entries from {args.records} -> {args.db}")
     elif args.command == "export_net":
         export_net(args.net_prototxt, args.model, args.out)

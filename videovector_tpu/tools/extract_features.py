@@ -24,11 +24,12 @@ log = get_logger(__name__)
 
 
 def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
-            out_prefix: str, num_batches: int) -> dict:
+            out_prefix: str, num_batches: int,
+            backend: str = "vvr") -> dict:
     import jax
     import jax.numpy as jnp
     from videovector_tpu.config.textformat import parse_file
-    from videovector_tpu.data.records import RecordWriter
+    from videovector_tpu.data.records import open_store_writer
     from videovector_tpu.data.wire import Datum
     from videovector_tpu.graph.data_factory import MergedSource, make_data_source
     from videovector_tpu.graph.layers import DATA_LAYER_TYPES
@@ -54,7 +55,13 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
     prefetcher = DevicePrefetcher(iter(source), depth=2,
                                   max_batches=num_batches)
 
-    writers = {name: RecordWriter(f"{out_prefix}_{name}.vvr")
+    # backend "leveldb" matches the reference byte-for-byte (it writes each
+    # blob's Datums into a LevelDB directory, extract_features.cpp:127-146);
+    # "vvr" is the fast native store, "lmdb" the other reference db.
+    suffix = {"vvr": "_{}.vvr", "leveldb": "_{}_leveldb",
+              "lmdb": "_{}_lmdb"}[backend]
+    writers = {name: open_store_writer(out_prefix + suffix.format(name),
+                                       backend)
                for name in blob_names}
     texts = {name: open(f"{out_prefix}_{name}.txt", "w")
              for name in blob_names}
@@ -67,7 +74,7 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
                 feats = feats.reshape(feats.shape[0], -1)
                 for row in feats:
                     key = f"{counts[name]:010d}"
-                    writers[name].append(
+                    writers[name].put(
                         key, Datum(channels=len(row), height=1, width=1,
                                    float_data=row).encode())
                     texts[name].write(",".join(f"{v:.6f}" for v in row) + "\n")
@@ -91,9 +98,13 @@ def main(argv=None) -> int:
                         help="comma-separated blob names")
     parser.add_argument("--out", required=True, help="output path prefix")
     parser.add_argument("--num_batches", type=int, default=10)
+    parser.add_argument("--backend", default="vvr",
+                        choices=["vvr", "leveldb", "lmdb"],
+                        help="feature store format (leveldb = reference "
+                             "extract_features output format)")
     args = parser.parse_args(argv)
     extract(args.model, args.weights, args.blobs.split(","), args.out,
-            args.num_batches)
+            args.num_batches, backend=args.backend)
     return 0
 
 
