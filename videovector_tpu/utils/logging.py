@@ -53,4 +53,12 @@ def get_logger(name: str = "vvtpu") -> logging.Logger:
                 root.setLevel(os.environ.get("VVTPU_LOG_LEVEL", "INFO"))
                 root.propagate = False
             _CONFIGURED = True
+    # Names outside the configured hierarchies (notably "__main__" when a
+    # tool runs via `python -m ...`) would otherwise fall through to the
+    # handler-less root logger and every INFO line would vanish — route
+    # them under "vvtpu" instead.
+    if not (name == "vvtpu" or name.startswith("vvtpu.")
+            or name == "videovector_tpu"
+            or name.startswith("videovector_tpu.")):
+        name = f"vvtpu.{name}"
     return logging.getLogger(name)
