@@ -325,8 +325,41 @@ def test_cli_finetune_from_caffemodel(mini_project, tmp_path):
 
 def test_cli_time(mini_project):
     from videovector_tpu.tools.cli import main
+    # segmented (default): one compile, per-layer marginal costs
     assert main(["time", "--model", mini_project["net"],
                  "--iterations", "2"]) == 0
+    # isolated: reference caffe.cpp semantics (jit per layer)
+    assert main(["time", "--model", mini_project["net"],
+                 "--iterations", "2", "--per_layer", "isolated"]) == 0
+    assert main(["time", "--model", mini_project["net"],
+                 "--iterations", "2", "--fused_only"]) == 0
+
+
+def test_segmented_timing_covers_every_layer(mini_project):
+    """The segmented mode must report a marginal line for every compute
+    layer and a prefix-sum total."""
+    import logging
+
+    class _Collect(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.lines = []
+
+        def emit(self, record):
+            self.lines.append(record.getMessage())
+
+    handler = _Collect()
+    logger = logging.getLogger("videovector_tpu")
+    logger.addHandler(handler)
+    try:
+        from videovector_tpu.tools.cli import main
+        main(["time", "--model", mini_project["net"], "--iterations", "1"])
+    finally:
+        logger.removeHandler(handler)
+    text = "\n".join(handler.lines)
+    assert "forward (marginal)" in text
+    assert "Total forward (prefix sum)" in text
+    assert "Fused forward-backward" in text
 
 
 def test_extract_features_tool(mini_project, tmp_path):

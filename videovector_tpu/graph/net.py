@@ -297,7 +297,7 @@ class Net:
     # ------------------------------------------------------------------
     def apply(self, params, batch: dict[str, Any], *, rng=None,
               return_blobs: bool = False, state=None,
-              return_state: bool = False):
+              return_state: bool = False, max_layers: int | None = None):
         """Forward pass. Returns (loss, outputs) where outputs maps every
         blob name that is not consumed downstream (net outputs,
         ref:src/caffe/net.cpp:206-212) — or all blobs if return_blobs.
@@ -306,7 +306,11 @@ class Net:
         the reference's next_cell_/next_out_ buffers,
         ref:src/caffe/layers/lstm_layer.cpp:171-173,261-264); with
         `return_state=True` the result gains a third element: the updated
-        carry to feed into the next forward."""
+        carry to feed into the next forward.
+
+        `max_layers` stops after the first N compute layers (the engine
+        analogue of Net::ForwardFromTo, ref:src/caffe/net.cpp:502-514) —
+        used by the segmented `vvtpu time` benchmark."""
         blobs: dict[str, Any] = {}
         for name in self.input_names:
             if name not in batch:
@@ -318,11 +322,15 @@ class Net:
         loss = jnp.float32(0.0)
         consumed: set[str] = set()
 
+        applied = 0
         for layer in self.layers:
             ltype = layer.get("type")
             lname = layer.get("name")
             if ltype in DATA_LAYER_TYPES:
                 continue
+            if max_layers is not None and applied >= max_layers:
+                break
+            applied += 1
             ldef = LAYERS[ltype]
             bottoms = [str(b) for b in layer.get_list("bottom")]
             consumed.update(bottoms)

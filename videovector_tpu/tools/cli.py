@@ -155,9 +155,18 @@ def cmd_time(args) -> int:
 
     iters = args.iterations
     log.info("*** Benchmark begins ***")
+    mode = getattr(args, "per_layer", "segmented")
     if getattr(args, "fused_only", False):
+        mode = "off"
+    if mode == "off":
         return _time_fused(net, params, batch, iters)
+    if mode == "segmented":
+        _time_segmented(net, params, batch, iters)
+        _time_fused(net, params, batch, iters)
+        return 0
 
+    # isolated mode: each layer jitted alone (one compile per layer — fine
+    # on local hosts, slow over remote-compile tunnels; use segmented there)
     # materialize all blobs once
     _, blobs = net.apply(params, batch, rng=jax.random.PRNGKey(0),
                          return_blobs=True)
@@ -186,6 +195,56 @@ def cmd_time(args) -> int:
     log.info("Total per-layer forward: %.3f ms", total)
 
     _time_fused(net, params, batch, iters)
+    return 0
+
+
+def _time_segmented(net, params, batch, iters):
+    """Per-layer timing from ONE compiled program: every graph prefix is a
+    branch of a single lax.switch, so the whole benchmark costs one XLA
+    compile (the isolated mode's per-layer compiles are prohibitive over
+    remote-compile tunnels). Layer cost is reported as the marginal time of
+    adding that layer to the prefix — prefix L equals the full fused
+    forward, so the column sums to what you actually pay, including XLA
+    fusion across layer boundaries (unlike per-layer Forward loops,
+    ref:tools/caffe.cpp:194-266, which can't see fusion)."""
+    import jax
+    import jax.numpy as jnp
+    from videovector_tpu.graph.layers import DATA_LAYER_TYPES
+
+    names = [str(l.get("name")) for l in net.layers
+             if l.get("type") not in DATA_LAYER_TYPES]
+    num = len(names)
+    key = jax.random.PRNGKey(0)
+
+    def make_branch(k):
+        def branch(p, b):
+            _, blobs = net.apply(p, b, rng=key, return_blobs=True,
+                                 max_layers=k)
+            tot = jnp.float32(0.0)
+            for v in blobs.values():  # touch every blob: no DCE of branches
+                tot = tot + jnp.sum(jnp.abs(v.astype(jnp.float32)))
+            return tot
+        return branch
+
+    fn = jax.jit(lambda i, p, b: jax.lax.switch(
+        i, [make_branch(k) for k in range(num + 1)], p, b))
+    float(fn(0, params, batch))  # one compile for all prefixes
+
+    prefix_ms = []
+    for k in range(num + 1):
+        float(fn(k, params, batch))  # warm this branch's execution path
+        t0 = _time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fn(k, params, batch)
+        float(out)  # scalar fetch: reliable fence on axon
+        prefix_ms.append((_time.perf_counter() - t0) / iters * 1e3)
+    total = 0.0
+    for i, name in enumerate(names):
+        dt = prefix_ms[i + 1] - prefix_ms[i]
+        total += dt
+        log.info("%-24s forward (marginal): %.3f ms", name, dt)
+    log.info("Total forward (prefix sum): %.3f ms", total)
     return 0
 
 
@@ -236,10 +295,15 @@ def main(argv=None) -> int:
     p = sub.add_parser("time", help="per-layer timing benchmark")
     p.add_argument("--model", required=True)
     p.add_argument("--iterations", type=int, default=50)
-    p.add_argument("--fused_only", action="store_true",
-                   help="skip per-layer timing (one compile per layer — slow "
-                        "over remote-compile tunnels); time the whole jitted "
+    p.add_argument("--per_layer", default="segmented",
+                   choices=["segmented", "isolated", "off"],
+                   help="segmented (default): ONE compile, per-layer cost as "
+                        "marginal prefix time (fusion-aware, tunnel-friendly); "
+                        "isolated: jit each layer alone (reference caffe.cpp "
+                        "semantics, one compile per layer); off: fused "
                         "forward-backward only")
+    p.add_argument("--fused_only", action="store_true",
+                   help="[deprecated] alias for --per_layer=off")
     p.set_defaults(fn=cmd_time)
 
     # deprecated shims (ref:tools/train_net.cpp:3-6 etc. — thin aliases)
