@@ -91,6 +91,25 @@ def test_video_level_average(rng):
     np.testing.assert_allclose(np.asarray(vf)[1], feats[2:5].mean(0), rtol=1e-6)
 
 
+def test_video_level_average_jits_and_orders_by_first_occurrence(rng):
+    """The eval graph must fuse on device: video_level_average under jit,
+    videos in first-occurrence order (the reference's sequential scan,
+    ref:src/caffe/layers/retrieval_stats_layer.cpp:165-205), interleaved
+    video ids handled."""
+    import jax
+    feats = rng.randn(8, 5).astype(np.float32)
+    vids = np.array([9, 3, 9, 3, 1, 9, 1, 3])  # interleaved, not sorted
+    fn = jax.jit(lambda f, v: video_level_average(f, v, 3))
+    vf, uids = fn(feats, vids)
+    np.testing.assert_array_equal(np.asarray(uids), [9, 3, 1])
+    np.testing.assert_allclose(np.asarray(vf)[0], feats[[0, 2, 5]].mean(0),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(vf)[1], feats[[1, 3, 7]].mean(0),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(vf)[2], feats[[4, 6]].mean(0),
+                               rtol=1e-5)
+
+
 def test_rank_stats_identity_mode(rng):
     b, d = 12, 6
     ctx = rng.randn(b, d).astype(np.float32)

@@ -58,15 +58,27 @@ class IdToClassMap:
 def video_level_average(features, video_ids, num_videos: int):
     """Average shot features per video (ref video_level_retrieval mode,
     ref:src/caffe/layers/retrieval_stats_layer.cpp:165-205). Returns
-    (video_features (num_videos, D), unique_video_ids (num_videos,)).
-    Host-side helper (dynamic unique), not jitted."""
-    video_ids = np.asarray(video_ids).astype(np.int64)
-    uniq = np.array(sorted(set(video_ids.tolist()), key=video_ids.tolist().index))
-    if len(uniq) != num_videos:
-        raise ValueError(f"expected {num_videos} videos, found {len(uniq)}")
-    feats = np.asarray(features)
-    out = np.stack([feats[video_ids == v].mean(axis=0) for v in uniq])
-    return jnp.asarray(out), jnp.asarray(uniq, dtype=jnp.int32)
+    (video_features (num_videos, D), unique_video_ids (num_videos,)),
+    videos ordered by first occurrence (the reference's sequential scan).
+
+    Fully jittable: group ids come from a first-occurrence scan
+    (O(N²) equality matrix — trivial at gallery scale) and the averages
+    from segment_sum, so the whole eval graph fuses on device.
+    `num_videos` must be static (it sizes the output)."""
+    video_ids = jnp.asarray(video_ids).reshape(-1).astype(jnp.int32)
+    feats = jnp.asarray(features)
+    n = video_ids.shape[0]
+    eq = video_ids[:, None] == video_ids[None, :]
+    first_idx = jnp.argmax(eq, axis=1)            # first position of my id
+    is_first = first_idx == jnp.arange(n)
+    seg_of_first = jnp.cumsum(is_first) - 1       # 0-based, first-occurrence order
+    seg = seg_of_first[first_idx]                 # every shot → its video's segment
+    sums = jax.ops.segment_sum(feats, seg, num_segments=num_videos)
+    counts = jax.ops.segment_sum(jnp.ones((n,), feats.dtype), seg,
+                                 num_segments=num_videos)
+    means = sums / jnp.maximum(counts, 1.0)[:, None]
+    uniq = jax.ops.segment_max(video_ids, seg, num_segments=num_videos)
+    return means, uniq
 
 
 def retrieval_stats(features, video_ids, class_ids, *,
