@@ -533,4 +533,107 @@ void vv_sampler_destroy(void* h) {
   delete s;
 }
 
+// ---------------------------------------------------------------------------
+// LevelDB interop hot paths: CRC32C + raw snappy decode.
+// Pure-Python twins live in videovector_tpu/data/leveldbio.py; these keep
+// bulk imports of reference databases at native speed (the reference links
+// the real snappy/crc32c, Makefile.config).
+
+// CRC-32C (Castagnoli, reflected 0x82f63b78), slicing-by-8.
+static uint32_t g_crc_tables[8][256];
+static bool g_crc_init = [] {
+  for (uint32_t n = 0; n < 256; ++n) {
+    uint32_t c = n;
+    for (int k = 0; k < 8; ++k) c = (c & 1) ? (c >> 1) ^ 0x82f63b78u : c >> 1;
+    g_crc_tables[0][n] = c;
+  }
+  for (int t = 1; t < 8; ++t)
+    for (uint32_t n = 0; n < 256; ++n)
+      g_crc_tables[t][n] = g_crc_tables[0][g_crc_tables[t - 1][n] & 0xff] ^
+                           (g_crc_tables[t - 1][n] >> 8);
+  return true;
+}();
+
+uint32_t vv_crc32c(const uint8_t* p, int64_t n, uint32_t crc) {
+  crc ^= 0xffffffffu;
+  while (n >= 8) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    crc ^= static_cast<uint32_t>(v);
+    uint32_t hi = static_cast<uint32_t>(v >> 32);
+    crc = g_crc_tables[7][crc & 0xff] ^ g_crc_tables[6][(crc >> 8) & 0xff] ^
+          g_crc_tables[5][(crc >> 16) & 0xff] ^ g_crc_tables[4][crc >> 24] ^
+          g_crc_tables[3][hi & 0xff] ^ g_crc_tables[2][(hi >> 8) & 0xff] ^
+          g_crc_tables[1][(hi >> 16) & 0xff] ^ g_crc_tables[0][hi >> 24];
+    p += 8;
+    n -= 8;
+  }
+  while (n-- > 0) crc = (crc >> 8) ^ g_crc_tables[0][(crc ^ *p++) & 0xff];
+  return crc ^ 0xffffffffu;
+}
+
+// Raw-format snappy decode (the leveldb block compression format).
+// Returns the decompressed length, or -1 on corrupt input / short buffer.
+int64_t vv_snappy_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
+                             int64_t out_cap) {
+  int64_t pos = 0;
+  uint64_t ulen = 0;
+  int shift = 0;
+  while (true) {
+    if (pos >= in_len) return -1;
+    uint8_t b = in[pos++];
+    ulen |= static_cast<uint64_t>(b & 0x7f) << shift;
+    if (!(b & 0x80)) break;
+    shift += 7;
+  }
+  if (static_cast<int64_t>(ulen) > out_cap) return -1;
+  int64_t o = 0;
+  while (pos < in_len) {
+    uint8_t tag = in[pos++];
+    if ((tag & 3) == 0) {  // literal
+      int64_t len = tag >> 2;
+      if (len >= 60) {
+        int nb = static_cast<int>(len) - 59;
+        if (pos + nb > in_len) return -1;
+        len = 0;
+        for (int i = 0; i < nb; ++i)
+          len |= static_cast<int64_t>(in[pos + i]) << (8 * i);
+        pos += nb;
+      }
+      len += 1;
+      if (pos + len > in_len || o + len > out_cap) return -1;
+      memcpy(out + o, in + pos, len);
+      pos += len;
+      o += len;
+      continue;
+    }
+    int64_t len, off;
+    if ((tag & 3) == 1) {
+      if (pos >= in_len) return -1;
+      len = ((tag >> 2) & 7) + 4;
+      off = (static_cast<int64_t>(tag >> 5) << 8) | in[pos++];
+    } else if ((tag & 3) == 2) {
+      if (pos + 2 > in_len) return -1;
+      len = (tag >> 2) + 1;
+      off = in[pos] | (static_cast<int64_t>(in[pos + 1]) << 8);
+      pos += 2;
+    } else {
+      if (pos + 4 > in_len) return -1;
+      len = (tag >> 2) + 1;
+      off = in[pos] | (static_cast<int64_t>(in[pos + 1]) << 8) |
+            (static_cast<int64_t>(in[pos + 2]) << 16) |
+            (static_cast<int64_t>(in[pos + 3]) << 24);
+      pos += 4;
+    }
+    if (off == 0 || off > o || o + len > out_cap) return -1;
+    if (off >= len) {
+      memcpy(out + o, out + o - off, len);
+      o += len;
+    } else {  // overlapping copy: byte-at-a-time run extension
+      for (int64_t i = 0; i < len; ++i, ++o) out[o] = out[o - off];
+    }
+  }
+  return (o == static_cast<int64_t>(ulen)) ? o : -1;
+}
+
 }  // extern "C"

@@ -101,6 +101,28 @@ def test_snappy_rejects_corrupt():
         snappy_decompress(bytes([4, (3 << 2) | 1, 9]))
 
 
+def test_native_twins_match_python():
+    """libvvdata's C crc32c / snappy decoder must agree byte-for-byte with
+    the pure-Python implementations (which own the correctness vectors)."""
+    from videovector_tpu.data import leveldbio as L
+    lib = L._native_lib()
+    if lib is False:
+        pytest.skip("libvvdata not built")
+    rng = random.Random(11)
+    for size in (256, 4096, 70000):
+        data = bytes(rng.randrange(256) for _ in range(size))
+        assert lib.vv_crc32c(data, len(data), 0) == L._crc32c_py(data)
+        assert lib.vv_crc32c(data, len(data), 12345) == \
+            L._crc32c_py(data, 12345)
+        comp = snappy_compress(data + data[: size // 2])  # has matches
+        assert L._snappy_decompress_py(comp) == data + data[: size // 2]
+        assert snappy_decompress(comp) == data + data[: size // 2]
+    # corrupt input must fail loudly through the native path too
+    big = snappy_compress(b"x" * 1000)
+    with pytest.raises(ValueError):
+        snappy_decompress(big[:-3] + b"\xff\xff\xff")
+
+
 # ---------------------------------------------------------------- log format
 def test_log_roundtrip_with_fragmentation():
     records = [b"", b"short", b"x" * 30000, b"y" * 100000, b"tail"]

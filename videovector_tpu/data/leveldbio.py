@@ -73,8 +73,45 @@ def _make_crc32c_tables():
 _CRC_TABLES = _make_crc32c_tables()
 
 
+_NATIVE = None  # None = unresolved, False = unavailable
+
+
+def _native_lib():
+    """libvvdata (native/vvdata.cpp) carries C twins of the two hot
+    primitives below; bulk imports of reference databases use them when the
+    library is built (pure Python otherwise — identical results)."""
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            import ctypes
+            from videovector_tpu.data.native import _find_lib
+            lib = _find_lib()
+            if lib is not None and hasattr(lib, "vv_crc32c"):
+                lib.vv_crc32c.restype = ctypes.c_uint32
+                lib.vv_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                          ctypes.c_uint32]
+                lib.vv_snappy_decompress.restype = ctypes.c_int64
+                lib.vv_snappy_decompress.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+                    ctypes.c_int64]
+                _NATIVE = lib
+            else:
+                _NATIVE = False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE
+
+
 def crc32c(data: bytes, crc: int = 0) -> int:
-    """CRC-32C (Castagnoli), slicing-by-8."""
+    """CRC-32C (Castagnoli); native when libvvdata is built."""
+    lib = _native_lib()
+    if lib is not False and len(data) >= 256:
+        return lib.vv_crc32c(bytes(data), len(data), crc)
+    return _crc32c_py(data, crc)
+
+
+def _crc32c_py(data: bytes, crc: int = 0) -> int:
+    """CRC-32C (Castagnoli), slicing-by-8, pure Python."""
     t0, t1, t2, t3, t4, t5, t6, t7 = _CRC_TABLES
     crc ^= 0xFFFFFFFF
     n = len(data)
@@ -138,7 +175,24 @@ def _get_length_prefixed(buf, pos: int) -> tuple[bytes, int]:
 # --------------------------------------------------------------- snappy
 def snappy_decompress(data) -> bytes:
     """Raw-format snappy decompressor (the format leveldb block compression
-    uses): varint uncompressed length, then literal/copy tagged elements."""
+    uses); native when libvvdata is built."""
+    lib = _native_lib()
+    if lib is not False and len(data) >= 64:
+        import ctypes
+        ulen, _ = _uvarint(data, 0)
+        if ulen == 0:
+            return _snappy_decompress_py(data)
+        out = ctypes.create_string_buffer(ulen)
+        got = lib.vv_snappy_decompress(bytes(data), len(data), out, ulen)
+        if got < 0:
+            raise ValueError("corrupt snappy data (native decoder)")
+        return out.raw[:got]
+    return _snappy_decompress_py(data)
+
+
+def _snappy_decompress_py(data) -> bytes:
+    """Pure-Python raw snappy: varint uncompressed length, then literal/copy
+    tagged elements."""
     ulen, pos = _uvarint(data, 0)
     out = bytearray()
     n = len(data)

@@ -34,8 +34,17 @@ def _find_lib():
         os.environ.get("VVDATA_LIB", ""),
         os.path.join(here, "..", "..", "native", "libvvdata.so"),
     ]
+    native_dir = os.path.join(here, "..", "..", "native")
+    repo_so = os.path.join(native_dir, "libvvdata.so")
+    src = os.path.join(native_dir, "vvdata.cpp")
+
+    def _stale(path):  # source newer than the built lib → rebuild
+        return (os.path.abspath(path) == os.path.abspath(repo_so)
+                and os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(path))
+
     for cand in candidates:
-        if cand and os.path.exists(cand):
+        if cand and os.path.exists(cand) and not _stale(cand):
             lib = ctypes.CDLL(cand)
             _configure(lib)
             _LIB = lib
@@ -43,7 +52,6 @@ def _find_lib():
     if not _BUILD_TRIED:
         _BUILD_TRIED = True
         import subprocess
-        native_dir = os.path.join(here, "..", "..", "native")
         if os.path.exists(os.path.join(native_dir, "Makefile")):
             try:
                 subprocess.run(["make", "-C", native_dir],
@@ -51,6 +59,13 @@ def _find_lib():
             except Exception:
                 pass
             return _find_lib()
+    # last resort: a stale lib beats none (rebuild failed or unavailable)
+    for cand in candidates:
+        if cand and os.path.exists(cand):
+            lib = ctypes.CDLL(cand)
+            _configure(lib)
+            _LIB = lib
+            return lib
     return None
 
 

@@ -217,7 +217,12 @@ def _time_segmented(net, params, batch, iters):
     key = jax.random.PRNGKey(0)
 
     def make_branch(k):
-        def branch(p, b):
+        def branch(p, b, acc):
+            # acc-dependence keeps every iteration live inside fori_loop
+            # (a loop-invariant body would be hoisted and we'd time nothing)
+            b = {n: v + (acc * 1e-37).astype(v.dtype) if
+                 jnp.issubdtype(v.dtype, jnp.floating) else v
+                 for n, v in b.items()}
             _, blobs = net.apply(p, b, rng=key, return_blobs=True,
                                  max_layers=k)
             tot = jnp.float32(0.0)
@@ -226,17 +231,25 @@ def _time_segmented(net, params, batch, iters):
             return tot
         return branch
 
-    fn = jax.jit(lambda i, p, b: jax.lax.switch(
-        i, [make_branch(k) for k in range(num + 1)], p, b))
+    branches = [make_branch(k) for k in range(num + 1)]
+
+    # all reps run INSIDE the program: one dispatch per prefix, so per-call
+    # overhead (milliseconds over a remote tunnel) divides by `iters`
+    # instead of adding to every layer's marginal time
+    def run(i, p, b):
+        return jax.lax.fori_loop(
+            0, iters,
+            lambda _, acc: jax.lax.switch(i, branches, p, b, acc),
+            jnp.float32(0.0))
+
+    fn = jax.jit(run)
     float(fn(0, params, batch))  # one compile for all prefixes
 
     prefix_ms = []
     for k in range(num + 1):
         float(fn(k, params, batch))  # warm this branch's execution path
         t0 = _time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = fn(k, params, batch)
+        out = fn(k, params, batch)
         float(out)  # scalar fetch: reliable fence on axon
         prefix_ms.append((_time.perf_counter() - t0) / iters * 1e3)
     total = 0.0
