@@ -45,27 +45,29 @@ def bench_batch(batch: int) -> float:
     params = pipe.init(jax.random.PRNGKey(0))
 
     rng = np.random.RandomState(0)
-    pix = jnp.asarray(rng.randint(0, 256, (batch, 3, 256, 256))
-                      .astype(np.uint8))
+    # pixels generated on device (capture-free: closed-over constants would
+    # be inlined into the HLO — hundreds of MB through the remote-compile
+    # tunnel; a real host would simply device_put its decoded JPEGs)
+    pix = jax.jit(lambda k: jax.random.randint(
+        k, (batch, 3, 256, 256), 0, 256, jnp.uint8))(jax.random.PRNGKey(0))
     h, w, m = sample_transform_params(batch, (256, 256),
                                       TransformConfig(crop_size=227),
                                       train=False, rng=rng)
     h, w, m = jnp.asarray(h), jnp.asarray(w), jnp.asarray(m)
 
-    def one(carry, i):
-        # vary the crop offset per iteration: nothing is loop-invariant,
-        # and the offsets stay within the valid 256-227 margin
-        out = pipe.embed_frames(params, pix, (h + i) % 29, (w + i) % 29, m)
-        return carry + jnp.sum(out), None
-
     @jax.jit
-    def run():
+    def run(p, px, hh, ww, mm):
+        def one(carry, i):
+            # vary the crop offset per iteration: nothing is loop-invariant,
+            # offsets stay within the valid 256-227 margin
+            out = pipe.embed_frames(p, px, (hh + i) % 29, (ww + i) % 29, mm)
+            return carry + jnp.sum(out), None
         total, _ = lax.scan(one, jnp.float32(0.0), jnp.arange(ITERS))
         return total
 
-    float(run())  # compile + warm
+    float(run(params, pix, h, w, m))  # compile + warm
     t0 = time.perf_counter()
-    float(run())
+    float(run(params, pix, h, w, m))
     dt = (time.perf_counter() - t0) / ITERS
     return batch / dt, dt
 

@@ -27,8 +27,25 @@ from videovector_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
+def _apply_device_mode(args, solver_msg=None) -> None:
+    """Reference device selection: SolverParameter.solver_mode CPU/GPU +
+    the caffe.bin --gpu flag (ref:tools/caffe.cpp:97-104,
+    ref:src/caffe/proto/caffe.proto solver_mode). Here: `--cpu` (or
+    solver_mode: CPU) pins the XLA CPU backend; the default is the
+    accelerator. device_id is moot on a single-chip host."""
+    cpu = getattr(args, "cpu", False)
+    if not cpu and solver_msg is not None:
+        cpu = str(solver_msg.get("solver_mode", "GPU")).upper() == "CPU"
+    if cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        log.info("Running in CPU-only mode (solver_mode: CPU / --cpu)")
+
+
 def cmd_train(args) -> int:
+    from videovector_tpu.config.textformat import parse_file
     from videovector_tpu.solver.driver import SolverDriver
+    _apply_device_mode(args, parse_file(args.solver))
     driver = SolverDriver.from_prototxt(args.solver).build()
     snapshot = args.snapshot or None
     if getattr(args, "auto_resume", False) and not snapshot:
@@ -65,6 +82,7 @@ def _latest_snapshot(prefix: str):
 
 def cmd_test(args) -> int:
     """Average net outputs over N forward iterations (ref caffe.cpp:127-190)."""
+    _apply_device_mode(args)
     import jax
     import jax.numpy as jnp
     from videovector_tpu.config.textformat import parse_file
@@ -130,6 +148,7 @@ def cmd_device_query(args) -> int:
 def cmd_time(args) -> int:
     """Per-layer forward timing + whole-step forward/backward timing
     (ref caffe.cpp:194-266)."""
+    _apply_device_mode(args)
     import jax
     import jax.numpy as jnp
     from videovector_tpu.config.textformat import parse_file
@@ -291,6 +310,9 @@ def main(argv=None) -> int:
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the newest snapshot matching the "
                         "solver's snapshot_prefix, if any")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the XLA CPU backend (also honored from the "
+                        "solver's solver_mode: CPU)")
     p.add_argument("--mesh", default="",
                    help="multi-chip mesh as DATAxMODEL (e.g. 4x2): batch "
                         "sharded over data, tower column-sharded over model")
@@ -300,6 +322,8 @@ def main(argv=None) -> int:
     p.add_argument("--model", required=True)
     p.add_argument("--weights", default="")
     p.add_argument("--iterations", type=int, default=50)
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the XLA CPU backend")
     p.set_defaults(fn=cmd_test)
 
     p = sub.add_parser("device_query", help="show device info")
@@ -317,6 +341,8 @@ def main(argv=None) -> int:
                         "forward-backward only")
     p.add_argument("--fused_only", action="store_true",
                    help="[deprecated] alias for --per_layer=off")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the XLA CPU backend")
     p.set_defaults(fn=cmd_time)
 
     # deprecated shims (ref:tools/train_net.cpp:3-6 etc. — thin aliases)
