@@ -378,6 +378,34 @@ def test_extract_features_tool(mini_project, tmp_path):
     assert len(lines) == 24
 
 
+def test_extract_features_mesh_matches_single_device(mini_project, tmp_path):
+    """Data-parallel extraction (batch sharded over the mesh "data" axis,
+    params replicated) must produce the same rows as single-device."""
+    from videovector_tpu.parallel import make_mesh
+    from videovector_tpu.tools.extract_features import extract
+    from videovector_tpu.data.records import RecordReader
+    from videovector_tpu.data.wire import Datum as D
+
+    single = str(tmp_path / "single")
+    sharded = str(tmp_path / "sharded")
+    extract(mini_project["net"], [], ["ctxn"], single, 2)
+    extract(mini_project["net"], [], ["ctxn"], sharded, 2,
+            mesh=make_mesh(data=4, model=1))
+    a = RecordReader(single + "_ctxn.vvr")
+    b = RecordReader(sharded + "_ctxn.vvr")
+    assert len(a) == len(b) == 24
+    for i in range(len(a)):
+        ra = np.asarray(D.decode(bytes(a.value(i))).float_data)
+        rb = np.asarray(D.decode(bytes(b.value(i))).float_data)
+        np.testing.assert_allclose(ra, rb, atol=1e-5)
+
+
+def test_cli_test_mesh(mini_project):
+    from videovector_tpu.tools.cli import main
+    assert main(["test", "--model", mini_project["net"],
+                 "--iterations", "2", "--mesh", "4"]) == 0
+
+
 def test_extract_features_leveldb_backend(mini_project, tmp_path):
     """backend="leveldb" mirrors the reference's output format
     (ref:tools/extract_features.cpp:127-146: a LevelDB of Datums per blob)."""

@@ -27,6 +27,15 @@ from videovector_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 
+def _parse_mesh(spec: str):
+    """"DxM" → jax.sharding.Mesh with (data=D, model=M) axes; "" → None."""
+    if not spec:
+        return None
+    from videovector_tpu.parallel import make_mesh
+    data_sz, _, model_sz = spec.partition("x")
+    return make_mesh(data=int(data_sz), model=int(model_sz or 1))
+
+
 def _apply_device_mode(args, solver_msg=None) -> None:
     """Reference device selection: SolverParameter.solver_mode CPU/GPU +
     the caffe.bin --gpu flag (ref:tools/caffe.cpp:97-104,
@@ -52,13 +61,10 @@ def cmd_train(args) -> int:
         snapshot = _latest_snapshot(driver.cfg.snapshot_prefix)
         if snapshot:
             log.info("Auto-resuming from %s", snapshot)
-    mesh = None
-    mesh_spec = getattr(args, "mesh", "")
-    if mesh_spec:
-        from videovector_tpu.parallel import make_mesh
-        data_sz, _, model_sz = mesh_spec.partition("x")
-        mesh = make_mesh(data=int(data_sz), model=int(model_sz or 1))
-        log.info("Training over mesh data=%s model=%s", data_sz, model_sz or 1)
+    mesh = _parse_mesh(getattr(args, "mesh", ""))
+    if mesh is not None:
+        log.info("Training over mesh data=%d model=%d",
+                 mesh.shape["data"], mesh.shape["model"])
     driver.train(resume_state_path=snapshot,
                  weights_path=args.weights or None, mesh=mesh)
     log.info("Optimization Done.")
@@ -102,12 +108,22 @@ def cmd_test(args) -> int:
     if args.weights:
         params = _load_weights(args.weights, params)
 
+    mesh = _parse_mesh(getattr(args, "mesh", ""))
+    place_batch = lambda b: b  # noqa: E731
+    if mesh is not None:
+        # data-parallel eval: batch sharded over "data", params replicated;
+        # GSPMD inserts the cross-chip reductions the metric layers need
+        from videovector_tpu.parallel.train import shard_batch, shard_params
+        params = shard_params(params, mesh)
+        place_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
+        batch0 = place_batch(batch0)
+
     apply_fn = jax.jit(lambda p, b: net.apply(p, b))
     sums: dict[str, float] = {}
     loss_sum = 0.0
     for i in range(args.iterations):
-        batch = batch0 if i == 0 else {
-            k: jnp.asarray(v) for k, v in source.next_batch().items()}
+        batch = batch0 if i == 0 else place_batch({
+            k: jnp.asarray(v) for k, v in source.next_batch().items()})
         loss, outputs = apply_fn(params, batch)
         loss_sum += float(loss)
         for k, v in outputs.items():
@@ -324,6 +340,9 @@ def main(argv=None) -> int:
     p.add_argument("--iterations", type=int, default=50)
     p.add_argument("--cpu", action="store_true",
                    help="run on the XLA CPU backend")
+    p.add_argument("--mesh", default="",
+                   help="data-parallel eval over a device mesh, e.g. 8 or "
+                        "8x1 (batch sharded over the data axis)")
     p.set_defaults(fn=cmd_test)
 
     p = sub.add_parser("device_query", help="show device info")

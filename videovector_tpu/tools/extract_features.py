@@ -25,7 +25,7 @@ log = get_logger(__name__)
 
 def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
             out_prefix: str, num_batches: int,
-            backend: str = "vvr") -> dict:
+            backend: str = "vvr", mesh=None) -> dict:
     import jax
     import jax.numpy as jnp
     from videovector_tpu.config.textformat import parse_file
@@ -47,12 +47,25 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
     for wp in weight_paths:
         params = _load_weights(wp, params)
 
+    batch_sharding = None
+    if mesh is not None:
+        # data-parallel extraction: batch sharded over "data", params
+        # replicated — each chip forwards its shard, rows gather on fetch
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        from videovector_tpu.parallel.train import shard_params
+        params = shard_params(params, mesh)
+        batch_sharding = {
+            k: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+            for k, v in batch0.items()}
+
     fwd = jax.jit(lambda p, b: net.apply(p, b, return_blobs=True)[1])
 
     # background host batching + async H2D, overlapping the forward pass
     # (the reference's prefetch-thread pattern, base_data_layer.cpp:52-95)
     from videovector_tpu.data.prefetch import DevicePrefetcher
     prefetcher = DevicePrefetcher(iter(source), depth=2,
+                                  sharding=batch_sharding,
                                   max_batches=num_batches)
 
     # backend "leveldb" matches the reference byte-for-byte (it writes each
@@ -102,9 +115,14 @@ def main(argv=None) -> int:
                         choices=["vvr", "leveldb", "lmdb"],
                         help="feature store format (leveldb = reference "
                              "extract_features output format)")
+    parser.add_argument("--mesh", default="",
+                        help="data-parallel extraction over a device mesh, "
+                             "e.g. 8 or 8x1")
     args = parser.parse_args(argv)
+    from videovector_tpu.tools.cli import _parse_mesh
     extract(args.model, args.weights, args.blobs.split(","), args.out,
-            args.num_batches, backend=args.backend)
+            args.num_batches, backend=args.backend,
+            mesh=_parse_mesh(args.mesh))
     return 0
 
 
