@@ -210,3 +210,29 @@ def test_checkpoint_roundtrip(rng, tmp_path):
     p3, s3 = restore(sp)
     assert int(s3["iter"]) == 17
     np.testing.assert_allclose(np.asarray(s3["history"]["a"]["w"]), 1.0)
+
+
+def test_async_snapshotter_atomic_and_error_surfacing(tmp_path):
+    """Background snapshot writes: durable after wait(), atomic (no .tmp
+    residue), and writer errors surface at the next wait()."""
+    import numpy as np
+    from videovector_tpu.solver.checkpoint import (
+        AsyncSnapshotter, load_model, restore,
+    )
+    snap = AsyncSnapshotter()
+    params = {"fc": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    state = {"iter": 7, "history": {"fc": {"w": np.zeros((2, 3), np.float32)}}}
+    snap.submit(str(tmp_path / "s"), 7, params, state)
+    snap.wait()
+    assert not list(tmp_path.glob("*.tmp"))
+    loaded = load_model(str(tmp_path / "s_iter_7.vvmodel"))
+    np.testing.assert_array_equal(loaded["fc"]["w"], params["fc"]["w"])
+    rparams, rstate = restore(str(tmp_path / "s_iter_7.vvstate"))
+    assert int(rstate["iter"]) == 7
+    np.testing.assert_array_equal(rparams["fc"]["w"], params["fc"]["w"])
+
+    # unwritable prefix -> the submit thread fails; wait() re-raises
+    snap.submit(str(tmp_path / "s_iter_7.vvmodel" / "bad"), 1, params)
+    import pytest
+    with pytest.raises(Exception):
+        snap.wait()

@@ -42,6 +42,15 @@ def _unflatten(flat: dict) -> dict:
     return out
 
 
+def _write_atomic(path: str, flat: dict) -> None:
+    """savez to a temp file then rename: a crash mid-write never leaves a
+    truncated snapshot where auto-resume would find it."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "wb") as f:  # file handle: keep our extension
+        np.savez(f, **flat)
+    os.replace(tmp, path)
+
+
 def snapshot(prefix: str, it: int, params: dict, state: dict | None = None,
              diffs: dict | None = None):
     """Write model (+ solver state). Returns (model_path, state_path|None).
@@ -55,17 +64,49 @@ def snapshot(prefix: str, it: int, params: dict, state: dict | None = None,
     flat_model = _flatten(params)
     if diffs is not None:
         flat_model.update(_flatten({"diff": diffs}))
-    with open(model_path, "wb") as f:  # file handle: keep our extension
-        np.savez(f, **flat_model)
+    _write_atomic(model_path, flat_model)
     state_path = None
     if state is not None:
         state_path = f"{prefix}_iter_{it}.vvstate"
         flat = _flatten({"history": state["history"]})
         flat["__iter__"] = np.asarray(int(state["iter"]))
         flat["__model__"] = np.asarray(os.path.basename(model_path))
-        with open(state_path, "wb") as f:
-            np.savez(f, **flat)
+        _write_atomic(state_path, flat)
     return model_path, state_path
+
+
+class AsyncSnapshotter:
+    """Background snapshot writer: the train loop pays only the D2H fetch
+    (required — donated buffers are reused by the next step); serialization
+    and disk IO overlap subsequent training steps. One write in flight at a
+    time; `wait()` (or submitting the next snapshot) joins the previous
+    write, re-raising any writer error."""
+
+    def __init__(self):
+        self._thread = None
+        self._exc: BaseException | None = None
+
+    def submit(self, prefix: str, it: int, params, state=None, diffs=None):
+        import threading
+        self.wait()
+
+        def _run():
+            try:
+                snapshot(prefix, it, params, state, diffs)
+            except BaseException as e:  # surfaced at next wait()
+                self._exc = e
+
+        self._thread = threading.Thread(target=_run, daemon=True,
+                                        name="vvtpu-snapshot")
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
 
 
 def load_model(path: str) -> dict:

@@ -16,7 +16,9 @@ from typing import Any, Callable, Iterator
 
 import jax
 
-from videovector_tpu.solver.checkpoint import restore, snapshot
+from videovector_tpu.solver.checkpoint import (
+    AsyncSnapshotter, restore, snapshot,
+)
 from videovector_tpu.solver.solvers import (
     SolverConfig, init_solver_state, learning_rate, solver_update,
 )
@@ -129,11 +131,15 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
     carry = None  # cross-batch recurrent state (stateful nets only)
     last_grads = None  # most recent gradients (kept when snapshot_diff)
 
+    # background writer: the loop pays only the D2H fetch; serialization +
+    # disk IO overlap the following training steps
+    snapshotter = AsyncSnapshotter()
+
     def _snap(at_iter):
-        snapshot(cfg.snapshot_prefix or "snapshot", at_iter,
-                 jax.device_get(params), jax.device_get(state),
-                 diffs=jax.device_get(last_grads)
-                 if last_grads is not None else None)
+        snapshotter.submit(cfg.snapshot_prefix or "snapshot", at_iter,
+                           jax.device_get(params), jax.device_get(state),
+                           diffs=jax.device_get(last_grads)
+                           if last_grads is not None else None)
     try:
         while it < cfg.max_iter:
             if cfg.snapshot and it > start_iter and it % cfg.snapshot == 0:
@@ -189,12 +195,14 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         if cfg.snapshot_prefix:
             log.info("Interrupted at iteration %d — writing snapshot", it)
             _snap(it)
+        snapshotter.wait()
         raise
 
     if cfg.snapshot_after_train and cfg.snapshot_prefix:
         _snap(it)
     if cfg.test_interval:
         run_test(params, it)
+    snapshotter.wait()  # all writes durable before train() returns
     result.params = params
     result.state = state
     return result
