@@ -4,3 +4,4 @@ from videovector_tpu.parallel.multihost import (  # noqa: F401
     HostShardedSource, global_batch_from_device_shards,
     global_batch_from_local, host_shard_range,
 )
+from videovector_tpu.parallel.pipeline import make_pp_loss_fn  # noqa: F401
