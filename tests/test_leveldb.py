@@ -206,6 +206,39 @@ def test_empty_db(tmp_path):
     assert len(LevelDbReader(db)) == 0
 
 
+def test_writer_streams_sorted_input(tmp_path):
+    """Ascending puts stream straight to table files (O(1) writer memory):
+    with a small table cap, files appear on disk before close()."""
+    db = str(tmp_path / "db")
+    w = LevelDbWriter(db, max_table_bytes=4 << 10)
+    for i in range(1000):
+        w.put(f"{i:06d}", b"v" * 40)
+    assert len(w._stray) == 0  # nothing buffered
+    n_before_close = len([f for f in os.listdir(db) if f.endswith(".ldb")])
+    assert n_before_close > 1  # streamed out during put()
+    w.close()
+    r = LevelDbReader(db, verify_checksums=True)
+    assert len(r) == 1000
+    assert r.get("000777") == b"v" * 40
+
+
+def test_writer_overwrite_semantics_across_tables(tmp_path):
+    """Duplicates and out-of-order keys land in an overlapping level-0
+    table; sequence numbers (assigned at put time) keep last-put-wins."""
+    db = str(tmp_path / "db")
+    with LevelDbWriter(db) as w:
+        w.put("a", b"a1")
+        w.put("m", b"m1")
+        w.put("z", b"z1")
+        w.put("m", b"m2-late")   # duplicate after stream moved past "m"
+        w.put("b", b"b-late")    # out-of-order insert
+        w.put("m", b"m3-final")  # twice-strayed: latest wins
+    r = LevelDbReader(db, verify_checksums=True)
+    assert [(k, v) for k, v in r] == [
+        (b"a", b"a1"), (b"b", b"b-late"), (b"m", b"m3-final"),
+        (b"z", b"z1")]
+
+
 def test_unflushed_log_shadows_tables(tmp_path):
     """A .log written after the tables (higher sequences) must win: newest
     value visible, deletions hide table entries — leveldb recovery

@@ -561,11 +561,14 @@ def _read_raw_block(buf, offset: int, size: int,
 
 
 class TableFile:
-    """One .ldb/.sst sorted-string table, lazily block-decoded."""
+    """One .ldb/.sst sorted-string table, mmap-backed, lazily
+    block-decoded — multi-GB reference feature tables never fully load."""
 
     def __init__(self, path: str, verify_checksums: bool = False):
-        with open(path, "rb") as f:
-            self._buf = f.read()
+        import mmap as _mmap
+        self._file = open(path, "rb")
+        self._buf = _mmap.mmap(self._file.fileno(), 0,
+                               access=_mmap.ACCESS_READ)
         self._verify = verify_checksums
         footer = self._buf[-48:]
         if struct.unpack_from("<Q", footer, 40)[0] != TABLE_MAGIC:
@@ -594,6 +597,13 @@ class TableFile:
             for ei, (ikey, _value) in enumerate(self.block(bi)):
                 packed = struct.unpack_from("<Q", ikey, len(ikey) - 8)[0]
                 yield ikey[:-8], packed >> 8, packed & 0xFF, (table_idx, bi, ei)
+
+    def close(self) -> None:
+        try:
+            self._buf.close()
+            self._file.close()
+        except Exception:
+            pass
 
 
 class TableWriter:
@@ -800,6 +810,8 @@ class LevelDbReader:
         return self.value(self.index_of(key))
 
     def close(self) -> None:
+        for t in self._tables:
+            t.close()
         self._entries = []
         self._tables = []
         self._block_cache.clear()
@@ -807,9 +819,15 @@ class LevelDbReader:
 
 # --------------------------------------------------------------- writer
 class LevelDbWriter:
-    """Writes a fresh, already-compacted LevelDB: level-0 tables + MANIFEST +
-    CURRENT. `put` in any order; keys are sorted on close (like
-    lmdbio.LmdbWriter). Existing directory contents are replaced."""
+    """Writes a fresh LevelDB: level-0 tables + MANIFEST + CURRENT.
+
+    `put` in any order. Keys arriving in ascending order (the common case —
+    converters iterate stores in key order) STREAM straight to disk with
+    O(1) memory; out-of-order keys are buffered and written to a separate
+    level-0 table on close. Level-0 tables may overlap — readers (ours and
+    C++ leveldb) resolve by sequence number, and sequence numbers here are
+    assigned at put() time, so duplicate keys keep last-put-wins semantics
+    exactly. Existing files are replaced."""
 
     def __init__(self, path: str, *, block_size: int = 4096,
                  compression: str = "none",
@@ -818,52 +836,71 @@ class LevelDbWriter:
         self._block_size = block_size
         self._compression = compression
         self._max_table_bytes = max_table_bytes
-        self._items: dict[bytes, bytes] = {}
+        self._stray: dict[bytes, tuple[int, bytes]] = {}  # out-of-order puts
         self._closed = False
+        self._last_key: bytes | None = None
+        self._tw: TableWriter | None = None
+        self._tw_bytes = 0
+        self._file_number = 2  # MANIFEST is 1, tables from 2 (NewDB layout)
+        self._seq = 0
+        self._edit = VersionEdit()
+        self._edit.comparator = "leveldb.BytewiseComparator"
+        self._edit.log_number = 0
+        self._edit.prev_log_number = 0
         os.makedirs(path, exist_ok=True)
+
+    def _emit(self, key: bytes, seq: int, value: bytes) -> None:
+        if self._tw is None:
+            tpath = os.path.join(self._dir, f"{self._file_number:06d}.ldb")
+            self._tw = TableWriter(tpath, block_size=self._block_size,
+                                   compression=self._compression)
+            self._tw_bytes = 0
+        self._tw.add(_internal_key(key, seq), value)
+        self._tw_bytes += len(key) + len(value) + 16
+        if self._tw_bytes >= self._max_table_bytes:
+            self._finish_table()
+
+    def _finish_table(self) -> None:
+        if self._tw is None:
+            return
+        size = self._tw.finish()
+        self._edit.new_files.append(
+            (0, self._file_number, size, self._tw.first_key,
+             self._tw.last_key))
+        self._file_number += 1
+        self._tw = None
 
     def put(self, key, value: bytes) -> None:
         if isinstance(key, str):
             key = key.encode()
-        self._items[key] = bytes(value)
+        self._seq += 1
+        if self._last_key is None or key > self._last_key:
+            self._emit(key, self._seq, bytes(value))  # ascending fast path
+            self._last_key = key
+        else:
+            # a key ≤ _last_key can never re-enter the ascending stream
+            # (_last_key only grows), so its stray seq always exceeds any
+            # streamed seq of the same key — last-put-wins holds
+            self._stray[key] = (self._seq, bytes(value))
 
     def close(self) -> None:
         if self._closed:
             return
         self._closed = True
-        keys = sorted(self._items)
-        edit = VersionEdit()
-        edit.comparator = "leveldb.BytewiseComparator"
-        edit.log_number = 0
-        edit.prev_log_number = 0
-        edit.last_sequence = len(keys)
-
-        file_number = 2  # MANIFEST is 1, tables from 2 (leveldb NewDB layout)
-        seq = 0
-        i = 0
-        while i < len(keys):
-            tpath = os.path.join(self._dir, f"{file_number:06d}.ldb")
-            tw = TableWriter(tpath, block_size=self._block_size,
-                             compression=self._compression)
-            written = 0
-            while i < len(keys) and written < self._max_table_bytes:
-                seq += 1
-                ikey = _internal_key(keys[i], seq)
-                tw.add(ikey, self._items[keys[i]])
-                written += len(keys[i]) + len(self._items[keys[i]]) + 16
-                i += 1
-            size = tw.finish()
-            edit.new_files.append(
-                (0, file_number, size, tw.first_key, tw.last_key))
-            file_number += 1
-        edit.next_file_number = file_number
+        self._finish_table()          # the ascending-run table(s)
+        for k in sorted(self._stray):  # overlapping level-0 table(s)
+            seq, value = self._stray[k]
+            self._emit(k, seq, value)
+        self._stray.clear()
+        self._finish_table()
+        self._edit.last_sequence = self._seq
+        self._edit.next_file_number = self._file_number
 
         manifest_name = "MANIFEST-000001"
         with open(os.path.join(self._dir, manifest_name), "wb") as f:
-            LogWriter(f).add_record(edit.encode())
+            LogWriter(f).add_record(self._edit.encode())
         with open(os.path.join(self._dir, "CURRENT"), "wb") as f:
             f.write(manifest_name.encode() + b"\n")
-        self._items.clear()
 
     def __enter__(self):
         return self
