@@ -333,6 +333,11 @@ def test_cli_time(mini_project):
                  "--iterations", "2", "--per_layer", "isolated"]) == 0
     assert main(["time", "--model", mini_project["net"],
                  "--iterations", "2", "--fused_only"]) == 0
+    # per-layer backward timing, both modes
+    assert main(["time", "--model", mini_project["net"], "--iterations", "1",
+                 "--backward"]) == 0
+    assert main(["time", "--model", mini_project["net"], "--iterations", "1",
+                 "--backward", "--per_layer", "isolated"]) == 0
 
 
 def test_segmented_timing_covers_every_layer(mini_project):

@@ -196,7 +196,8 @@ def cmd_time(args) -> int:
     if mode == "off":
         return _time_fused(net, params, batch, iters)
     if mode == "segmented":
-        _time_segmented(net, params, batch, iters)
+        _time_segmented(net, params, batch, iters,
+                        backward=getattr(args, "backward", False))
         _time_fused(net, params, batch, iters)
         return 0
 
@@ -227,13 +228,31 @@ def cmd_time(args) -> int:
         dt = (_time.perf_counter() - t0) / iters * 1e3
         total += dt
         log.info("%-24s forward: %.3f ms", lname, dt)
+        if getattr(args, "backward", False):
+            # per-layer Backward analogue (ref caffe.cpp:241-249): vjp wrt
+            # params and bottoms with ones cotangents
+            def scalar(p, xs, ldef=ldef, layer=layer):
+                outs = ldef.apply(p, xs, layer, ctx)
+                return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+            bwd = jax.jit(jax.grad(scalar, argnums=(0, 1)))
+            try:
+                g = bwd(lparams, bottoms)
+            except TypeError:
+                continue  # int-only layer (e.g. ARGMAX): no backward
+            jax.block_until_ready(g)
+            t0 = _time.perf_counter()
+            for _ in range(iters):
+                g = bwd(lparams, bottoms)
+            jax.block_until_ready(g)
+            dt = (_time.perf_counter() - t0) / iters * 1e3
+            log.info("%-24s backward: %.3f ms", lname, dt)
     log.info("Total per-layer forward: %.3f ms", total)
 
     _time_fused(net, params, batch, iters)
     return 0
 
 
-def _time_segmented(net, params, batch, iters):
+def _time_segmented(net, params, batch, iters, backward=False):
     """Per-layer timing from ONE compiled program: every graph prefix is a
     branch of a single lax.switch, so the whole benchmark costs one XLA
     compile (the isolated mode's per-layer compiles are prohibitive over
@@ -241,7 +260,12 @@ def _time_segmented(net, params, batch, iters):
     adding that layer to the prefix — prefix L equals the full fused
     forward, so the column sums to what you actually pay, including XLA
     fusion across layer boundaries (unlike per-layer Forward loops,
-    ref:tools/caffe.cpp:194-266, which can't see fusion)."""
+    ref:tools/caffe.cpp:194-266, which can't see fusion).
+
+    With backward=True each branch is value_and_grad of the prefix scalar
+    wrt params, so marginals report forward+backward per layer (the
+    reference prints both, caffe.cpp:232-249); compile cost roughly
+    doubles."""
     import jax
     import jax.numpy as jnp
     from videovector_tpu.graph.layers import DATA_LAYER_TYPES
@@ -266,7 +290,18 @@ def _time_segmented(net, params, batch, iters):
             return tot
         return branch
 
+    def with_grad(branch):
+        def fb(p, b, acc):
+            val, grads = jax.value_and_grad(branch)(p, b, acc)
+            gsum = jnp.float32(0.0)
+            for leaf in jax.tree.leaves(grads):
+                gsum = gsum + jnp.sum(jnp.abs(leaf.astype(jnp.float32)))
+            return val + 1e-30 * gsum  # keep the backward pass live
+        return fb
+
     branches = [make_branch(k) for k in range(num + 1)]
+    if backward:
+        branches = [with_grad(b) for b in branches]
 
     # all reps run INSIDE the program: one dispatch per prefix, so per-call
     # overhead (milliseconds over a remote tunnel) divides by `iters`
@@ -287,12 +322,13 @@ def _time_segmented(net, params, batch, iters):
         out = fn(k, params, batch)
         float(out)  # scalar fetch: reliable fence on axon
         prefix_ms.append((_time.perf_counter() - t0) / iters * 1e3)
+    what = "forward-backward" if backward else "forward"
     total = 0.0
     for i, name in enumerate(names):
         dt = prefix_ms[i + 1] - prefix_ms[i]
         total += dt
-        log.info("%-24s forward (marginal): %.3f ms", name, dt)
-    log.info("Total forward (prefix sum): %.3f ms", total)
+        log.info("%-24s %s (marginal): %.3f ms", name, what, dt)
+    log.info("Total %s (prefix sum): %.3f ms", what, total)
     return 0
 
 
@@ -362,6 +398,9 @@ def main(argv=None) -> int:
                    help="[deprecated] alias for --per_layer=off")
     p.add_argument("--cpu", action="store_true",
                    help="run on the XLA CPU backend")
+    p.add_argument("--backward", action="store_true",
+                   help="also time backward per layer (reference "
+                        "caffe time prints both; compile cost grows)")
     p.set_defaults(fn=cmd_time)
 
     # deprecated shims (ref:tools/train_net.cpp:3-6 etc. — thin aliases)
