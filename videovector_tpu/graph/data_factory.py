@@ -184,8 +184,12 @@ def make_data_source(layer: Message, *, phase: str = "TRAIN", seed: int = 1234):
             fg_fraction=float(p.get("fg_fraction", 0.25)),
             context_pad=int(p.get("context_pad", 0)),
             crop_mode=str(p.get("crop_mode", "warp")),
-            crop_size=int(t.get("crop_size", 227)),
-            mirror=bool(t.get("mirror", True)))
+            crop_size=int(t.get("crop_size", 0)),
+            mirror=bool(t.get("mirror", False)))  # proto default = false
+        if cfg.crop_size <= 0:
+            # ref window_data_layer.cpp:153 CHECK_GT(crop_size, 0)
+            raise ValueError("WINDOW_DATA requires transform_param "
+                             "crop_size > 0")
         src = WindowDataSource(cfg, mean=_load_mean(layer), seed=seed)
         return _RenamingSource(src, ["data", "label"], tops)
 

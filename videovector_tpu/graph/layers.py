@@ -578,7 +578,10 @@ def _retrieval_stats():
         classes = id_map.lookup(vids) if id_map is not None else vids
         out = retrieval_metrics.retrieval_stats(
             feats, vids, classes,
-            exclude_same_video_shots=bool(p.get("exclude_same_video_shots", False)))
+            # proto default is TRUE (ref caffe.proto RetrievalStatsParameter
+            # exclude_same_video_shots = 3 [default = true])
+            exclude_same_video_shots=bool(p.get("exclude_same_video_shots",
+                                                True)))
         return [out["mean_ap"], out["hit_at_1"], out["hit_at_5"]]
     return _no_params, apply
 
@@ -677,9 +680,12 @@ def _lstm_init(key, cfg, in_shapes, *, conditional=False):
     input_dim = 1
     for d in in_shapes[0][2:]:
         input_dim *= int(d)
-    std = float(ip.get_msg("weight_filler").get("std", 0.1)) \
+    # FillerParameter std defaults to 1 (ref caffe.proto) when weight_filler
+    # is given without std; with no filler at all the reference would
+    # zero-init (constant filler) — unusable, so we keep a sane gaussian.
+    std = float(ip.get_msg("weight_filler").get("std", 1.0)) \
         if ip.has("weight_filler") else 0.1
-    out_dim = int(lstm_p.get("final_output_size", input_dim))
+    out_dim = int(lstm_p.get("final_output_size", 1))  # ref default = 1
     return recurrent.init_lstm_params(
         key, input_dim, hidden, weight_std=std,
         output_dim=out_dim, conditional=conditional)
@@ -687,7 +693,9 @@ def _lstm_init(key, cfg, in_shapes, *, conditional=False):
 
 def _lstm_args(cfg):
     lstm_p = cfg.get_msg("lstm_param")
-    return {"clip_threshold": float(lstm_p.get("clipping_threshold", 0.0))}
+    # proto default is 1 (ref caffe.proto LstmParameter clipping_threshold
+    # [default = 1]) — the reference clips by default
+    return {"clip_threshold": float(lstm_p.get("clipping_threshold", 1.0))}
 
 
 def _as_tbi(x):
