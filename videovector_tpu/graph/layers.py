@@ -473,7 +473,7 @@ def _max_margin():
     def apply(params, inputs, cfg, ctx):
         p = cfg.get_msg("max_margin_loss_param")
         margin = float(p.get("margin", 1.0))
-        norm = p.get("norm", "L2")
+        norm = p.get("norm", "L1")  # proto default = L1 (caffe.proto:864)
         weights = None
         if len(inputs) == 3:
             third = inputs[2]
