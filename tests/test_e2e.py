@@ -289,6 +289,30 @@ def test_driver_training_is_deterministic(mini_project):
     np.testing.assert_allclose(run(), run(), rtol=1e-6)
 
 
+def test_solver_random_seed_reaches_fillers(mini_project, tmp_path):
+    """SolverParameter.random_seed seeds param init and data sampling (ref
+    Caffe::set_random_seed, solver.cpp:37-39): different seeds -> different
+    initial params; same seed -> identical."""
+    from videovector_tpu.config.textformat import parse_file
+
+    def init_params(seed_line):
+        msg = parse_file(mini_project["solver"])
+        msg.fields.pop("random_seed", None)
+        if seed_line is not None:
+            msg.add("random_seed", seed_line)
+        d = SolverDriver(msg, net_dir=".").build()
+        return d.params
+
+    a = init_params(7)
+    b = init_params(7)
+    c = init_params(8)
+    fa = np.asarray(a["fc7"]["w"] if "fc7" in a else list(a.values())[0]["w"])
+    fb = np.asarray(b["fc7"]["w"] if "fc7" in b else list(b.values())[0]["w"])
+    fc = np.asarray(c["fc7"]["w"] if "fc7" in c else list(c.values())[0]["w"])
+    np.testing.assert_array_equal(fa, fb)
+    assert not np.array_equal(fa, fc)
+
+
 def test_cli_train_and_test(mini_project, capsys):
     from videovector_tpu.tools.cli import main
     assert main(["train", "--solver", mini_project["solver"]]) == 0

@@ -61,7 +61,13 @@ class SolverDriver:
         return cls(msg, net_dir=os.getcwd())
 
     # ------------------------------------------------------------------
-    def build(self, *, seed: int = 1234):
+    def build(self, *, seed: int | None = None):
+        if seed is None:
+            # SolverParameter.random_seed >= 0 seeds everything — fillers
+            # and data-layer sampling, not just the train-loop rng
+            # (ref:src/caffe/solver.cpp:37-39 Caffe::set_random_seed)
+            rs = int(self.cfg.random_seed)
+            seed = rs if rs >= 0 else 1234
         self.train_net = Net(self.net_msg, phase="TRAIN")
         self.train_source = self._build_sources(self.train_net, "TRAIN", seed)
         batch0 = self.train_source.next_batch()
