@@ -244,3 +244,35 @@ def test_slice_non_divisible_raises(rng):
     """), phase="TRAIN")
     with pytest.raises(ValueError, match="not divisible"):
         net.init(jax.random.PRNGKey(0), {"x": _spec((2, 7))})
+
+
+def test_infogain_matrix_loads_from_source_file(tmp_path, rng):
+    """infogain_loss_param.source: the H matrix loads from a BlobProto
+    binary at net build (ref infogain_loss_layer.cpp:18-24) — no manual
+    side-channel injection needed."""
+    import os
+    from videovector_tpu.data.wire import BlobProto
+    from videovector_tpu.ops import losses as ops_losses
+
+    H = np.asarray([[1.0, 0.2], [0.3, 1.0]], np.float32)
+    path = str(tmp_path / "H.binaryproto")
+    with open(path, "wb") as f:
+        f.write(BlobProto.from_array(H).encode())
+
+    net = Net(parse(f"""
+    input: "probs" input: "labels"
+    layers {{ name: "ig" type: INFOGAIN_LOSS bottom: "probs" bottom: "labels"
+      top: "loss" infogain_loss_param {{ source: "{path}" }} }}
+    """), phase="TRAIN")
+    probs = np.abs(rng.rand(4, 2).astype(np.float32)) + 0.1
+    probs /= probs.sum(1, keepdims=True)
+    labels = np.asarray([0, 1, 1, 0], np.float32)
+    spec = {"probs": jax.ShapeDtypeStruct((4, 2), jnp.float32),
+            "labels": jax.ShapeDtypeStruct((4,), jnp.float32)}
+    params, _ = net.init(jax.random.PRNGKey(0), spec)
+    loss, _ = net.apply(params, {"probs": jnp.asarray(probs),
+                                 "labels": jnp.asarray(labels)})
+    want = float(ops_losses.infogain_loss(jnp.asarray(probs),
+                                          jnp.asarray(labels),
+                                          jnp.asarray(H)))
+    np.testing.assert_allclose(float(loss), want, rtol=1e-6)

@@ -178,6 +178,18 @@ class Net:
             if path and os.path.exists(path):
                 self.side[name] = IdToClassMap.from_csv(path)
                 continue
+            ig = layer.get_msg("infogain_loss_param")
+            path = ig.get("source")
+            if path and os.path.exists(path):
+                # infogain H matrix from a BlobProto binary
+                # (ref:src/caffe/layers/infogain_loss_layer.cpp:18-24)
+                from videovector_tpu.data.wire import BlobProto
+                with open(path, "rb") as f:
+                    blob = BlobProto.decode(f.read())
+                arr = blob.to_array()
+                self.side[name] = jnp.asarray(arr.reshape(
+                    arr.shape[-2], arr.shape[-1]))
+                continue
             mm = layer.get_msg("max_margin_loss_param")
             path = mm.get("id_to_weight_file")
             if path and os.path.exists(path):
