@@ -43,12 +43,21 @@ def _apply_device_mode(args, solver_msg=None) -> None:
     solver_mode: CPU) pins the XLA CPU backend; the default is the
     accelerator. device_id is moot on a single-chip host."""
     cpu = getattr(args, "cpu", False)
+    gpu = getattr(args, "gpu", None)
+    if gpu is not None and int(gpu) < 0:
+        cpu = True  # --gpu=-1 == CPU mode (later-Caffe convention)
     if not cpu and solver_msg is not None:
         cpu = str(solver_msg.get("solver_mode", "GPU")).upper() == "CPU"
     if cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
         log.info("Running in CPU-only mode (solver_mode: CPU / --cpu)")
+    elif gpu is not None:
+        # accepted for drop-in compatibility with reference driver scripts
+        # (train_mednet_embedding.sh passes --gpu=3); device selection is
+        # the runtime's on a TPU host — there is one local accelerator
+        log.info("--gpu=%s accepted (device selection is automatic on this "
+                 "runtime)", gpu)
 
 
 def cmd_train(args) -> int:
@@ -365,6 +374,9 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true",
                    help="run on the XLA CPU backend (also honored from the "
                         "solver's solver_mode: CPU)")
+    p.add_argument("--gpu", type=int, default=None,
+                   help="reference-script compatibility: accepted; -1 means "
+                        "CPU mode, otherwise device selection is automatic")
     p.add_argument("--mesh", default="",
                    help="multi-chip mesh as DATAxMODEL (e.g. 4x2): batch "
                         "sharded over data, tower column-sharded over model")
@@ -376,6 +388,8 @@ def main(argv=None) -> int:
     p.add_argument("--iterations", type=int, default=50)
     p.add_argument("--cpu", action="store_true",
                    help="run on the XLA CPU backend")
+    p.add_argument("--gpu", type=int, default=None,
+                   help="reference-script compatibility flag")
     p.add_argument("--mesh", default="",
                    help="data-parallel eval over a device mesh, e.g. 8 or "
                         "8x1 (batch sharded over the data axis)")
@@ -398,6 +412,8 @@ def main(argv=None) -> int:
                    help="[deprecated] alias for --per_layer=off")
     p.add_argument("--cpu", action="store_true",
                    help="run on the XLA CPU backend")
+    p.add_argument("--gpu", type=int, default=None,
+                   help="reference-script compatibility flag")
     p.add_argument("--backward", action="store_true",
                    help="also time backward per layer (reference "
                         "caffe time prints both; compile cost grows)")
