@@ -507,3 +507,19 @@ def test_plot_training_stats_parse(tmp_path):
     assert stats["train_loss"] == [(0, 2.5), (10, 1.5)]
     assert stats["lr"] == [(0, 0.05)]
     assert stats["test"]["map"] == [(20, 0.75)]
+
+
+def test_cli_time_deploy_style_prototxt(tmp_path):
+    """`vvtpu time` on a deploy prototxt (input/input_dim, no data layers) —
+    the reference tool's canonical use (caffe time --model=deploy.prototxt)."""
+    from videovector_tpu.tools.cli import main
+    net = tmp_path / "deploy.prototxt"
+    net.write_text("""
+name: "deploy"
+input: "data"
+input_dim: 4 input_dim: 1 input_dim: 8 input_dim: 8
+layers { name: "ip" type: INNER_PRODUCT bottom: "data" top: "out"
+  inner_product_param { num_output: 6 weight_filler { type: "xavier" } } }
+layers { name: "relu" type: RELU bottom: "out" top: "out" }
+""")
+    assert main(["time", "--model", str(net), "--iterations", "2"]) == 0

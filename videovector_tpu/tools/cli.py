@@ -182,11 +182,18 @@ def cmd_time(args) -> int:
 
     net_msg = parse_file(args.model)
     net = Net(net_msg, phase="TRAIN")
-    # synth batch from declared data-layer tops via shapes in net init needs
-    # a batch spec — use --batch plus the first compute layer's expectations
-    # is fragile; instead require shapes via data layers when present.
+    # batch from the net's data layers, or — for deploy-style prototxts,
+    # the reference `caffe time` staple — synthesized from input/input_dim
+    # declarations (ref:tools/caffe.cpp:199-201 Net from model definition)
     rng = np.random.RandomState(0)
     batch = {}
+    input_names = list(net_msg.get_list("input"))
+    input_dims = [int(d) for d in net_msg.get_list("input_dim")]
+    for idx, name in enumerate(input_names):
+        dims = input_dims[idx * 4:(idx + 1) * 4]
+        if not dims:
+            raise ValueError(f"input {name!r} has no input_dim")
+        batch[str(name)] = rng.randn(*dims).astype(np.float32)
     from videovector_tpu.graph.data_factory import make_data_source
     for layer in net.layers:
         if layer.get("type") in DATA_LAYER_TYPES:
