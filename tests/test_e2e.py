@@ -523,3 +523,46 @@ layers { name: "ip" type: INNER_PRODUCT bottom: "data" top: "out"
 layers { name: "relu" type: RELU bottom: "out" top: "out" }
 """)
     assert main(["time", "--model", str(net), "--iterations", "2"]) == 0
+
+
+def test_serving_export_roundtrip(mini_project, tmp_path):
+    """Serving artifact: export the TEST-phase forward with weights bound as
+    constants; the deserialized artifact must reproduce net.apply outputs
+    with no model code."""
+    import jax
+    import jax.numpy as jnp
+    from videovector_tpu.config.textformat import parse_file
+    from videovector_tpu.graph.data_factory import MergedSource, make_data_source
+    from videovector_tpu.graph.layers import DATA_LAYER_TYPES
+    from videovector_tpu.graph.net import Net
+    from videovector_tpu.tools.serving import export_serving, load_serving
+
+    out = str(tmp_path / "model.vvserve")
+    meta = export_serving(mini_project["net"], [], ["ctxn"], out)
+    assert meta["outputs"] == ["ctxn"]
+
+    call, meta2 = load_serving(out)
+    assert meta2["inputs"].keys() == meta["inputs"].keys()
+    rng2 = np.random.RandomState(3)
+    batch = {k: rng2.randn(*shape).astype(np.float32)
+             for k, (shape, _dtype) in meta2["inputs"].items()}
+    served = call(batch)
+
+    # oracle: rebuild the net with the SAME init seed (no weights files in
+    # this fixture, so params come from the seeded fillers)
+    net = Net(parse_file(mini_project["net"]), phase="TEST")
+    spec = {k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+            for k, v in batch.items()}
+    params, _ = net.init(jax.random.PRNGKey(0), spec)
+    _, blobs = net.apply(params, {k: jnp.asarray(v)
+                                  for k, v in batch.items()},
+                         return_blobs=True)
+    np.testing.assert_allclose(np.asarray(served["ctxn"]),
+                               np.asarray(blobs["ctxn"]), atol=1e-5)
+
+
+def test_serving_cli(mini_project, tmp_path):
+    from videovector_tpu.tools.serving import main
+    out = str(tmp_path / "m.vvserve")
+    assert main(["export", mini_project["net"], out, "--blobs", "ctxn"]) == 0
+    assert main(["run", out]) == 0

@@ -1,0 +1,149 @@
+"""Serving export: freeze a trained net into a portable StableHLO artifact.
+
+The reference's deployment story is "ship the prototxt + .caffemodel and
+run extract_features" (ref:tools/extract_features.cpp:26-211). The
+TPU-native equivalent is ahead-of-time export: the TEST-phase forward with
+the weights BOUND AS CONSTANTS serializes to one self-contained StableHLO
+artifact (jax.export) that any JAX runtime — or a C++ PJRT host — can load
+and call with zero framework code, no prototxt, no weight files.
+
+  vvtpu-serve export  net.prototxt w.caffemodel out.vvserve --blobs=ip2
+  vvtpu-serve run     out.vvserve            # smoke-run on random inputs
+
+Artifacts lower for multiple platforms at once (--platforms tpu,cpu), so
+the same file serves on TPU hosts and CPU fallbacks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import struct
+import sys
+
+import numpy as np
+
+from videovector_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_MAGIC = b"VVSERVE1"
+
+
+def export_serving(model_path: str, weight_paths: list[str],
+                   blob_names: list[str], out_path: str, *,
+                   platforms: list[str] | None = None) -> dict:
+    """Freeze phase=TEST forward(params, batch) → {blob: activation} with
+    params as constants; write a self-contained artifact. Returns the
+    input spec {name: (shape, dtype)}."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    from videovector_tpu.config.textformat import parse_file
+    from videovector_tpu.graph.data_factory import MergedSource, make_data_source
+    from videovector_tpu.graph.layers import DATA_LAYER_TYPES
+    from videovector_tpu.graph.net import Net
+    from videovector_tpu.tools.cli import _load_weights
+
+    net_msg = parse_file(model_path)
+    net = Net(net_msg, phase="TEST")
+
+    # example shapes: data layers (batch 0) or deploy input declarations
+    batch0: dict = {}
+    sources = [make_data_source(l, phase="TEST")
+               for l in net.layers if l.get("type") in DATA_LAYER_TYPES]
+    if sources:
+        batch0 = {k: np.asarray(v)
+                  for k, v in MergedSource(sources).next_batch().items()}
+    input_names = list(net_msg.get_list("input"))
+    input_dims = [int(d) for d in net_msg.get_list("input_dim")]
+    for idx, name in enumerate(input_names):
+        dims = input_dims[idx * 4:(idx + 1) * 4]
+        batch0[str(name)] = np.zeros(dims, np.float32)
+    if not batch0:
+        raise ValueError("net has neither data layers nor input declarations")
+
+    params, _ = net.init(jax.random.PRNGKey(0), {
+        k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+        for k, v in batch0.items()})
+    for wp in weight_paths:
+        params = _load_weights(wp, params)
+
+    def serve(batch):
+        _, blobs = net.apply(params, batch, return_blobs=True)
+        missing = [n for n in blob_names if n not in blobs]
+        if missing:
+            raise ValueError(f"blobs not in net: {missing}")
+        return {n: blobs[n] for n in blob_names}
+
+    spec = {k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+            for k, v in batch0.items()}
+    exp = jexport.export(jax.jit(serve), platforms=platforms)(spec)
+    payload = exp.serialize()
+
+    meta = {
+        "inputs": {k: [list(v.shape), "float32"] for k, v in spec.items()},
+        "outputs": blob_names,
+        "platforms": list(exp.platforms),
+        "model": model_path,
+    }
+    meta_bytes = json.dumps(meta).encode()
+    with open(out_path, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<I", len(meta_bytes)))
+        f.write(meta_bytes)
+        f.write(payload)
+    log.info("Exported %s -> %s (%d bytes, platforms=%s)", model_path,
+             out_path, len(payload), ",".join(exp.platforms))
+    return meta
+
+
+def load_serving(path: str):
+    """Returns (call_fn, meta): call_fn({name: array}) → {blob: array}.
+    Needs only jax — no videovector_tpu code, prototxt, or weights."""
+    from jax import export as jexport
+    with open(path, "rb") as f:
+        if f.read(8) != _MAGIC:
+            raise ValueError(f"{path}: not a vvserve artifact")
+        (meta_len,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(meta_len).decode())
+        exp = jexport.deserialize(bytearray(f.read()))
+    return exp.call, meta
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="vvtpu-serve")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("export", help="freeze net+weights into an artifact")
+    p.add_argument("model")
+    p.add_argument("out")
+    p.add_argument("--weights", action="append", default=[])
+    p.add_argument("--blobs", required=True,
+                   help="comma-separated blob names to serve")
+    p.add_argument("--platforms", default="",
+                   help="comma-separated lowering targets, e.g. tpu,cpu "
+                        "(default: current backend)")
+
+    p = sub.add_parser("run", help="smoke-run an artifact on random inputs")
+    p.add_argument("artifact")
+
+    args = parser.parse_args(argv)
+    if args.command == "export":
+        platforms = [s for s in args.platforms.split(",") if s] or None
+        export_serving(args.model, args.weights, args.blobs.split(","),
+                       args.out, platforms=platforms)
+    elif args.command == "run":
+        call, meta = load_serving(args.artifact)
+        rng = np.random.RandomState(0)
+        batch = {k: rng.randn(*shape).astype(dtype)
+                 for k, (shape, dtype) in meta["inputs"].items()}
+        out = call(batch)
+        for name, arr in out.items():
+            log.info("%s: shape=%s mean=%.6f", name, tuple(arr.shape),
+                     float(np.asarray(arr).mean()))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
