@@ -566,3 +566,25 @@ def test_serving_cli(mini_project, tmp_path):
     out = str(tmp_path / "m.vvserve")
     assert main(["export", mini_project["net"], out, "--blobs", "ctxn"]) == 0
     assert main(["run", out]) == 0
+
+
+def test_serving_symbolic_batch(tmp_path):
+    """--symbolic_batch: one artifact serves any batch size."""
+    from videovector_tpu.tools.serving import export_serving, load_serving
+    net = tmp_path / "deploy.prototxt"
+    net.write_text("""
+name: "deploy"
+input: "data"
+input_dim: 4 input_dim: 1 input_dim: 16 input_dim: 1
+layers { name: "ip" type: INNER_PRODUCT bottom: "data" top: "out"
+  inner_product_param { num_output: 6 weight_filler { type: "xavier" } } }
+layers { name: "norm" type: NORMALIZATION bottom: "out" top: "outn" }
+""")
+    out = str(tmp_path / "m.vvserve")
+    meta = export_serving(str(net), [], ["outn"], out, symbolic_batch=True)
+    assert meta["inputs"]["data"][0][0] == -1
+    call, _ = load_serving(out)
+    for n in (2, 9):
+        got = call({"data": np.random.RandomState(n)
+                    .randn(n, 1, 16, 1).astype(np.float32)})
+        assert got["outn"].shape == (n, 6)

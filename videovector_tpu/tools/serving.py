@@ -32,10 +32,15 @@ _MAGIC = b"VVSERVE1"
 
 def export_serving(model_path: str, weight_paths: list[str],
                    blob_names: list[str], out_path: str, *,
-                   platforms: list[str] | None = None) -> dict:
+                   platforms: list[str] | None = None,
+                   symbolic_batch: bool = False) -> dict:
     """Freeze phase=TEST forward(params, batch) → {blob: activation} with
     params as constants; write a self-contained artifact. Returns the
-    input spec {name: (shape, dtype)}."""
+    input spec {name: (shape, dtype)}.
+
+    symbolic_batch=True exports the leading dimension as a shape symbol so
+    ONE artifact serves any batch size (fails loudly at export when a layer
+    needs a static batch, e.g. FLATTEN_BATCH with an explicit batch_size)."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -76,13 +81,20 @@ def export_serving(model_path: str, weight_paths: list[str],
             raise ValueError(f"blobs not in net: {missing}")
         return {n: blobs[n] for n in blob_names}
 
-    spec = {k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
-            for k, v in batch0.items()}
+    if symbolic_batch:
+        (b,) = jexport.symbolic_shape("b")
+        spec = {k: jax.ShapeDtypeStruct((b,) + v.shape[1:], jnp.float32)
+                for k, v in batch0.items()}
+    else:
+        spec = {k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+                for k, v in batch0.items()}
     exp = jexport.export(jax.jit(serve), platforms=platforms)(spec)
     payload = exp.serialize()
 
     meta = {
-        "inputs": {k: [list(v.shape), "float32"] for k, v in spec.items()},
+        "inputs": {k: [[-1 if symbolic_batch and i == 0 else int(d)
+                        for i, d in enumerate(v.shape)], "float32"]
+                   for k, v in spec.items()},
         "outputs": blob_names,
         "platforms": list(exp.platforms),
         "model": model_path,
@@ -125,6 +137,10 @@ def main(argv=None) -> int:
                    help="comma-separated lowering targets, e.g. tpu,cpu "
                         "(default: current backend)")
 
+    p.add_argument("--symbolic_batch", action="store_true",
+                   help="export the leading dim as a shape symbol: one "
+                        "artifact serves any batch size")
+
     p = sub.add_parser("run", help="smoke-run an artifact on random inputs")
     p.add_argument("artifact")
 
@@ -132,11 +148,13 @@ def main(argv=None) -> int:
     if args.command == "export":
         platforms = [s for s in args.platforms.split(",") if s] or None
         export_serving(args.model, args.weights, args.blobs.split(","),
-                       args.out, platforms=platforms)
+                       args.out, platforms=platforms,
+                       symbolic_batch=args.symbolic_batch)
     elif args.command == "run":
         call, meta = load_serving(args.artifact)
         rng = np.random.RandomState(0)
-        batch = {k: rng.randn(*shape).astype(dtype)
+        batch = {k: rng.randn(*[8 if d == -1 else d
+                                for d in shape]).astype(dtype)
                  for k, (shape, dtype) in meta["inputs"].items()}
         out = call(batch)
         for name, arr in out.items():
