@@ -397,3 +397,96 @@ def test_converters_leveldb(tmp_path):
     assert import_leveldb(db, back) == 50
     a, b = open_store(vvr), open_store(back)
     assert [(k, bytes(v)) for k, v in a] == [(k, bytes(v)) for k, v in b]
+
+
+def test_reader_follows_compaction_history(tmp_path):
+    """Real DBs carry a MANIFEST with many VersionEdits: files added at
+    several levels, files deleted by compactions, compact pointers. The
+    reader must apply the full edit sequence, not just the first record."""
+    import struct as _struct
+    from videovector_tpu.data.leveldbio import (
+        TableWriter, _internal_key,
+    )
+    db = tmp_path / "db"
+    db.mkdir()
+
+    def write_table(number, items, seq_start):
+        tw = TableWriter(str(db / f"{number:06d}.ldb"))
+        seq = seq_start
+        for k, v in items:
+            seq += 1
+            tw.add(_internal_key(k, seq), v)
+        size = tw.finish()
+        first = _internal_key(items[0][0], seq_start + 1)
+        last = _internal_key(items[-1][0], seq)
+        return size, first, last
+
+    # table 2: obsolete (later deleted by "compaction"); table 3: level 1;
+    # table 4: level 0 overwriting one key of table 3 at a higher seq
+    s2 = write_table(2, [(b"a", b"OLD-a"), (b"b", b"OLD-b")], 0)
+    s3 = write_table(3, [(b"a", b"a1"), (b"b", b"b1"), (b"c", b"c1")], 10)
+    s4 = write_table(4, [(b"b", b"b2-new")], 20)
+
+    edits = []
+    e1 = VersionEdit()
+    e1.comparator = "leveldb.BytewiseComparator"
+    e1.log_number = 0
+    e1.next_file_number = 3
+    e1.last_sequence = 2
+    e1.new_files = [(0, 2, s2[0], s2[1], s2[2])]
+    edits.append(e1)
+    e2 = VersionEdit()  # compaction: table 2 out, table 3 in at level 1
+    e2.log_number = 0
+    e2.next_file_number = 4
+    e2.last_sequence = 13
+    e2.deleted_files = [(0, 2)]
+    e2.new_files = [(1, 3, s3[0], s3[1], s3[2])]
+    edits.append(e2)
+    e3 = VersionEdit()  # fresh level-0 table shadows "b"
+    e3.log_number = 0
+    e3.next_file_number = 5
+    e3.last_sequence = 21
+    e3.new_files = [(0, 4, s4[0], s4[1], s4[2])]
+    edits.append(e3)
+
+    with open(db / "MANIFEST-000001", "wb") as f:
+        w = LogWriter(f)
+        for e in edits:
+            w.add_record(e.encode())
+    (db / "CURRENT").write_bytes(b"MANIFEST-000001\n")
+    # table 2 deleted by the compaction record — remove like leveldb would
+    (db / "000002.ldb").unlink()
+
+    r = LevelDbReader(str(db), verify_checksums=True)
+    assert [(k, v) for k, v in r] == [
+        (b"a", b"a1"), (b"b", b"b2-new"), (b"c", b"c1")]
+
+
+def test_reader_rejects_corruption_cleanly(tmp_path):
+    """Bit flips and truncation raise ValueError/FileNotFoundError — never
+    silent wrong data, never a crash."""
+    db = str(tmp_path / "db")
+    with LevelDbWriter(db) as w:
+        for i in range(200):
+            w.put(f"{i:05d}", (f"val{i}" * 9).encode())
+    ldb = os.path.join(db, "000002.ldb")
+    raw = bytearray(open(ldb, "rb").read())
+
+    # corrupt the table magic
+    bad = raw.copy()
+    bad[-1] ^= 0xFF
+    open(ldb, "wb").write(bad)
+    with pytest.raises(ValueError, match="magic"):
+        LevelDbReader(db)
+
+    # flip a data byte: checksum verification must catch it
+    bad = raw.copy()
+    bad[50] ^= 0xFF
+    open(ldb, "wb").write(bad)
+    with pytest.raises(ValueError, match="checksum"):
+        LevelDbReader(db, verify_checksums=True)
+
+    # missing live table
+    os.unlink(ldb)
+    with pytest.raises(FileNotFoundError):
+        LevelDbReader(db)
