@@ -65,3 +65,67 @@ def test_retrieval_stats_report(tmp_path, rng):
     # per-row ap values average to the aggregate
     aps = [float(l.split(",")[2]) for l in lines[1:]]
     np.testing.assert_allclose(np.mean(aps), agg["mean_ap"], rtol=1e-5)
+
+
+def test_mesh_training_stateful_lstm_net(tmp_path, rng):
+    """Prototxt LSTM net (cross-batch state carry) trained over the mesh:
+    the carry rides the replicated metrics channel and re-enters the next
+    sharded step — must run and reduce loss."""
+    import jax
+    import numpy as np
+    from videovector_tpu.config.textformat import parse
+    from videovector_tpu.parallel import make_mesh
+    from videovector_tpu.solver.driver import SolverDriver
+    from videovector_tpu.data.records import RecordWriter
+    from videovector_tpu.data.wire import TrackPositions, TrackingWindow
+
+    t_obs, t_pred, b = 6, 3, 16
+    path = str(tmp_path / "tracks.vvr")
+    with RecordWriter(path) as w:
+        tid = 0
+        for s in range(60):
+            tracks = []
+            for _ in range(4):
+                vel = rng.randn(2) * 0.4
+                ts = np.arange(t_obs + t_pred)
+                xy = vel[None, :] * ts[:, None]
+                tracks.append(TrackPositions(
+                    id=tid, x=list(map(float, xy[:, 0])),
+                    y=list(map(float, xy[:, 1])), cl=0))
+                tid += 1
+            w.append(f"{s:06d}", TrackingWindow(
+                observed_time=list(range(t_obs)),
+                prediction_time=list(range(t_obs, t_obs + t_pred)),
+                scene_id=s, track_positions=tracks).encode())
+
+    net = f"""
+    name: "lstm_mesh"
+    layers {{ name: "d" type: TRACKING_WINDOWS_DATA
+      top: "observed" top: "cont_obs" top: "predicted" top: "cont_pred" top: "gt"
+      tracking_windows_data_param {{ source: "{path}" batch_size: {b}
+        temporal_observed_size: {t_obs} temporal_predicted_size: {t_pred} }} }}
+    layers {{ name: "enc" type: LSTM bottom: "observed" bottom: "cont_obs"
+      top: "h" inner_product_param {{ num_output: 16
+        weight_filler {{ type: "gaussian" std: 0.2 }} }} }}
+    layers {{ name: "fb" type: FLATTEN_BATCH bottom: "h" top: "hf" }}
+    layers {{ name: "ro" type: INNER_PRODUCT bottom: "hf" top: "pred"
+      inner_product_param {{ num_output: 2 weight_filler {{ type: "xavier" }} }} }}
+    layers {{ name: "gtf" type: FLATTEN_BATCH bottom: "observed" top: "obs_f" }}
+    layers {{ name: "sl" type: SLICE bottom: "obs_f" top: "xy" top: "rest"
+      slice_param {{ slice_dim: 1 slice_point: 2 }} }}
+    layers {{ name: "sil" type: SILENCE bottom: "rest" }}
+    layers {{ name: "loss" type: EUCLIDEAN_LOSS bottom: "pred" bottom: "xy"
+      top: "l" }}
+    """
+    solver = parse(f"""
+    net_param {{ {net} }}
+    base_lr: 0.05 momentum: 0.9 lr_policy: "fixed"
+    max_iter: 30 display: 5 snapshot: 0 snapshot_prefix: "{tmp_path / 's'}"
+    """)
+    driver = SolverDriver(solver).build()
+    assert driver.train_net.stateful_layer_names == ["enc"]
+    mesh = make_mesh(data=4, model=1)
+    res = driver.train(mesh=mesh)
+    losses = [m[1]["loss"] for m in res.metrics_history]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -108,6 +108,11 @@ class TrackingWindowsSource(_BaseTrackingSource):
     """Plain variant: tops observed / cont_observed / predicted /
     cont_predicted / labels / scene_ids."""
 
+    # tracking batches are TIME-MAJOR (T, B, ...): the batch axis — the one
+    # data-parallel sharding splits — is axis 1 for sequence tops
+    batch_axes = {"observed": 1, "cont_observed": 1, "predicted": 1,
+                  "cont_predicted": 1, "labels": 1, "scene_ids": 0}
+
     def next_batch(self) -> dict:
         cfg = self.cfg
         b = cfg.batch_size
@@ -142,6 +147,13 @@ class TrackingWindowsSource(_BaseTrackingSource):
 class TrackingWindowsSocialSource(_BaseTrackingSource):
     """Social variant: scenes packed whole; adds last-observed positions,
     the B×B neighbor matrix, and the validity mask."""
+
+    # time-major sequence tops shard on axis 1; per-agent tops on axis 0.
+    # relations is (B, B): splitting rows is a layout choice only — social
+    # pooling couples all agents, so GSPMD inserts the gather it needs.
+    batch_axes = {"observed": 1, "mean_pos": 0, "predicted": 1,
+                  "relations": 0, "is_valid": 0, "labels": 1,
+                  "scene_ids": 0}
 
     def next_batch(self) -> dict:
         cfg = self.cfg

@@ -29,6 +29,14 @@ class _RenamingSource:
         return {self.mapping[k]: v for k, v in batch.items()
                 if k in self.mapping}
 
+    def batch_axes(self) -> dict:
+        """top name → batch axis (the axis data-parallel sharding splits).
+        Defaults to 0; time-major sources (tracking: (T, B, ...)) override
+        via a `batch_axes` attribute keyed by canonical field names."""
+        src_axes = getattr(self.source, "batch_axes", {})
+        return {top: src_axes.get(canon, 0)
+                for canon, top in self.mapping.items()}
+
     def __iter__(self):
         while True:
             yield self.next_batch()
@@ -259,6 +267,13 @@ class MergedSource:
         out: dict = {}
         for s in self.sources:
             out.update(s.next_batch())
+        return out
+
+    def batch_axes(self) -> dict:
+        out: dict = {}
+        for s in self.sources:
+            if hasattr(s, "batch_axes"):
+                out.update(s.batch_axes())
         return out
 
     def __iter__(self):

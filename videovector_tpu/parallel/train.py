@@ -42,12 +42,21 @@ def shard_params(params, mesh: Mesh, *, model_axis: bool = False):
     return jax.tree.map(place, params)
 
 
-def shard_batch(batch, mesh: Mesh):
-    """Batch-shard every leaf along its leading axis."""
-    def place(leaf):
-        spec = P("data", *([None] * (leaf.ndim - 1)))
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
-    return jax.tree.map(place, batch)
+def shard_batch(batch, mesh: Mesh, axes: dict | None = None):
+    """Batch-shard every leaf along its batch axis (default: leading).
+    `axes` maps top-level dict keys to the axis to split — time-major
+    sources (tracking layers emit (T, B, ...)) declare axis 1 via their
+    `batch_axes()`."""
+    def place_at(leaf, axis):
+        spec_dims = [None] * leaf.ndim
+        spec_dims[axis] = "data"
+        return jax.device_put(leaf, NamedSharding(mesh, P(*spec_dims)))
+
+    if axes and isinstance(batch, dict):
+        return {k: jax.tree.map(
+                    lambda leaf, a=axes.get(k, 0): place_at(leaf, a), v)
+                for k, v in batch.items()}
+    return jax.tree.map(lambda leaf: place_at(leaf, 0), batch)
 
 
 def make_train_step(loss_fn: Callable, solver_cfg: SolverConfig, mesh: Mesh, *,

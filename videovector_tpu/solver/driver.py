@@ -44,15 +44,28 @@ class SolverDriver:
                 return cand if os.path.exists(cand) else p
             return p
 
-        net_path = resolve(solver_msg.get("net") or solver_msg.get("train_net"))
-        if net_path is None:
-            raise ValueError("solver prototxt needs a net/train_net field")
-        self.net_msg = parse_file(net_path)
-        # separate test net files (ref repeated SolverParameter.test_net;
-        # Solver::InitTestNets) — falls back to the TEST phase of the merged net
+        # net sources, in the reference's precedence: inline net_param /
+        # train_net_param beat file paths (ref:src/caffe/solver.cpp:47-82
+        # InitTrainNet — "precedence: net_param > net > train_net...")
+        inline = (solver_msg.get("net_param")
+                  or solver_msg.get("train_net_param"))
+        if inline is not None:
+            self.net_msg = inline
+        else:
+            net_path = resolve(solver_msg.get("net")
+                               or solver_msg.get("train_net"))
+            if net_path is None:
+                raise ValueError(
+                    "solver prototxt needs a net/net_param/train_net field")
+            self.net_msg = parse_file(net_path)
+        # separate test nets (ref repeated SolverParameter.test_net /
+        # test_net_param; Solver::InitTestNets) — falls back to the TEST
+        # phase of the merged net
+        inline_tests = list(solver_msg.get_list("test_net_param"))
         test_paths = [resolve(str(p)) for p in solver_msg.get_list("test_net")]
-        self.test_net_msgs = ([parse_file(p) for p in test_paths]
-                              if test_paths else [self.net_msg])
+        self.test_net_msgs = (
+            inline_tests + [parse_file(p) for p in test_paths]
+            if (inline_tests or test_paths) else [self.net_msg])
         self.has_test = bool(solver_msg.get("test_interval"))
 
     @classmethod
@@ -212,7 +225,10 @@ class SolverDriver:
             from videovector_tpu.parallel.train import shard_batch, shard_params
             params = shard_params(params, mesh,
                                   model_axis=mesh.shape.get("model", 1) > 1)
-            data_iter = (shard_batch(b, mesh) for b in data_iter)
+            batch_axes = (self.train_source.batch_axes()
+                          if hasattr(self.train_source, "batch_axes") else None)
+            data_iter = (shard_batch(b, mesh, axes=batch_axes)
+                         for b in data_iter)
 
         return train(loss_fn, params, data_iter, cfg,
                      lr_mults=self.lr_mults, decay_mults=self.decay_mults,

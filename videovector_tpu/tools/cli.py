@@ -124,7 +124,8 @@ def cmd_test(args) -> int:
         # GSPMD inserts the cross-chip reductions the metric layers need
         from videovector_tpu.parallel.train import shard_batch, shard_params
         params = shard_params(params, mesh)
-        place_batch = lambda b: shard_batch(b, mesh)  # noqa: E731
+        axes = source.batch_axes() if hasattr(source, "batch_axes") else None
+        place_batch = lambda b: shard_batch(b, mesh, axes=axes)  # noqa: E731
         batch0 = place_batch(batch0)
 
     apply_fn = jax.jit(lambda p, b: net.apply(p, b))

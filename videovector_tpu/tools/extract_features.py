@@ -55,9 +55,14 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
         from jax.sharding import PartitionSpec as P
         from videovector_tpu.parallel.train import shard_params
         params = shard_params(params, mesh)
-        batch_sharding = {
-            k: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
-            for k, v in batch0.items()}
+        axes = source.batch_axes() if hasattr(source, "batch_axes") else {}
+
+        def _spec(v, k):
+            dims = [None] * v.ndim
+            dims[axes.get(k, 0)] = "data"
+            return NamedSharding(mesh, P(*dims))
+
+        batch_sharding = {k: _spec(v, k) for k, v in batch0.items()}
 
     fwd = jax.jit(lambda p, b: net.apply(p, b, return_blobs=True)[1])
 
