@@ -588,3 +588,21 @@ layers { name: "norm" type: NORMALIZATION bottom: "out" top: "outn" }
         got = call({"data": np.random.RandomState(n)
                     .randn(n, 1, 16, 1).astype(np.float32)})
         assert got["outn"].shape == (n, 6)
+
+
+def test_resize_and_crop_images(tmp_path):
+    """Reference dataset-prep utility: shorter side -> N, center square crop
+    (ref tools/extra/resize_and_crop_images.py)."""
+    from PIL import Image
+    from videovector_tpu.tools.converters import resize_and_crop_images
+    src = tmp_path / "in" / "synset1"
+    src.mkdir(parents=True)
+    Image.new("RGB", (100, 40), (200, 10, 10)).save(src / "wide.jpg")
+    Image.new("RGB", (30, 90), (10, 200, 10)).save(src / "tall.png")
+    (src / "notes.txt").write_text("skip me")
+    out = tmp_path / "out"
+    n = resize_and_crop_images(str(tmp_path / "in"), str(out), side=32)
+    assert n == 2
+    for name in ("synset1/wide.jpg", "synset1/tall.png"):
+        img = Image.open(out / name)
+        assert img.size == (32, 32)

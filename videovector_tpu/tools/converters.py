@@ -175,6 +175,37 @@ def export_lmdb(records_path: str, db_path: str) -> int:
     return len(reader)
 
 
+def resize_and_crop_images(input_folder: str, output_folder: str, *,
+                           side: int = 256) -> int:
+    """Shorter-side resize to `side`, center-crop to side×side — the
+    reference's dataset-prep utility (ref:tools/extra/
+    resize_and_crop_images.py:20-36 OpenCVResizeCrop), minus the mincepie
+    map-reduce harness. Mirrors the input tree. Returns the image count."""
+    from PIL import Image
+    count = 0
+    for root, _dirs, files in os.walk(input_folder):
+        rel = os.path.relpath(root, input_folder)
+        for fname in files:
+            if not fname.lower().endswith(
+                    (".jpg", ".jpeg", ".png", ".bmp")):
+                continue
+            img = Image.open(os.path.join(root, fname)).convert("RGB")
+            w, h = img.size
+            if h > w:
+                new_w, new_h = side, round(side * h / w)
+            else:
+                new_w, new_h = round(side * w / h), side
+            img = img.resize((new_w, new_h), Image.BILINEAR)
+            left = (new_w - side) // 2
+            top = (new_h - side) // 2
+            img = img.crop((left, top, left + side, top + side))
+            out_dir = os.path.join(output_folder, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            img.save(os.path.join(out_dir, fname))
+            count += 1
+    return count
+
+
 def import_leveldb(db_path: str, out: str) -> int:
     """Copy a reference LevelDB directory into a VVR store (iteration order
     == key order, matching SeekToFirst/Next cursor walks,
@@ -258,6 +289,11 @@ def main(argv=None) -> int:
     p.add_argument("records")
     p.add_argument("db")
 
+    p = sub.add_parser("resize_images")
+    p.add_argument("input_folder")
+    p.add_argument("output_folder")
+    p.add_argument("--side", type=int, default=256)
+
     p = sub.add_parser("import_leveldb")
     p.add_argument("db")
     p.add_argument("out")
@@ -294,6 +330,10 @@ def main(argv=None) -> int:
     elif args.command == "export_lmdb":
         n = export_lmdb(args.records, args.db)
         print(f"exported {n} entries from {args.records} -> {args.db}")
+    elif args.command == "resize_images":
+        n = resize_and_crop_images(args.input_folder, args.output_folder,
+                                   side=args.side)
+        print(f"resized {n} images -> {args.output_folder}")
     elif args.command == "import_leveldb":
         n = import_leveldb(args.db, args.out)
         print(f"imported {n} entries from {args.db} -> {args.out}")
