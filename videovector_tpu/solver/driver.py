@@ -13,6 +13,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from videovector_tpu.config.textformat import Message, parse_file
 from videovector_tpu.graph.data_factory import MergedSource, make_data_source
@@ -125,11 +126,29 @@ class SolverDriver:
         return MergedSource(sources)
 
     # ------------------------------------------------------------------
-    def _data_iter(self, source):
+    def _data_iter(self, source, sharding=None):
         # background host batching + async H2D (double buffered), the
         # reference's prefetch-thread overlap at the jit boundary
         from videovector_tpu.data.prefetch import DevicePrefetcher
-        return iter(DevicePrefetcher(iter(source), depth=2))
+        return iter(DevicePrefetcher(iter(source), depth=2,
+                                     sharding=sharding))
+
+    @staticmethod
+    def _batch_shardings(probe_batch, source, mesh):
+        """Per-top NamedShardings honoring the source's batch axes.
+        `probe_batch` supplies shapes (the first batch saved at build —
+        consuming a fresh one here would desync the training stream)."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+        axes = (source.batch_axes()
+                if hasattr(source, "batch_axes") else {})
+
+        def spec(v, k):
+            dims = [None] * np.asarray(v).ndim
+            dims[axes.get(k, 0)] = "data"
+            return NamedSharding(mesh, P(*dims))
+
+        return {k: spec(v, k) for k, v in probe_batch.items()}
 
     def train(self, *, resume_state_path: str | None = None,
               weights_path: str | None = None, max_iter: int | None = None,
@@ -220,15 +239,17 @@ class SolverDriver:
                           lambda p, it: net.debug_info(
                               p, self._first_batch_jnp())))
 
-        data_iter = self._data_iter(self.train_source)
-        if mesh is not None:
-            from videovector_tpu.parallel.train import shard_batch, shard_params
+        if mesh is None:
+            data_iter = self._data_iter(self.train_source)
+        else:
+            from videovector_tpu.parallel.train import shard_params
             params = shard_params(params, mesh,
                                   model_axis=mesh.shape.get("model", 1) > 1)
-            batch_axes = (self.train_source.batch_axes()
-                          if hasattr(self.train_source, "batch_axes") else None)
-            data_iter = (shard_batch(b, mesh, axes=batch_axes)
-                         for b in data_iter)
+            # the prefetcher places batches DIRECTLY with the mesh sharding
+            # — one async H2D per shard, no defaul-device detour
+            data_iter = self._data_iter(
+                self.train_source, sharding=self._batch_shardings(
+                    self._first_batch, self.train_source, mesh))
 
         return train(loss_fn, params, data_iter, cfg,
                      lr_mults=self.lr_mults, decay_mults=self.decay_mults,
