@@ -189,6 +189,10 @@ layers {{
   name: "retrieval_stats" type: RETRIEVAL_STATS
   bottom: "ctxn" bottom: "video_ids"
   top: "test_map" top: "test_hit1" top: "test_hit5"
+  # synthetic project: no id_to_class_file, so class == video id and the
+  # same-video shots ARE the positives — the proto default (true) assumes
+  # a class map (the reference marks id_to_class_file `required`)
+  retrieval_stats_param {{ exclude_same_video_shots: false }}
   include: {{ phase: TEST }}
 }}""")
     return "\n".join(lines) + "\n"

@@ -172,6 +172,7 @@ layers {{
   name: "retrieval" type: RETRIEVAL_STATS
   bottom: "ctxn" bottom: "video_ids"
   top: "map" top: "hit1" top: "hit5"
+  retrieval_stats_param {{ exclude_same_video_shots: false }}
   include: {{ phase: TEST }}
 }}
 """
@@ -218,7 +219,9 @@ def test_solver_driver_end_to_end(mini_project):
     assert res.test_history
     test_metrics = res.test_history[-1][1]
     assert "map" in test_metrics
-    assert 0.0 <= test_metrics["map"] <= 1.0
+    # class == video id here and exclusion is off, so the retrieval task is
+    # well-posed: a zero mAP would mean the eval path is broken
+    assert 0.0 < test_metrics["map"] <= 1.0
     # violations diagnostic flowed through
     assert "violations" in res.metrics_history[0][1]
 
