@@ -238,7 +238,12 @@ struct Sampler {
 
   int channels() const { return cfg.context_size + cfg.num_negatives; }
 
-  void fill_reservoir() {
+  // Returns false when the dataset has too few distinct shots to fill the
+  // reservoir — the reference CHECK-fails on underfill
+  // (ref:src/caffe/layers/video_shot_window_data_layer.cpp:338
+  // CHECK_EQ(num_negatives_added, max_buffer_size_)); the Python twin
+  // raises, and vv_sampler_create returns null to match.
+  bool fill_reservoir() {
     buffer.assign(size_t(cfg.max_buffer_size) * feature_dim, 0.f);
     int added = 0;
     size_t i = 0;
@@ -256,6 +261,7 @@ struct Sampler {
       key_set.insert(key);
       ++added;
     }
+    return added >= cfg.max_buffer_size;
   }
 
   void maybe_add(const std::string& key, const float* feat) {
@@ -491,7 +497,7 @@ void* vv_sampler_create(const char* path, int batch_size, int context_size,
   }
   reader_close(r);
   if (s->videos.empty()) { delete s; return nullptr; }
-  if (num_negatives > 0) s->fill_reservoir();
+  if (num_negatives > 0 && !s->fill_reservoir()) { delete s; return nullptr; }
   s->worker = std::thread([s] { s->worker_loop(); });
   return s;
 }

@@ -119,3 +119,23 @@ def test_native_sampler_skips_short_videos(tmp_path, rng):
     batch = src.next_batch()
     assert np.all(batch["video_id"] == 2)
     src.close()
+
+
+def test_native_sampler_underfilled_reservoir_fails_like_reference(tmp_path, rng):
+    """max_buffer_size larger than the distinct-shot count: the reference
+    CHECK-fails (video_shot_window_data_layer.cpp:338), the Python sampler
+    raises, and the native twin must refuse too — not silently sample from
+    a partially-filled buffer."""
+    import pytest
+    from videovector_tpu.data import native
+    from videovector_tpu.data.shots import ShotDataset, ShotVideo
+    videos = [ShotVideo(v + 1, np.arange(4, dtype=np.int32),
+                        rng.randn(4, 8).astype(np.float32))
+              for v in range(3)]  # 12 distinct shots total
+    path = str(tmp_path / "small.vvr")
+    ShotDataset(videos).to_records(path)
+    with pytest.raises(IOError, match="reservoir"):
+        native.NativeSampledShotsSource(
+            path, batch_size=4, context_size=5, num_negative_samples=4,
+            max_buffer_size=100, negative_swap_percentage=50,
+            max_same_video_negs=2)

@@ -210,7 +210,11 @@ class NativeSampledShotsSource:
             max_buffer_size, negative_swap_percentage, max_same_video_negs,
             seed, prefetch_depth)
         if not self._h:
-            raise IOError(f"cannot open shot dataset {path}")
+            raise IOError(
+                f"cannot open shot dataset {path} (or too few distinct "
+                "shots to fill the negative reservoir of "
+                f"{max_buffer_size} — the reference CHECK-fails too, "
+                "video_shot_window_data_layer.cpp:338)")
         self.batch_size = batch_size
         self.feature_dim = int(lib.vv_sampler_feature_dim(self._h))
         self.channels = int(lib.vv_sampler_channels(self._h))
