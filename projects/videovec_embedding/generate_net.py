@@ -207,10 +207,36 @@ def main():
     p.add_argument("--negatives", type=int, default=10)
     p.add_argument("--embed", type=int, default=4096)
     p.add_argument("--margin", type=float, default=2.0)
+    p.add_argument("--buffer", type=int, default=0,
+                   help="negative reservoir size; 0 = derive from the "
+                        "dataset (min(5000, total_shots // 2) — the "
+                        "reservoir must be fillable with distinct shots, "
+                        "the reference CHECK-fails otherwise)")
     args = p.parse_args()
+    buffer_size = args.buffer
+    if buffer_size <= 0:
+        import os
+        import sys
+        repo = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "..")
+        sys.path.insert(0, repo)
+        from videovector_tpu.data.shots import ShotDataset
+        # source paths are written for the training cwd (repo root); the
+        # generator may run from the project dir — try both
+        path = args.train_source
+        if not os.path.exists(path):
+            cand = os.path.join(repo, path)
+            path = cand if os.path.exists(cand) else None
+        if path is None:
+            buffer_size = 5000  # reference default; dataset not visible here
+        else:
+            total = sum(v.num_shots for v in
+                        ShotDataset.from_records(path).videos)
+            buffer_size = max(1, min(5000, total // 2))
     print(emit(args.train_source, args.test_source, batch=args.batch,
                test_batch=args.test_batch, negatives=args.negatives,
-               embed=args.embed, margin=args.margin), end="")
+               embed=args.embed, margin=args.margin,
+               buffer_size=buffer_size), end="")
 
 
 if __name__ == "__main__":
