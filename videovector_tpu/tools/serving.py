@@ -33,7 +33,8 @@ _MAGIC = b"VVSERVE1"
 def export_serving(model_path: str, weight_paths: list[str],
                    blob_names: list[str], out_path: str, *,
                    platforms: list[str] | None = None,
-                   symbolic_batch: bool = False) -> dict:
+                   symbolic_batch: bool = False,
+                   input_shapes: dict | None = None) -> dict:
     """Freeze phase=TEST forward(params, batch) → {blob: activation} with
     params as constants; write a self-contained artifact. Returns the
     input spec {name: (shape, dtype)}.
@@ -53,20 +54,29 @@ def export_serving(model_path: str, weight_paths: list[str],
     net_msg = parse_file(model_path)
     net = Net(net_msg, phase="TEST")
 
-    # example shapes: data layers (batch 0) or deploy input declarations
-    batch0: dict = {}
-    sources = [make_data_source(l, phase="TEST")
-               for l in net.layers if l.get("type") in DATA_LAYER_TYPES]
+    # example shapes: data layers (batch 0), deploy input declarations, or
+    # explicit input_shapes (required for push-fed layers like MEMORY_DATA,
+    # whose shapes come from the caller at Reset time)
+    batch0: dict = {k: np.zeros(tuple(shape), np.float32)
+                    for k, shape in (input_shapes or {}).items()}
+    sources = []
+    for l in net.layers:
+        if l.get("type") not in DATA_LAYER_TYPES:
+            continue
+        if all(str(t) in batch0 for t in l.get_list("top")):
+            continue  # caller supplied this layer's shapes
+        sources.append(make_data_source(l, phase="TEST"))
     if sources:
-        batch0 = {k: np.asarray(v)
-                  for k, v in MergedSource(sources).next_batch().items()}
+        batch0.update({k: np.asarray(v)
+                       for k, v in MergedSource(sources).next_batch().items()})
     input_names = list(net_msg.get_list("input"))
     input_dims = [int(d) for d in net_msg.get_list("input_dim")]
     for idx, name in enumerate(input_names):
         dims = input_dims[idx * 4:(idx + 1) * 4]
         batch0[str(name)] = np.zeros(dims, np.float32)
     if not batch0:
-        raise ValueError("net has neither data layers nor input declarations")
+        raise ValueError("net has neither data layers nor input "
+                         "declarations (pass input_shapes / --input_shape)")
 
     params, _ = net.init(jax.random.PRNGKey(0), {
         k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
@@ -140,6 +150,9 @@ def main(argv=None) -> int:
     p.add_argument("--symbolic_batch", action="store_true",
                    help="export the leading dim as a shape symbol: one "
                         "artifact serves any batch size")
+    p.add_argument("--input_shape", action="append", default=[],
+                   help="name=4,3,227,227 — explicit input shapes "
+                        "(needed for MEMORY_DATA-fed nets)")
 
     p = sub.add_parser("run", help="smoke-run an artifact on random inputs")
     p.add_argument("artifact")
@@ -147,9 +160,14 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.command == "export":
         platforms = [s for s in args.platforms.split(",") if s] or None
+        shapes = {}
+        for spec in args.input_shape:
+            name, _, dims = spec.partition("=")
+            shapes[name] = tuple(int(d) for d in dims.split(","))
         export_serving(args.model, args.weights, args.blobs.split(","),
                        args.out, platforms=platforms,
-                       symbolic_batch=args.symbolic_batch)
+                       symbolic_batch=args.symbolic_batch,
+                       input_shapes=shapes or None)
     elif args.command == "run":
         call, meta = load_serving(args.artifact)
         rng = np.random.RandomState(0)
