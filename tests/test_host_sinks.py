@@ -37,3 +37,35 @@ def test_write_to_file_and_hdf5_sinks(tmp_path, rng):
     with h5py.File(h5_path) as f:
         np.testing.assert_allclose(np.asarray(f["y"]),
                                    np.asarray(blobs["y"]), atol=1e-6)
+
+
+def test_retrieval_stats_output_file(tmp_path, rng):
+    """RETRIEVAL_STATS with stats_output_file dumps the per-query csv
+    (ref retrieval_stats_layer.cpp:148-155,310-340) via host sinks."""
+    import jax
+    import jax.numpy as jnp
+    from videovector_tpu.config.textformat import parse
+    from videovector_tpu.graph.net import Net
+
+    out = tmp_path / "stats.csv"
+    net = Net(parse(f"""
+    input: "feats" input: "vids"
+    layers {{ name: "r" type: RETRIEVAL_STATS bottom: "feats" bottom: "vids"
+      top: "map" top: "h1" top: "h5"
+      retrieval_stats_param {{ stats_output_file: "{out}"
+        exclude_same_video_shots: false }} }}
+    """), phase="TEST")
+    feats = rng.randn(6, 4).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    vids = np.asarray([1, 1, 2, 2, 3, 3], np.float32)
+    spec = {"feats": jax.ShapeDtypeStruct((6, 4), jnp.float32),
+            "vids": jax.ShapeDtypeStruct((6,), jnp.float32)}
+    params, _ = net.init(jax.random.PRNGKey(0), spec)
+    assert any(s["type"] == "RETRIEVAL_STATS" for s in net.host_sinks)
+    _, blobs = net.apply(params, {"feats": jnp.asarray(feats),
+                                  "vids": jnp.asarray(vids)},
+                         return_blobs=True)
+    net.process_host_sinks(blobs)
+    lines = out.read_text().strip().split("\n")
+    assert lines[0].startswith("#video_id,class_id,ap,acc@1,acc@5")
+    assert len(lines) == 7  # header + 6 queries

@@ -122,6 +122,15 @@ class Net:
              "bottoms": [str(b) for b in l.get_list("bottom")], "cfg": l}
             for l in self.layers if l.get("type") in SINK_LAYER_TYPES
         ]
+        # RETRIEVAL_STATS with stats_output_file also dumps a per-query csv
+        # (ref:src/caffe/layers/retrieval_stats_layer.cpp:148-155,310-340)
+        self.host_sinks += [
+            {"name": l.get("name"), "type": "RETRIEVAL_STATS",
+             "bottoms": [str(b) for b in l.get_list("bottom")], "cfg": l}
+            for l in self.layers
+            if l.get("type") == "RETRIEVAL_STATS"
+            and l.get_msg("retrieval_stats_param").get("stats_output_file")
+        ]
 
         # AutoTopBlobs (ref:include/caffe/layer.hpp:258 + net.cpp AppendTop):
         # loss layers may omit `top:`; auto-name the implicit loss tops
@@ -415,6 +424,22 @@ class Net:
                     "file_name", f"{sink['name']}.h5")
                 hdf5_output(path, {b: np.asarray(blobs[b])
                                    for b in sink["bottoms"]})
+            elif sink["type"] == "RETRIEVAL_STATS":
+                from videovector_tpu.metrics.retrieval import (
+                    retrieval_stats_report,
+                )
+                p = cfg.get_msg("retrieval_stats_param")
+                feats = np.asarray(blobs[sink["bottoms"][0]])
+                feats = feats.reshape(feats.shape[0], -1)
+                vids = np.asarray(blobs[sink["bottoms"][1]]).reshape(-1)
+                id_map = self.side.get(sink["name"])
+                classes = (np.asarray(id_map.lookup(
+                    jnp.asarray(vids, jnp.int32)))
+                    if id_map is not None else vids.astype(np.int64))
+                retrieval_stats_report(
+                    feats, vids, classes, p.get("stats_output_file"),
+                    exclude_same_video_shots=bool(
+                        p.get("exclude_same_video_shots", True)))
 
     # ------------------------------------------------------------------
     def flat_param_list(self, params):
