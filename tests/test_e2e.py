@@ -439,8 +439,9 @@ def test_cli_test_mesh(mini_project):
 
 
 def test_extract_features_leveldb_backend(mini_project, tmp_path):
-    """backend="leveldb" mirrors the reference's output format
-    (ref:tools/extract_features.cpp:127-146: a LevelDB of Datums per blob)."""
+    """backend="leveldb" matches the reference's output format exactly
+    (ref:tools/extract_features.cpp:152-188): plain "%d" decimal keys,
+    Datum(height=dim, width=1, channels=1), "#features" text header."""
     from videovector_tpu.tools.extract_features import extract
     from videovector_tpu.data.leveldbio import LevelDbReader
     from videovector_tpu.data.wire import Datum as D
@@ -450,9 +451,16 @@ def test_extract_features_leveldb_backend(mini_project, tmp_path):
     assert counts["ctxn"] == 24
     r = LevelDbReader(out_prefix + "_ctxn_leveldb", verify_checksums=True)
     assert len(r) == 24
-    assert r.key(0) == b"0000000000"
-    d = D.decode(r.value(0))
+    # keys are str(index), lexicographically ordered by LevelDB:
+    # "0" < "1" < "10" < ... — a consumer looking up "17" must find row 17
+    assert set(r.key(i) for i in range(len(r))) == \
+        {str(i).encode() for i in range(24)}
+    d = D.decode(r.get(b"0"))
+    assert (d.channels, d.height, d.width) == (1, 16, 1)
     assert len(d.float_data) == 16
+    lines = open(out_prefix + "_ctxn.txt").read().split("\n")
+    assert lines[0] == "#features"
+    assert lines[1].endswith(",")  # trailing comma per reference (:179)
 
 
 def test_dump_network_tool(mini_project, tmp_path):

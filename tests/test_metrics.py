@@ -110,6 +110,40 @@ def test_video_level_average_jits_and_orders_by_first_occurrence(rng):
                                rtol=1e-5)
 
 
+def test_check_num_videos(rng):
+    """Host-side twin of the reference's CHECK_EQ(num_shots_per_video.size(),
+    max_num_videos_) (ref:src/caffe/layers/retrieval_stats_layer.cpp:188)."""
+    from videovector_tpu.metrics.retrieval import check_num_videos
+    check_num_videos(np.array([5, 5, 7, 9]), 3)
+    with pytest.raises(ValueError, match="distinct video ids"):
+        check_num_videos(np.array([5, 5, 7, 9]), 2)
+    with pytest.raises(ValueError, match="distinct video ids"):
+        check_num_videos(np.array([5, 5, 7, 9]), 4)
+
+
+def test_video_level_retrieval_mode(rng):
+    """video_level_retrieval averages shots per video before ranking
+    (ref:src/caffe/layers/retrieval_stats_layer.cpp:165-208): perfect
+    video-level stats when each video's shots are noisy copies of a
+    class-distinct direction."""
+    from videovector_tpu.metrics.retrieval import (
+        retrieval_stats, video_level_average,
+    )
+    # 4 videos, 2 classes: videos 0,1 -> class 0 direction e0; 2,3 -> e1
+    dirs = np.eye(2, 8, dtype=np.float32)
+    feats, vids = [], []
+    for v in range(4):
+        for s in range(3):
+            noise = rng.randn(8).astype(np.float32) * 0.05
+            feats.append(dirs[v // 2] + noise)
+            vids.append(v)
+    vf, uids = video_level_average(np.stack(feats), np.array(vids), 4)
+    classes = np.asarray(uids) // 2
+    out = retrieval_stats(vf, uids, jnp.asarray(classes))
+    assert float(out["mean_ap"]) > 0.99
+    assert float(out["hit_at_1"]) == 1.0
+
+
 def test_rank_stats_identity_mode(rng):
     b, d = 12, 6
     ctx = rng.randn(b, d).astype(np.float32)

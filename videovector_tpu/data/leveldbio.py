@@ -182,6 +182,14 @@ def snappy_decompress(data) -> bytes:
         ulen, _ = _uvarint(data, 0)
         if ulen == 0:
             return _snappy_decompress_py(data)
+        # ulen comes from untrusted bytes: bound it before allocating so a
+        # corrupt varint raises ValueError, not a multi-GB MemoryError
+        # (snappy copies can expand at most ~255x per tag byte; 16k× is a
+        # generous cap far above any real block's ratio)
+        if ulen > max(len(data) * 16384, 1 << 20):
+            raise ValueError(
+                f"corrupt snappy data: declared uncompressed length {ulen} "
+                f"implausible for {len(data)} compressed bytes")
         out = ctypes.create_string_buffer(ulen)
         got = lib.vv_snappy_decompress(bytes(data), len(data), out, ulen)
         if got < 0:
@@ -690,6 +698,13 @@ class LevelDbReader:
     len / key(i) / value(i) / __getitem__ / __iter__ / index_of / get.
     Iteration order is bytewise key order (leveldb cursor order,
     ref:src/caffe/layers/data_layer.cpp:50-66 SeekToFirst/Next).
+
+    Cost model: __init__ walks every block of every live table once to build
+    the merged key index — open is O(total DB bytes) in time (each block is
+    decompressed once to enumerate its keys) but only O(#keys) in memory;
+    values stay lazy (block reads via mmap on access, with an LRU block
+    cache). For the shipped feature DBs (≤ a few GB) open costs seconds;
+    random access afterwards is O(1) index lookups.
     """
 
     def __init__(self, path: str, verify_checksums: bool = False):

@@ -53,15 +53,28 @@ def _find_lib():
         _BUILD_TRIED = True
         import subprocess
         if os.path.exists(os.path.join(native_dir, "Makefile")):
+            # Serialize concurrent builders (pytest-xdist workers) with an
+            # exclusive lock; the Makefile renames a temp .so into place so
+            # readers never load a half-written library.
+            lock_path = os.path.join(native_dir, ".build.lock")
             try:
-                subprocess.run(["make", "-C", native_dir],
-                               capture_output=True, timeout=120)
+                import fcntl
+                with open(lock_path, "w") as lock:
+                    fcntl.flock(lock, fcntl.LOCK_EX)
+                    # another process may have finished the build while we
+                    # waited — only build if still missing/stale
+                    if not os.path.exists(repo_so) or _stale(repo_so):
+                        subprocess.run(["make", "-C", native_dir],
+                                       capture_output=True, timeout=120)
             except Exception:
                 pass
             return _find_lib()
     # last resort: a stale lib beats none (rebuild failed or unavailable)
     for cand in candidates:
         if cand and os.path.exists(cand):
+            from videovector_tpu.utils.logging import get_logger
+            get_logger(__name__).warning(
+                "native rebuild failed; falling back to stale %s", cand)
             lib = ctypes.CDLL(cand)
             _configure(lib)
             _LIB = lib

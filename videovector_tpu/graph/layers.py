@@ -575,6 +575,14 @@ def _retrieval_stats():
         id_map = ctx.side.get(cfg.get("name"))
         feats = inputs[0].reshape(inputs[0].shape[0], -1)
         vids = inputs[1].reshape(-1).astype(jnp.int32)
+        if bool(p.get("video_level_retrieval", False)):
+            # average shots per video first, then rank the videos
+            # (ref:src/caffe/layers/retrieval_stats_layer.cpp:165-208);
+            # max_num_videos must equal the distinct-id count — the traced
+            # graph cannot CHECK this, see metrics.retrieval.check_num_videos
+            nv = int(p.get("max_num_videos", 0))
+            feats, vids = retrieval_metrics.video_level_average(
+                feats, vids, nv)
         classes = id_map.lookup(vids) if id_map is not None else vids
         out = retrieval_metrics.retrieval_stats(
             feats, vids, classes,

@@ -432,6 +432,17 @@ class Net:
                 feats = np.asarray(blobs[sink["bottoms"][0]])
                 feats = feats.reshape(feats.shape[0], -1)
                 vids = np.asarray(blobs[sink["bottoms"][1]]).reshape(-1)
+                if bool(p.get("video_level_retrieval", False)):
+                    from videovector_tpu.metrics.retrieval import (
+                        check_num_videos, video_level_average,
+                    )
+                    nv = int(p.get("max_num_videos", 0))
+                    # host-side twin of the reference's CHECK_EQ
+                    # (retrieval_stats_layer.cpp:188)
+                    check_num_videos(vids, nv)
+                    vf, vv = video_level_average(feats, vids, nv)
+                    feats = np.asarray(vf)
+                    vids = np.asarray(vv).reshape(-1)
                 id_map = self.side.get(sink["name"])
                 classes = (np.asarray(id_map.lookup(
                     jnp.asarray(vids, jnp.int32)))

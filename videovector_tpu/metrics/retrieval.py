@@ -64,7 +64,15 @@ def video_level_average(features, video_ids, num_videos: int):
     Fully jittable: group ids come from a first-occurrence scan
     (O(N²) equality matrix — trivial at gallery scale) and the averages
     from segment_sum, so the whole eval graph fuses on device.
-    `num_videos` must be static (it sizes the output)."""
+
+    Contract: `num_videos` must be static (it sizes the output) and must
+    EQUAL the number of distinct ids — the reference CHECKs this
+    (CHECK_EQ(num_shots_per_video.size(), max_num_videos_),
+    ref:src/caffe/layers/retrieval_stats_layer.cpp:188). Under jit the check
+    cannot run: extra videos are silently dropped (segment ids ≥ num_videos
+    are discarded by segment_sum) and missing segments pad with zero features
+    and int32-min ids. Call `check_num_videos` host-side where num_videos is
+    computed to get the reference's error instead of silently wrong mAP."""
     video_ids = jnp.asarray(video_ids).reshape(-1).astype(jnp.int32)
     feats = jnp.asarray(features)
     n = video_ids.shape[0]
@@ -79,6 +87,20 @@ def video_level_average(features, video_ids, num_videos: int):
     means = sums / jnp.maximum(counts, 1.0)[:, None]
     uniq = jax.ops.segment_max(video_ids, seg, num_segments=num_videos)
     return means, uniq
+
+
+def check_num_videos(video_ids, num_videos: int) -> None:
+    """Host-side twin of the reference's CHECK_EQ on max_num_videos
+    (ref:src/caffe/layers/retrieval_stats_layer.cpp:188): raise if the
+    distinct-id count differs from the static segment count that
+    video_level_average was (or will be) called with."""
+    import numpy as np
+    actual = len(np.unique(np.asarray(video_ids).reshape(-1)))
+    if actual != num_videos:
+        raise ValueError(
+            f"video_level_retrieval: batch has {actual} distinct video ids "
+            f"but max_num_videos = {num_videos} (the reference CHECKs these "
+            f"equal; a mismatch silently corrupts video-level mAP)")
 
 
 def retrieval_stats(features, video_ids, class_ids, *,

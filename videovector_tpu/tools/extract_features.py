@@ -73,9 +73,13 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
                                   sharding=batch_sharding,
                                   max_batches=num_batches)
 
-    # backend "leveldb" matches the reference byte-for-byte (it writes each
-    # blob's Datums into a LevelDB directory, extract_features.cpp:127-146);
-    # "vvr" is the fast native store, "lmdb" the other reference db.
+    # backend "leveldb" matches the reference output format exactly
+    # (ref:tools/extract_features.cpp:152-188): plain "%d" decimal keys and
+    # Datum(height=dim_features, width=1, channels=1), plus a text file with
+    # a "#features" header and trailing-comma rows (:144-182). "vvr" is the
+    # fast native store and "lmdb" the other reference db; both use
+    # zero-padded keys so iteration order == insertion order.
+    ref_format = backend == "leveldb"
     suffix = {"vvr": "_{}.vvr", "leveldb": "_{}_leveldb",
               "lmdb": "_{}_lmdb"}[backend]
     writers = {name: open_store_writer(out_prefix + suffix.format(name),
@@ -83,6 +87,9 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
                for name in blob_names}
     texts = {name: open(f"{out_prefix}_{name}.txt", "w")
              for name in blob_names}
+    if ref_format:
+        for t in texts.values():
+            t.write("#features\n")
     counts = {name: 0 for name in blob_names}
     try:
         for bi, batch in enumerate(prefetcher):
@@ -91,11 +98,19 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
                 feats = np.asarray(blobs[name])
                 feats = feats.reshape(feats.shape[0], -1)
                 for row in feats:
-                    key = f"{counts[name]:010d}"
-                    writers[name].put(
-                        key, Datum(channels=len(row), height=1, width=1,
-                                   float_data=row).encode())
-                    texts[name].write(",".join(f"{v:.6f}" for v in row) + "\n")
+                    if ref_format:
+                        key = str(counts[name])
+                        datum = Datum(channels=1, height=len(row), width=1,
+                                      float_data=row)
+                        texts[name].write(
+                            "".join(f"{v:.6f}," for v in row) + "\n")
+                    else:
+                        key = f"{counts[name]:010d}"
+                        datum = Datum(channels=len(row), height=1, width=1,
+                                      float_data=row)
+                        texts[name].write(
+                            ",".join(f"{v:.6f}" for v in row) + "\n")
+                    writers[name].put(key, datum.encode())
                     counts[name] += 1
             log.info("Extracted features of %d query images for blobs %s",
                      sum(counts.values()), ",".join(blob_names))
