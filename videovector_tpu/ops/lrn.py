@@ -19,12 +19,16 @@ def lrn_cross_channel(x, *, local_size: int = 5, alpha: float = 1.0,
     """x: (N, C, H, W)."""
     half = local_size // 2
     sq = x * x
-    # sum over channel window via reduce_window on the C axis
-    summed = lax.reduce_window(
-        sq, 0.0, lax.add,
-        window_dimensions=(1, local_size, 1, 1),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (half, local_size - 1 - half), (0, 0), (0, 0)))
+    # channel-window sum as shifted adds: a reduce_window over the
+    # (non-minor) C axis miscompiles on the TPU backend at C=96
+    # (post-optimization shape mismatch in the fused pow); local_size is
+    # tiny (5 in every shipped config) so unrolled shifts fuse to the same
+    # single pass over the tensor
+    c = x.shape[1]
+    sqp = jnp.pad(sq, ((0, 0), (half, local_size - 1 - half), (0, 0), (0, 0)))
+    summed = sqp[:, 0:c]
+    for o in range(1, local_size):
+        summed = summed + sqp[:, o:o + c]
     scale = 1.0 + (alpha / local_size) * summed
     return x * jnp.power(scale, -beta)
 
