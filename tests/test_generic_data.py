@@ -253,3 +253,41 @@ def test_window_source_zero_padding_and_content(tmp_path, rng):
     np.testing.assert_array_equal(
         fg[:, ph:ph + rh, pw:pw + rw],
         expect.astype(np.float32).transpose(2, 0, 1))
+
+
+def test_window_source_pil_fallback_warp(tmp_path, rng, monkeypatch):
+    """Without cv2 the PIL fallback path (data/generic.py _crop/_imread_bgr)
+    must produce the identical geometry (pads, zero bands) and resampling
+    within a bounded tolerance of the cv2 warp — PIL and OpenCV bilinear
+    kernels differ only in rounding/edge handling
+    (ref:src/caffe/layers/window_data_layer.cpp:7-200 uses cv::resize)."""
+    import sys
+    import cv2
+    from videovector_tpu.data.generic import (
+        WindowDataConfig, WindowDataSource, window_geometry,
+    )
+    img = rng.randint(0, 256, (100, 100, 3)).astype(np.uint8)
+    path = str(tmp_path / "img.png")
+    cv2.imwrite(path, img)
+    win_file = tmp_path / "windows.txt"
+    win_file.write_text(
+        f"# 0\n{path}\n3\n100\n100\n2\n"
+        "1 0.9 0 0 49 49\n"
+        "0 0.1 60 60 90 90\n")
+    cfg = WindowDataConfig(source=str(win_file), batch_size=2,
+                           fg_fraction=0.5, context_pad=16, crop_size=227,
+                           mirror=False)
+
+    with_cv2 = WindowDataSource(cfg, seed=0).next_batch()["data"]
+    # hide cv2: `import cv2` now raises ImportError inside the source
+    monkeypatch.setitem(sys.modules, "cv2", None)
+    without_cv2 = WindowDataSource(cfg, seed=0).next_batch()["data"]
+
+    # identical geometry: the exact-zero padding bands match elementwise
+    roi, (rw, rh), pw, ph = window_geometry((0, 0, 49, 49), 100, 100, 227, 16)
+    assert np.array_equal(with_cv2 == 0, without_cv2 == 0)
+    # resampled content within a bounded kernel difference:
+    # measured max |PIL - cv2| is <=3/255 grey levels on random uint8 images
+    diff = np.abs(with_cv2 - without_cv2)
+    assert float(diff.max()) <= 3.0, float(diff.max())
+    assert float(diff.mean()) <= 0.5, float(diff.mean())

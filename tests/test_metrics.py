@@ -144,6 +144,56 @@ def test_video_level_retrieval_mode(rng):
     assert float(out["hit_at_1"]) == 1.0
 
 
+@pytest.mark.parametrize("exclude", [False, True])
+def test_retrieval_stats_chunked_matches_dense(rng, exclude):
+    """The O(Q·N)-memory chunked variant must reproduce the dense path
+    exactly (same stable sort, same cumsum math) incl. ragged last chunk
+    and excluded (class<0) queries."""
+    from videovector_tpu.metrics.retrieval import (
+        retrieval_stats, retrieval_stats_chunked,
+    )
+    n, d = 531, 24  # not a multiple of the chunk → exercises padding
+    feats = rng.randn(n, d).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    vids = rng.randint(0, 40, size=(n,))
+    cls = vids % 7
+    cls[::50] = -1  # excluded queries
+    dense = retrieval_stats(jnp.asarray(feats), jnp.asarray(vids),
+                            jnp.asarray(cls),
+                            exclude_same_video_shots=exclude)
+    chunked = retrieval_stats_chunked(feats, vids, cls,
+                                      exclude_same_video_shots=exclude,
+                                      query_chunk=128)
+    for k in ("mean_ap", "hit_at_1", "hit_at_5"):
+        np.testing.assert_allclose(float(chunked[k]), float(dense[k]),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_retrieval_stats_chunked_gallery_scale(rng):
+    """N=20k gallery — the scale the dense path cannot hold (its (N,N)
+    f32 distance matrix alone is 1.6 GB). Checks exact hit@1 against a
+    numpy per-query oracle on a query subsample."""
+    from videovector_tpu.metrics.retrieval import retrieval_stats_chunked
+    n, d, n_cls = 20_000, 16, 50
+    centers = rng.randn(n_cls, d).astype(np.float32) * 2.0
+    cls = rng.randint(0, n_cls, size=(n,))
+    feats = centers[cls] + rng.randn(n, d).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    vids = rng.randint(0, 2000, size=(n,))
+    out = retrieval_stats_chunked(feats, vids, cls, query_chunk=512)
+    # class structure is strong → stats far above the 1/n_cls chance floor
+    assert float(out["mean_ap"]) > 0.3
+    assert float(out["hit_at_1"]) > 0.5
+    # exact-spot-check hit@1 for 50 queries against numpy
+    hits = []
+    for q in rng.choice(n, size=50, replace=False):
+        dist = -2.0 * feats @ feats[q]
+        dist[q] = np.inf
+        hits.append(float(cls[np.argmin(dist)] == cls[q]))
+    # the sampled estimate and the exact mean agree loosely (50 samples)
+    assert abs(np.mean(hits) - float(out["hit_at_1"])) < 0.25
+
+
 def test_rank_stats_identity_mode(rng):
     b, d = 12, 6
     ctx = rng.randn(b, d).astype(np.float32)

@@ -78,3 +78,113 @@ def test_trajectory_net_census(tmp_path, rng):
     assert types.count("LSTM_ENC_DEC") == 1
     assert types.count("EUCLIDEAN_LOSS") == 1
     assert types.count("FLATTEN_BATCH") == 2
+
+
+def test_serving_export_trajectory_net_parity(tmp_path, rng):
+    """vvtpu-serve over the trajectory enc-dec net: the frozen artifact
+    reproduces the engine's prediction blob (deployment preserves parity
+    for the LSTM workload, not just the embedding tower)."""
+    import jax.numpy as jnp
+    from videovector_tpu.config.textformat import parse
+    from videovector_tpu.graph.net import Net
+    from videovector_tpu.tools.serving import export_serving, load_serving
+    import jax
+
+    train, test = _write_data(tmp_path, rng)
+    net_path = str(tmp_path / "traj.prototxt")
+    with open(net_path, "w") as f:
+        f.write(emit(train, test, batch=8, test_batch=8, hidden=12,
+                     t_obs=6, t_pred=3))
+    out = str(tmp_path / "traj.vvserve")
+    meta = export_serving(net_path, [], ["pred"], out)
+    assert meta["outputs"] == ["pred"]  # enc-dec carries no cross-batch state
+
+    call, meta2 = load_serving(out)
+    # engine side with the same deterministic init
+    from videovector_tpu.graph.data_factory import MergedSource, \
+        make_data_source
+    from videovector_tpu.graph.layers import DATA_LAYER_TYPES
+    net = Net(parse(open(net_path).read()), phase="TEST")
+    src = MergedSource([make_data_source(l, phase="TEST")
+                        for l in net.layers
+                        if l.get("type") in DATA_LAYER_TYPES])
+    batch = {k: jnp.asarray(v) for k, v in src.next_batch().items()}
+    params, _ = net.init(jax.random.PRNGKey(0), {
+        k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+        for k, v in batch.items()})
+    _, blobs = net.apply(params, batch, return_blobs=True)
+    served = call({k: np.asarray(v, np.float32) for k, v in batch.items()})
+    np.testing.assert_allclose(np.asarray(served["pred"]),
+                               np.asarray(blobs["pred"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_serving_export_stateful_lstm_state_io(tmp_path, rng):
+    """A stateful (plain LSTM) tracking net exports with state:<layer>:{c,h}
+    inputs/outputs; threading the carry through the artifact over 3
+    sequential batches matches the engine's state threading exactly
+    (ref lstm_layer.cpp:171-173 cross-batch next_cell_/next_out_)."""
+    import jax
+    import jax.numpy as jnp
+    from videovector_tpu.config.textformat import parse
+    from videovector_tpu.graph.data_factory import MergedSource, \
+        make_data_source
+    from videovector_tpu.graph.layers import DATA_LAYER_TYPES
+    from videovector_tpu.graph.net import Net
+    from videovector_tpu.tools.serving import export_serving, load_serving
+
+    train, _ = _write_data(tmp_path, rng, t_obs=5, t_pred=2)
+    net_text = f"""
+    name: "lstm_serve"
+    layers {{ name: "d" type: TRACKING_WINDOWS_DATA
+      top: "observed" top: "cont_obs" top: "predicted" top: "cont_pred"
+      top: "gt"
+      tracking_windows_data_param {{ source: "{train}" batch_size: 6
+        temporal_observed_size: 5 temporal_predicted_size: 2 }} }}
+    layers {{ name: "enc" type: LSTM bottom: "observed" bottom: "cont_obs"
+      top: "h" inner_product_param {{ num_output: 10
+        weight_filler {{ type: "gaussian" std: 0.2 }} }} }}
+    layers {{ name: "sil1" type: SILENCE bottom: "predicted" }}
+    layers {{ name: "sil2" type: SILENCE bottom: "cont_pred" }}
+    layers {{ name: "sil3" type: SILENCE bottom: "gt" }}
+    """
+    net_path = tmp_path / "lstm_serve.prototxt"
+    net_path.write_text(net_text)
+    out = str(tmp_path / "lstm.vvserve")
+    meta = export_serving(str(net_path), [], ["h"], out)
+    assert meta["state"] == ["state:enc:c", "state:enc:h"]
+    assert "state:enc:c" in meta["inputs"]
+
+    call, _ = load_serving(out)
+    net = Net(parse(net_text), phase="TEST")
+    src = MergedSource([make_data_source(l, phase="TEST")
+                        for l in net.layers
+                        if l.get("type") in DATA_LAYER_TYPES])
+    batches = [src.next_batch() for _ in range(3)]
+    params, _ = net.init(jax.random.PRNGKey(0), {
+        k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+        for k, v in batches[0].items()})
+
+    # engine threading
+    state = None
+    engine_h = []
+    for b in batches:
+        _, blobs, state = net.apply(
+            params, {k: jnp.asarray(v) for k, v in b.items()},
+            state=state, return_blobs=True, return_state=True)
+        engine_h.append(np.asarray(blobs["h"]))
+
+    # artifact threading via state:enc:{c,h}
+    c = np.zeros_like(np.asarray(state["enc"].c))
+    h = np.zeros_like(np.asarray(state["enc"].h))
+    for i, b in enumerate(batches):
+        feed = {k: np.asarray(v, np.float32) for k, v in b.items()}
+        feed["state:enc:c"] = c
+        feed["state:enc:h"] = h
+        outd = call(feed)
+        np.testing.assert_allclose(np.asarray(outd["h"]), engine_h[i],
+                                   rtol=1e-5, atol=1e-6)
+        c = np.asarray(outd["state:enc:c"])
+        h = np.asarray(outd["state:enc:h"])
+    # the carry actually mattered (state is nonzero after batch 1)
+    assert float(np.abs(c).max()) > 0

@@ -35,3 +35,77 @@ def test_glog_line_format():
     # the shape plot_training_stats parses
     from videovector_tpu.tools.plot_training_stats import ITER_LOSS_RE
     assert ITER_LOSS_RE.search(line)
+
+
+# ------------------------------------------------------------- log extras
+SAMPLE_LOG = """\
+I0210 13:39:20.000000 1 train.py:1] Solving
+I0210 13:39:22.500000 1 train.py:2] Iteration 0, lr = 0.01
+I0210 13:39:22.500000 1 train.py:3] Iteration 0, loss = 2.5
+I0210 13:39:25.000000 1 train.py:4] Iteration 0, Testing net (#0)
+I0210 13:39:25.100000 1 train.py:5]     Test net output #0: map = 0.5
+I0210 13:39:25.100000 1 train.py:5]     Test net output #1: hit1 = 0.7
+I0210 13:40:22.000000 1 train.py:2] Iteration 10, lr = 0.009
+I0210 13:40:22.000000 1 train.py:3] Iteration 10, loss = 1.25
+"""
+
+
+def test_extract_seconds(tmp_path):
+    """Elapsed seconds since the Solving banner, per the reference's
+    tools/extra/extract_seconds.py:21-37 semantics."""
+    from videovector_tpu.tools.plot_training_stats import extract_seconds
+    log_path = tmp_path / "train.log"
+    log_path.write_text(SAMPLE_LOG)
+    secs = extract_seconds(str(log_path), year=2026)
+    assert abs(secs[0] - 2.5) < 1e-6
+    assert abs(secs[10] - 62.0) < 1e-6
+
+
+def test_parse_log_tables(tmp_path):
+    """<log>.train/.test tables (ref tools/extra/parse_log.sh:2-36)."""
+    from videovector_tpu.tools.plot_training_stats import main as plot_main
+    log_path = tmp_path / "train.log"
+    log_path.write_text(SAMPLE_LOG)
+    assert plot_main([str(log_path), "--parse_log"]) == 0
+    train = (tmp_path / "train.log.train").read_text().strip().split("\n")
+    assert train[0] == "#Iters Seconds TrainingLoss LearningRate"
+    assert train[1].split() == ["0", "2.500000", "2.5", "0.01"]
+    assert train[2].split() == ["10", "62.000000", "1.25", "0.009"]
+    test = (tmp_path / "train.log.test").read_text().strip().split("\n")
+    assert test[0] == "#Iters Seconds hit1 map"
+    assert test[1].split() == ["0", "2.500000", "0.7", "0.5"]
+
+
+def test_device_watch_table():
+    """gpustat-style watcher renders memory_stats rows (and n/a when the
+    runtime does not expose stats, e.g. through the axon tunnel)."""
+    import io
+    from unittest import mock
+    from videovector_tpu.tools.cli import _device_watch
+
+    class FakeDev:
+        def __init__(self, stats):
+            self._stats = stats
+        def __str__(self):
+            return "TPU v5 fake0"
+        def memory_stats(self):
+            return self._stats
+
+    buf = io.StringIO()
+    devs = [FakeDev({"bytes_in_use": 512 << 20, "peak_bytes_in_use": 1 << 30,
+                     "bytes_limit": 16 << 30, "num_allocs": 42}),
+            FakeDev(None)]
+    with mock.patch("jax.devices", return_value=devs):
+        assert _device_watch(interval=0.01, count=2, out=buf) == 0
+    lines = buf.getvalue().strip().split("\n")
+    assert "used MB" in lines[0]
+    assert len(lines) == 1 + 2 * 2  # header + 2 devices x 2 ticks
+    assert "512.0" in lines[1] and "1024.0" in lines[1] and "42" in lines[1]
+    assert " 3.1" in lines[1]  # 512MB/16GB use%
+    assert "n/a" in lines[2]
+
+
+def test_device_query_cli_watch_flag():
+    from videovector_tpu.tools.cli import main
+    assert main(["device_query", "--watch", "--interval", "0.01",
+                 "--count", "1"]) == 0

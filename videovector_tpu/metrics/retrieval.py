@@ -157,6 +157,83 @@ def retrieval_stats(features, video_ids, class_ids, *,
     }
 
 
+def retrieval_stats_chunked(features, video_ids, class_ids, *,
+                            exclude_same_video_shots: bool = False,
+                            query_chunk: int = 256):
+    """Gallery-scale retrieval_stats: EXACT same math as retrieval_stats
+    (mAP, hit@1, hit@5, stable tie-breaking included) with O(Q·N) device
+    memory instead of O(N²).
+
+    The dense path materializes the full (N, N) distance matrix plus its
+    argsort — ~3.2 GB at N=20k — fine at the 673-window reference gallery
+    (ref:src/caffe/layers/retrieval_stats_layer.cpp:143-355 is O(N²) too)
+    but not at corpus scale. This variant processes `query_chunk` query
+    rows at a time: each chunk computes its (Q, N) distance rows by one
+    GEMM, sorts them, and applies the identical cumsum formulas, so the
+    result equals the dense path bit-for-bit per query (same reduction
+    shapes, same stable sort). Memory: Q·N·(4 B dist + 4 B order + ~9 B
+    masks/cumsums) ≈ 17·Q·N bytes — at N=1e5, Q=256 that's ~0.44 GB;
+    compute is the same N²·D GEMM + N·(N log N) sort as dense.
+
+    Returns dict(mean_ap, hit_at_1, hit_at_5) of f32 scalars.
+    """
+    feats = jnp.asarray(features)
+    vids = jnp.asarray(video_ids).reshape(-1).astype(jnp.int32)
+    cls = jnp.asarray(class_ids).reshape(-1).astype(jnp.int32)
+    n = feats.shape[0]
+    q_chunk = min(query_chunk, n)
+
+    @jax.jit
+    def chunk_stats(q_feats, q_vid, q_cls, q_pos):
+        q = q_feats.shape[0]
+        dist = -2.0 * jnp.dot(q_feats, feats.T,
+                              preferred_element_type=jnp.float32)
+        # self item forced first then skipped (diagonal −1e15 trick)
+        dist = jnp.where(jnp.arange(n)[None, :] == q_pos[:, None],
+                         -1e15, dist)
+        order = jnp.argsort(dist, axis=1, stable=True)
+        ranked_vid = vids[order]
+        ranked_cls = cls[order]
+        pos = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+        valid = pos >= 1
+        if exclude_same_video_shots:
+            valid = valid & (ranked_vid != q_vid[:, None])
+        match = valid & (ranked_cls == q_cls[:, None])
+        vf = valid.astype(jnp.float32)
+        mf = match.astype(jnp.float32)
+        val = jnp.cumsum(vf, axis=1)
+        ret = jnp.cumsum(mf, axis=1)
+        ret_total = ret[:, -1]
+        ap = jnp.sum(mf * ret / jnp.maximum(val, 1.0), axis=1)
+        ap = jnp.where(ret_total > 0, ap / jnp.maximum(ret_total, 1.0), 0.0)
+        acc1 = jnp.sum(mf * (val <= 1.0), axis=1)
+        acc5 = jnp.sum(mf * (val <= 5.0), axis=1) / 5.0
+        include = (q_cls >= 0).astype(jnp.float32)
+        return (jnp.sum(ap * include), jnp.sum(acc1 * include),
+                jnp.sum(acc5 * include), jnp.sum(include))
+
+    sums = np.zeros(4, np.float64)
+    for start in range(0, n, q_chunk):
+        idx = np.arange(start, min(start + q_chunk, n))
+        if len(idx) < q_chunk:  # pad; pads carry class −1 ⇒ include 0
+            pad = np.full(q_chunk - len(idx), idx[-1])
+            q_cls_np = np.concatenate([np.asarray(cls[idx]),
+                                       np.full(len(pad), -1, np.int32)])
+            idx_full = np.concatenate([idx, pad])
+            part = chunk_stats(feats[idx_full], vids[idx_full],
+                               jnp.asarray(q_cls_np), jnp.asarray(idx_full))
+        else:
+            part = chunk_stats(feats[idx], vids[idx], cls[idx],
+                               jnp.asarray(idx))
+        sums += np.asarray([float(v) for v in part])
+    denom = max(sums[3], 1.0)
+    return {
+        "mean_ap": jnp.float32(sums[0] / denom),
+        "hit_at_1": jnp.float32(sums[1] / denom),
+        "hit_at_5": jnp.float32(sums[2] / denom),
+    }
+
+
 def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
                            exclude_same_video_shots: bool = False) -> dict:
     """Host-side per-query csv dump matching the reference's

@@ -130,6 +130,10 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
     it = start_iter
     carry = None  # cross-batch recurrent state (stateful nets only)
     last_grads = None  # most recent gradients (kept when snapshot_diff)
+    # the reference's Solve() banner (ref:src/caffe/solver.cpp:161) — also
+    # the elapsed-seconds anchor for log tooling (tools/extra/
+    # extract_seconds.py looks for "Solving")
+    log.info("Solving")
 
     # background writer: the loop pays only the D2H fetch; serialization +
     # disk IO overlap the following training steps

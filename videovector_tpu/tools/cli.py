@@ -160,6 +160,8 @@ def _load_weights(path: str, params):
 
 def cmd_device_query(args) -> int:
     import jax
+    if getattr(args, "watch", False):
+        return _device_watch(interval=args.interval, count=args.count)
     for d in jax.devices():
         log.info("Device: %s", d)
         log.info("  platform: %s", d.platform)
@@ -168,6 +170,49 @@ def cmd_device_query(args) -> int:
         if stats:
             log.info("  bytes_in_use: %s", stats.get("bytes_in_use"))
             log.info("  bytes_limit: %s", stats.get("bytes_limit"))
+    return 0
+
+
+def _device_watch(interval: float = 2.0, count: int = 0,
+                  out=None) -> int:
+    """Live device telemetry table — the TPU equivalent of the reference's
+    gpustat.py nvidia-smi watcher (ref:caffe_utils/gpustat.py:1-40): one
+    row per device per tick with HBM in-use/peak/limit and allocation
+    count, sampled from the runtime's memory_stats. Ctrl-C (or `count`
+    ticks) stops."""
+    import jax
+    write = (out.write if out is not None
+             else lambda s: print(s, end="", flush=True))
+
+    def mb(v):
+        return f"{v / (1 << 20):8.1f}" if isinstance(v, (int, float)) \
+            else "     n/a"
+
+    devices = jax.devices()
+    write(f"{'time':>8s}  {'dev':<22s} {'used MB':>8s} {'peak MB':>8s} "
+          f"{'limit MB':>8s} {'use%':>5s} {'allocs':>7s}\n")
+    tick = 0
+    try:
+        while True:
+            ts = _time.strftime("%H:%M:%S")
+            for d in devices:
+                stats = getattr(d, "memory_stats", lambda: None)() or {}
+                used = stats.get("bytes_in_use")
+                peak = stats.get("peak_bytes_in_use")
+                limit = stats.get("bytes_limit")
+                pct = (f"{100.0 * used / limit:5.1f}"
+                       if isinstance(used, (int, float))
+                       and isinstance(limit, (int, float)) and limit
+                       else "  n/a")
+                allocs = stats.get("num_allocs", "n/a")
+                write(f"{ts:>8s}  {str(d):<22.22s} {mb(used)} {mb(peak)} "
+                      f"{mb(limit)} {pct} {allocs!s:>7s}\n")
+            tick += 1
+            if count and tick >= count:
+                break
+            _time.sleep(interval)
+    except KeyboardInterrupt:
+        pass
     return 0
 
 
@@ -404,6 +449,13 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_test)
 
     p = sub.add_parser("device_query", help="show device info")
+    p.add_argument("--watch", action="store_true",
+                   help="live telemetry table (gpustat-style): HBM "
+                        "used/peak/limit per device, sampled periodically")
+    p.add_argument("--interval", type=float, default=2.0,
+                   help="--watch sampling period in seconds")
+    p.add_argument("--count", type=int, default=0,
+                   help="--watch tick count (0 = until Ctrl-C)")
     p.set_defaults(fn=cmd_device_query)
 
     p = sub.add_parser("time", help="per-layer timing benchmark")

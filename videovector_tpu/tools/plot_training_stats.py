@@ -3,11 +3,20 @@
 ref:caffe_utils/plot_training_stats.py:10-60 — parse `Iteration N, loss = X`
 and `Test net output #k: name = v` lines from training logs (our
 utils/logging.py emits the same shapes) and plot/export curves.
+
+Also covers the reference's log-tooling extras:
+- extract_seconds() — elapsed seconds per Iteration line since the
+  "Solving" banner, from glog timestamps
+  (ref:tools/extra/extract_seconds.py:6-37);
+- --parse_log — write `<log>.train` (#Iters Seconds TrainingLoss
+  LearningRate) and `<log>.test` (#Iters Seconds <test outputs>) tables
+  (ref:tools/extra/parse_log.sh:2-36).
 """
 
 from __future__ import annotations
 
 import argparse
+import datetime
 import re
 import sys
 
@@ -15,6 +24,78 @@ ITER_LOSS_RE = re.compile(r"Iteration (\d+), loss = ([-\d.eE+]+)")
 ITER_LR_RE = re.compile(r"Iteration (\d+), lr = ([-\d.eE+]+)")
 TEST_OUT_RE = re.compile(r"Test net output #\d+: (\S+) = ([-\d.eE+]+)")
 TEST_ITER_RE = re.compile(r"Iteration (\d+), Testing net")
+# glog line prefix: I0210 13:39:22.381027 25210 file.py:12] ...
+GLOG_TS_RE = re.compile(r"^[IWEF](\d{2})(\d{2}) (\d{2}):(\d{2}):(\d{2})"
+                        r"\.(\d+)\s")
+
+
+def _line_datetime(line: str, year: int):
+    """Timestamp of a glog line (ref:tools/extra/extract_seconds.py:6-19)."""
+    m = GLOG_TS_RE.match(line)
+    if not m:
+        return None
+    month, day, hh, mm, ss, frac = m.groups()
+    return datetime.datetime(year, int(month), int(day), int(hh), int(mm),
+                             int(ss), int(frac[:6].ljust(6, "0")))
+
+
+def extract_seconds(path: str, year: int | None = None) -> dict[int, float]:
+    """iteration → seconds elapsed since the "Solving" banner
+    (ref:tools/extra/extract_seconds.py:21-37). Iterations logged before
+    Solving (or logs without it) anchor at the first Iteration line."""
+    import os
+    if year is None:
+        try:
+            year = datetime.datetime.fromtimestamp(
+                os.path.getctime(path)).year
+        except OSError:
+            year = datetime.datetime.now().year
+    start = None
+    out: dict[int, float] = {}
+    iter_re = re.compile(r"Iteration (\d+)")
+    with open(path) as f:
+        for line in f:
+            if start is None and "Solving" in line:
+                start = _line_datetime(line, year)
+                continue
+            m = iter_re.search(line)
+            if m:
+                dt = _line_datetime(line, year)
+                if dt is None:
+                    continue
+                if start is None:
+                    start = dt
+                # year rollover (Dec→Jan logs): never negative
+                if dt < start:
+                    dt = dt.replace(year=dt.year + 1)
+                out.setdefault(int(m.group(1)),
+                               (dt - start).total_seconds())
+    return out
+
+
+def write_parse_log_tables(path: str, stats: dict,
+                           seconds: dict[int, float]) -> tuple[str, str]:
+    """`<log>.train` / `<log>.test` tables (ref:tools/extra/parse_log.sh)."""
+    lrs = dict(stats["lr"])
+    train_path = path + ".train"
+    with open(train_path, "w") as f:
+        f.write("#Iters Seconds TrainingLoss LearningRate\n")
+        for it, loss in stats["train_loss"]:
+            f.write(f"{it} {seconds.get(it, 0.0):.6f} {loss:g} "
+                    f"{lrs.get(it, 0.0):g}\n")
+    test_path = path + ".test"
+    names = sorted(stats["test"])
+    with open(test_path, "w") as f:
+        f.write("#Iters Seconds " + " ".join(names) + "\n")
+        by_iter: dict[int, dict[str, float]] = {}
+        for name in names:
+            for it, v in stats["test"][name]:
+                by_iter.setdefault(it, {})[name] = v
+        for it in sorted(by_iter):
+            row = " ".join(f"{by_iter[it].get(n, float('nan')):g}"
+                           for n in names)
+            f.write(f"{it} {seconds.get(it, 0.0):.6f} {row}\n")
+    return train_path, test_path
 
 
 def parse_log(path: str) -> dict:
@@ -48,6 +129,10 @@ def main(argv=None) -> int:
     parser.add_argument("log")
     parser.add_argument("--out", default="training_stats.png")
     parser.add_argument("--csv", default=None)
+    parser.add_argument("--parse_log", action="store_true",
+                        help="write <log>.train/<log>.test tables "
+                             "(ref tools/extra/parse_log.sh) and skip "
+                             "plotting")
     args = parser.parse_args(argv)
     stats = parse_log(args.log)
 
@@ -56,6 +141,12 @@ def main(argv=None) -> int:
             f.write("iter,loss\n")
             for it, loss in stats["train_loss"]:
                 f.write(f"{it},{loss}\n")
+
+    if args.parse_log:
+        tp, vp = write_parse_log_tables(args.log, stats,
+                                        extract_seconds(args.log))
+        print(f"wrote {tp}\nwrote {vp}")
+        return 0
 
     import matplotlib
     matplotlib.use("Agg")

@@ -84,20 +84,50 @@ def export_serving(model_path: str, weight_paths: list[str],
     for wp in weight_paths:
         params = _load_weights(wp, params)
 
+    # stateful (LSTM) nets: expose the cross-batch recurrent carry
+    # (ref:src/caffe/layers/lstm_layer.cpp:171-173 next_cell_/next_out_) as
+    # artifact inputs/outputs "state:<layer>:{c,h}" so a serving host
+    # threads sequence state between calls with zero framework code
+    stateful = list(net.stateful_layer_names)
+    state0 = {}
+    if stateful:
+        from videovector_tpu.ops.recurrent import LstmState
+        _, _, st0 = net.apply(
+            params, {k: jnp.asarray(v) for k, v in batch0.items()},
+            return_state=True)
+        for ln in stateful:
+            state0[f"state:{ln}:c"] = np.zeros(st0[ln].c.shape, np.float32)
+            state0[f"state:{ln}:h"] = np.zeros(st0[ln].h.shape, np.float32)
+
     def serve(batch):
-        _, blobs = net.apply(params, batch, return_blobs=True)
+        feed = {k: v for k, v in batch.items() if not k.startswith("state:")}
+        if stateful:
+            from videovector_tpu.ops.recurrent import LstmState
+            state = {ln: LstmState(batch[f"state:{ln}:c"],
+                                   batch[f"state:{ln}:h"])
+                     for ln in stateful}
+            _, blobs, st = net.apply(params, feed, state=state,
+                                     return_blobs=True, return_state=True)
+        else:
+            _, blobs = net.apply(params, feed, return_blobs=True)
+            st = {}
         missing = [n for n in blob_names if n not in blobs]
         if missing:
             raise ValueError(f"blobs not in net: {missing}")
-        return {n: blobs[n] for n in blob_names}
+        out = {n: blobs[n] for n in blob_names}
+        for ln in stateful:
+            out[f"state:{ln}:c"] = st[ln].c
+            out[f"state:{ln}:h"] = st[ln].h
+        return out
 
+    all_inputs = {**batch0, **state0}
     if symbolic_batch:
         (b,) = jexport.symbolic_shape("b")
         spec = {k: jax.ShapeDtypeStruct((b,) + v.shape[1:], jnp.float32)
-                for k, v in batch0.items()}
+                for k, v in all_inputs.items()}
     else:
         spec = {k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
-                for k, v in batch0.items()}
+                for k, v in all_inputs.items()}
     exp = jexport.export(jax.jit(serve), platforms=platforms)(spec)
     payload = exp.serialize()
 
@@ -105,7 +135,8 @@ def export_serving(model_path: str, weight_paths: list[str],
         "inputs": {k: [[-1 if symbolic_batch and i == 0 else int(d)
                         for i, d in enumerate(v.shape)], "float32"]
                    for k, v in spec.items()},
-        "outputs": blob_names,
+        "outputs": blob_names + [k for k in sorted(state0)],
+        "state": sorted(state0),
         "platforms": list(exp.platforms),
         "model": model_path,
     }
