@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--batches", default="128,256,512")
     ap.add_argument("--variant", default="full",
-                    choices=["full", "fwd_bwd", "fwd", "opt"])
+                    choices=["full", "fwd_bwd", "fwd", "opt", "stale"])
     ap.add_argument("--dropout", type=float, default=0.9)
     ap.add_argument("--role_major", action="store_true")
     ap.add_argument("--barrier", action="store_true",
@@ -69,6 +69,17 @@ def main():
             k, shape, jnp.float32))(jax.random.PRNGKey(0))
         batch = {"data": data}
 
+        def one_step_stale(carry, key):
+            # one-step-delayed optimizer: step k applies grads from step
+            # k-1 while computing step k's grads — no data dependence
+            # between the update and the fwd/bwd, so XLA can overlap the
+            # HBM-bound optimizer under the MXU-bound GEMMs
+            p, s, g_prev = carry
+            (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                p, batch, key)
+            p2, s2 = solver_update(scfg, p, g_prev, s)
+            return (p2, s2, g), loss
+
         def one_step(carry, key):
             p, s = carry
             if args.variant == "opt":
@@ -89,10 +100,18 @@ def main():
             p2, s2 = solver_update(scfg, p, g, s)
             return (p2, s2), loss
 
-        @jax.jit
-        def run(p, s, keys):
-            (p, s), losses = lax.scan(one_step, (p, s), keys)
-            return losses[-1]
+        if args.variant == "stale":
+            @jax.jit
+            def run(p, s, keys):
+                g0 = jax.tree.map(jnp.zeros_like, p)
+                (p, s, _), losses = lax.scan(one_step_stale, (p, s, g0),
+                                             keys)
+                return losses[-1]
+        else:
+            @jax.jit
+            def run(p, s, keys):
+                (p, s), losses = lax.scan(one_step, (p, s), keys)
+                return losses[-1]
 
         keys = jax.random.split(jax.random.PRNGKey(1), K)
         params = jax.tree.map(jnp.array, params0)

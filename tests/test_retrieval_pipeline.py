@@ -12,10 +12,10 @@ from videovector_tpu.models.retrieval_pipeline import (
 )
 
 
-def _tiny_pipeline():
+def _tiny_pipeline(layout="NCHW"):
     p = RetrievalPipeline(RetrievalPipelineConfig(
         image_hw=(36, 36), crop=32, embed_dim=16, top_k=3,
-        compute_dtype="float32"))
+        compute_dtype="float32", pixels_layout=layout))
     # shrink mednet for the test
     from videovector_tpu.models.mednet import MedNet
     p.mednet = MedNet(MedNetConfig(
@@ -60,3 +60,39 @@ def test_pipeline_query(rng):
     # scores sorted descending
     ts = np.asarray(top_scores)
     assert np.all(np.diff(ts, axis=1) <= 1e-6)
+
+
+def test_pipeline_nhwc_layout_matches_nchw(rng):
+    """The NHWC fast path (decode-order frames, zero layout copies into
+    conv1) must produce identical embeddings to the NCHW/Caffe-blob path."""
+    nchw = _tiny_pipeline("NCHW")
+    nhwc = _tiny_pipeline("NHWC")
+    params = nchw.init(jax.random.PRNGKey(0))
+    cfg = TransformConfig(crop_size=32)
+    pix = rng.randint(0, 256, (6, 3, 36, 36)).astype(np.uint8)
+    h, w, m = sample_transform_params(6, (36, 36), cfg, train=True,
+                                      rng=np.random.RandomState(0))
+    a = nchw.embed_frames(params, jnp.asarray(pix), jnp.asarray(h),
+                          jnp.asarray(w), jnp.asarray(m))
+    b = nhwc.embed_frames(params, jnp.asarray(pix.transpose(0, 2, 3, 1)),
+                          jnp.asarray(h), jnp.asarray(w), jnp.asarray(m))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_nhwc_with_mean(rng):
+    """NHWC transform also indexes a CHW mean correctly (transposed once
+    at build time)."""
+    from videovector_tpu.data.transformer import make_batch_transform
+    mean = rng.rand(3, 8, 8).astype(np.float32)
+    cfg = TransformConfig(crop_size=4, mirror=True, scale=2.0)
+    f_nchw = jax.jit(make_batch_transform(cfg, mean, (8, 8), layout="NCHW"))
+    f_nhwc = jax.jit(make_batch_transform(cfg, mean, (8, 8), layout="NHWC"))
+    pix = rng.randint(0, 256, size=(5, 3, 8, 8)).astype(np.uint8)
+    h, w, m = sample_transform_params(5, (8, 8), cfg, train=True,
+                                      rng=np.random.RandomState(0))
+    a = np.asarray(f_nchw(jnp.asarray(pix), jnp.asarray(h), jnp.asarray(w),
+                          jnp.asarray(m)))
+    b = np.asarray(f_nhwc(jnp.asarray(pix.transpose(0, 2, 3, 1)),
+                          jnp.asarray(h), jnp.asarray(w), jnp.asarray(m)))
+    np.testing.assert_allclose(a, b.transpose(0, 3, 1, 2), rtol=1e-5)

