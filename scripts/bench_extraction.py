@@ -44,30 +44,33 @@ def bench_batch(batch: int) -> float:
     pipe = RetrievalPipeline(RetrievalPipelineConfig(), mean=mean)
     params = pipe.init(jax.random.PRNGKey(0))
 
-    rng = np.random.RandomState(0)
     # pixels generated on device (capture-free: closed-over constants would
     # be inlined into the HLO — hundreds of MB through the remote-compile
-    # tunnel; a real host would simply device_put its decoded JPEGs)
+    # tunnel; a real host would simply device_put its decoded JPEGs).
+    # NHWC: the decode order (cv2/PIL emit HWC rows) and the TPU conv
+    # layout — zero layout copies into conv1.
     pix = jax.jit(lambda k: jax.random.randint(
-        k, (batch, 3, 256, 256), 0, 256, jnp.uint8))(jax.random.PRNGKey(0))
-    h, w, m = sample_transform_params(batch, (256, 256),
-                                      TransformConfig(crop_size=227),
-                                      train=False, rng=rng)
-    h, w, m = jnp.asarray(h), jnp.asarray(w), jnp.asarray(m)
+        k, (batch, 256, 256, 3), 0, 256, jnp.uint8))(jax.random.PRNGKey(0))
+    # the reference extraction transform is TEST phase: deterministic
+    # CENTER crop, mirror off (videovec_extraction.prototxt
+    # transform_param; ref:src/caffe/data_transformer.cpp:60-90) — static
+    # offsets make the crop a fused slice
+    ho = wo = (256 - 227) // 2
 
     @jax.jit
-    def run(p, px, hh, ww, mm):
+    def run(p, px):
         def one(carry, i):
-            # vary the crop offset per iteration: nothing is loop-invariant,
-            # offsets stay within the valid 256-227 margin
-            out = pipe.embed_frames(p, px, (hh + i) % 29, (ww + i) % 29, mm)
+            # XOR the step index into the pixels: no iteration is
+            # loop-invariant, cost is one fused elementwise pass
+            out = pipe.embed_frames(p, px ^ i.astype(jnp.uint8),
+                                    ho, wo, False)
             return carry + jnp.sum(out), None
         total, _ = lax.scan(one, jnp.float32(0.0), jnp.arange(ITERS))
         return total
 
-    float(run(params, pix, h, w, m))  # compile + warm
+    float(run(params, pix))  # compile + warm
     t0 = time.perf_counter()
-    float(run(params, pix, h, w, m))
+    float(run(params, pix))
     dt = (time.perf_counter() - t0) / ITERS
     return batch / dt, dt
 

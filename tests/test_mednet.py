@@ -51,3 +51,19 @@ def test_parity_with_graph_engine(rng):
     ours = np.asarray(model.forward(params, jnp.asarray(
         img.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(ours, ref_ip2, rtol=1e-3, atol=1e-3)
+
+
+def test_conv1_space_to_depth_exact(rng):
+    """The space-to-depth conv1 lowering (optional, MedNetConfig
+    .conv1_space_to_depth) is the exact same math as the plain strided
+    conv — the kernel zero-pads to a stride multiple so the extra input
+    row/col contributes nothing."""
+    plain = MedNet(MedNetConfig(compute_dtype="float32",
+                                conv1_space_to_depth=False))
+    s2d = MedNet(MedNetConfig(compute_dtype="float32",
+                              conv1_space_to_depth=True))
+    params = plain.init(jax.random.PRNGKey(0))
+    img = jnp.asarray(rng.randn(2, 227, 227, 3).astype(np.float32))
+    a = np.asarray(plain.forward(params, img, upto="fc6"))
+    b = np.asarray(s2d.forward(params, img, upto="fc6"))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)

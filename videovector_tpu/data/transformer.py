@@ -112,6 +112,24 @@ def make_batch_transform(cfg: TransformConfig, mean: np.ndarray | None,
         n = pixels.shape[0]
         x = pixels.astype(jnp.float32)
         if cs:
+            if _static_offsets(h_off, w_off, mirror):
+                # TEST-phase center crop (the extraction config:
+                # ref:src/caffe/data_transformer.cpp:60-90 deterministic
+                # branch): offsets are compile-time constants, so the crop
+                # is a static slice that fuses into the mean-subtract —
+                # zero gather cost
+                ho, wo = int(h_off), int(w_off)
+                sl = (slice(None),) * h_axis
+                x = x[sl + (slice(ho, ho + cs),)]
+                sl = (slice(None),) * w_axis
+                x = x[sl + (slice(wo, wo + cs),)]
+                if mean_arr is not None:
+                    msl = mean_arr[(slice(None),) * (h_axis - 1)
+                                   + (slice(ho, ho + cs),)]
+                    msl = msl[(slice(None),) * (w_axis - 1)
+                              + (slice(wo, wo + cs),)]
+                    x = x - msl[None]
+                return x * cfg.scale
             # Batched crop as two axis gathers (a vmapped dynamic_slice
             # lowers worse on TPU). Mirroring flips the column INDICES,
             # which flips (patch − mean) jointly — the reference's
@@ -134,6 +152,25 @@ def make_batch_transform(cfg: TransformConfig, mean: np.ndarray | None,
         return out * cfg.scale
 
     return f
+
+
+def _static_offsets(h_off, w_off, mirror) -> bool:
+    """True when crop offsets are python/0-d constants and mirroring is
+    off — the deterministic TEST-phase transform."""
+    import numpy as _np
+
+    def scalar(v):
+        return isinstance(v, (int, _np.integer)) or (
+            hasattr(v, "shape") and getattr(v, "shape", None) == ()
+            and isinstance(v, _np.ndarray))
+
+    if not (scalar(h_off) and scalar(w_off)):
+        return False
+    if mirror is None or mirror is False:
+        return True
+    arr = _np.asarray(mirror) if isinstance(
+        mirror, (_np.ndarray, list, tuple, bool, int)) else None
+    return arr is not None and not arr.any()
 
 
 def sample_transform_params(n: int, image_hw, cfg: TransformConfig, *,

@@ -57,8 +57,13 @@ class MedNetConfig:
     input_hw: tuple = (227, 227)
     compute_dtype: str = "bfloat16"
     # lower stride-4 no-pad conv1 as a stride-1 conv over space-to-depth
-    # blocks (3 → 48 input channels): exact math, much better MXU packing
-    conv1_space_to_depth: bool = True
+    # blocks (3 → 48 input channels). Exact math, but measured a net LOSS
+    # on v5e at batch 50 (conv 0.207→0.221 ms and +0.30 ms of layout
+    # copies for the block transpose): conv1 is im2col-bandwidth-bound
+    # (the 11x11/s4 window re-reads each pixel ~7.6x; ~110 MB of expanded
+    # patches either way), so better lane packing doesn't help. Kept as an
+    # option + test; off by default. See PERF.md.
+    conv1_space_to_depth: bool = False
 
 
 class MedNet:
