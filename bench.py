@@ -15,8 +15,9 @@ vs_baseline compares against the measured CPU baseline in
 BASELINE_MEASURED.json (torch-CPU implementation of the identical step with
 threads = all host cores — stand-in for CPU-mode Caffe, which uses the same
 BLAS path; methodology in that file). This host exposes one core, so the
-ratio reads "× one Caffe-class CPU core" (see the note field there).
-Falls back to vs_baseline = null if absent.
+ratio reads "× one Caffe-class CPU core" (see the note field there); the
+whole-host equivalent vs a 16-32-core threaded-BLAS Caffe box is ~10-30×
+smaller (≈70-200×). Falls back to vs_baseline = null if absent.
 """
 
 from __future__ import annotations

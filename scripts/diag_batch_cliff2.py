@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--batches", default="128,256,512")
     ap.add_argument("--variant", default="full",
-                    choices=["full", "fwd_bwd", "fwd", "opt", "stale"])
+                    choices=["full", "fwd_bwd", "fwd", "opt", "stale", "micro"])
     ap.add_argument("--dropout", type=float, default=0.9)
     ap.add_argument("--role_major", action="store_true")
     ap.add_argument("--barrier", action="store_true",
@@ -69,6 +69,30 @@ def main():
             k, shape, jnp.float32))(jax.random.PRNGKey(0))
         batch = {"data": data}
 
+        def one_step_micro(carry, key):
+            # Caffe iter_size semantics: accumulate grads over 128-row
+            # microbatches, one solver update (identical math to the big
+            # batch: per-micro losses average, ref solver.cpp iter_size)
+            p, s = carry
+            n_micro = max(b // 128, 1)
+            mb = b // n_micro
+            # role-major (R, B, F) → (R, n_micro, mb, F) → scan over micro
+            d = batch["data"].reshape(
+                cfg.num_roles, n_micro, mb, FEAT).transpose(1, 0, 2, 3)
+            keys = jax.random.split(key, n_micro)
+
+            def micro(g_acc, xs):
+                data_i, key_i = xs
+                (loss, aux), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(p, {"data": data_i}, key_i)
+                return jax.tree.map(jnp.add, g_acc, g), loss
+
+            g0 = jax.tree.map(jnp.zeros_like, p)
+            g, losses = lax.scan(micro, g0, (d, keys))
+            g = jax.tree.map(lambda x: x / n_micro, g)
+            p2, s2 = solver_update(scfg, p, g, s)
+            return (p2, s2), losses[-1]
+
         def one_step_stale(carry, key):
             # one-step-delayed optimizer: step k applies grads from step
             # k-1 while computing step k's grads — no data dependence
@@ -100,7 +124,12 @@ def main():
             p2, s2 = solver_update(scfg, p, g, s)
             return (p2, s2), loss
 
-        if args.variant == "stale":
+        if args.variant == "micro":
+            @jax.jit
+            def run(p, s, keys):
+                (p, s), losses = lax.scan(one_step_micro, (p, s), keys)
+                return losses[-1]
+        elif args.variant == "stale":
             @jax.jit
             def run(p, s, keys):
                 g0 = jax.tree.map(jnp.zeros_like, p)
