@@ -205,3 +205,44 @@ def test_cosine_form_matches_normalize_then_dot(rng, key):
         np.asarray(s_neg),
         np.einsum("bnd,bd->bn", nrm(negs), nrm(ctx_avg)),
         rtol=1e-5, atol=1e-6)
+
+
+def test_grad_microbatch_matches_bigbatch(rng, key):
+    """grad_microbatch=k (the reference's iter_size accumulation,
+    ref:src/caffe/solver.cpp) must produce the same updated params as the
+    single big-batch step — losses average, grads average, one update.
+    (It is also the large-batch throughput schedule on v5e; PERF.md r3.)"""
+    from videovector_tpu.solver import solver_update
+
+    cfg = _small_cfg()  # dropout 0 → rng split has no effect on the math
+    model = VideoEmbeddingModel(cfg)
+    params = model.init(key)
+    solver_cfg = SolverConfig(base_lr=0.05, momentum=0.9, weight_decay=1e-4,
+                              lr_policy="fixed")
+    batch_np = rng.randn(16, cfg.num_roles, cfg.feature_dim) \
+        .astype(np.float32)
+
+    def loss_fn(p, b, k):
+        return model.loss(p, b, rng=k, train=False)
+
+    mesh = make_mesh(data=4, model=1)
+    big = make_train_step(loss_fn, solver_cfg, mesh)
+    micro = make_train_step(loss_fn, solver_cfg, mesh, grad_microbatch=4)
+
+    # independent copies: the jitted steps donate their param buffers
+    p1 = shard_params(jax.tree.map(jnp.array, params), mesh)
+    s1 = init_solver_state(solver_cfg, p1)
+    p2 = shard_params(jax.tree.map(jnp.array, params), mesh)
+    s2 = init_solver_state(solver_cfg, p2)
+    rngk = jax.random.PRNGKey(3)
+    for _ in range(3):
+        batch = shard_batch({"data": jnp.asarray(batch_np)}, mesh)
+        p1, s1, m1 = big(p1, s1, batch, rngk)
+        batch = shard_batch({"data": jnp.asarray(batch_np)}, mesh)
+        p2, s2, m2 = micro(p2, s2, batch, rngk)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5)
+    for k1, l1 in p1.items():
+        for k2, a in l1.items():
+            np.testing.assert_allclose(np.asarray(a), np.asarray(p2[k1][k2]),
+                                       rtol=1e-5, atol=1e-6)

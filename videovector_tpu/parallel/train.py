@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from videovector_tpu.solver import SolverConfig, solver_update
@@ -61,18 +62,70 @@ def shard_batch(batch, mesh: Mesh, axes: dict | None = None):
 
 def make_train_step(loss_fn: Callable, solver_cfg: SolverConfig, mesh: Mesh, *,
                     lr_mults=None, decay_mults=None, donate: bool = True,
-                    opt_barrier="auto"):
+                    opt_barrier="auto", grad_microbatch: int = 0,
+                    batch_axes=None):
     """Build `step(params, state, batch, rng) -> (params, state, metrics)`.
 
     loss_fn(params, batch, rng) -> (loss, aux_dict). Gradient all-reduce over
     the "data" axis is implicit: the batch is sharded, params are replicated,
     so XLA emits the psum during backward.
+
+    grad_microbatch > 0 splits the per-step batch into that many
+    microbatches, accumulates gradients over a lax.scan, and applies ONE
+    solver update — exactly the reference's iter_size accumulation
+    (ref:src/caffe/solver.cpp iter_size; losses average so the update
+    equals the big-batch update up to f32 summation order). This is also
+    the large-batch throughput schedule on v5e: the per-microbatch wgrad
+    GEMMs stay in the good tiling regime and the optimizer runs once —
+    measured B=512 f32 5.00 → 4.17 ms/step (+20%), and the B=256 dip
+    disappears (see PERF.md round 3). batch_axes maps batch dict keys to
+    their batch axis for the split (default 0 for every leaf).
     """
 
     def step(params, state, batch, rng):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, rng)
-        grads = maybe_grad_barrier(grads, batch, opt_barrier)
+        n_micro = grad_microbatch
+        if n_micro and n_micro > 1:
+            def split(leaf, axis):
+                b = leaf.shape[axis]
+                if b % n_micro:
+                    raise ValueError(
+                        f"grad_microbatch={n_micro} does not divide "
+                        f"batch axis {b}")
+                return jnp.moveaxis(
+                    leaf.reshape(leaf.shape[:axis] + (n_micro, b // n_micro)
+                                 + leaf.shape[axis + 1:]), axis, 0)
+            if isinstance(batch, dict) and batch_axes:
+                stacked = {k: split(v, batch_axes.get(k, 0))
+                           for k, v in batch.items()}
+            else:
+                stacked = jax.tree.map(lambda l: split(l, 0), batch)
+            keys = jax.random.split(rng, n_micro)
+
+            def micro(carry, xs):
+                g_acc, loss_acc, aux_acc = carry
+                mb, key = xs
+                (loss, aux), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, mb, key)
+                return (jax.tree.map(jnp.add, g_acc, g), loss_acc + loss,
+                        jax.tree.map(jnp.add, aux_acc, aux)), None
+
+            g0 = jax.tree.map(jnp.zeros_like, params)
+            # aux accumulator needs the loss_fn's aux structure up front
+            aux_shapes = jax.eval_shape(
+                lambda p, mb, k: loss_fn(p, mb, k)[1],
+                params, jax.tree.map(lambda s: s[0], stacked), keys[0])
+            aux_init = jax.tree.map(
+                lambda s: jnp.zeros(s.shape, s.dtype), aux_shapes)
+            (grads, loss_sum, aux_sum), _ = jax.lax.scan(
+                micro, (g0, jnp.float32(0.0), aux_init),
+                (stacked, keys))
+            grads = jax.tree.map(lambda g: g / n_micro, grads)
+            loss = loss_sum / n_micro
+            aux = jax.tree.map(lambda a: a / n_micro, aux_sum)
+        else:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch, rng)
+            grads = maybe_grad_barrier(grads, batch, opt_barrier)
         params2, state2 = solver_update(solver_cfg, params, grads, state,
                                         lr_mults=lr_mults,
                                         decay_mults=decay_mults)
