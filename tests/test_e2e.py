@@ -617,3 +617,56 @@ def test_resize_and_crop_images(tmp_path):
     for name in ("synset1/wide.jpg", "synset1/tall.png"):
         img = Image.open(out / name)
         assert img.size == (32, 32)
+
+
+def test_train_with_restarts_recovers_from_fault(mini_project, tmp_path):
+    """Failure recovery (`vvtpu train --max_restarts`): a runtime fault
+    mid-training reloads the newest snapshot and continues to max_iter;
+    exhausting the budget re-raises. The reference's story is a human
+    re-running `caffe train --snapshot=...` (ref solver.cpp:419-429)."""
+    from videovector_tpu.config.textformat import parse
+    from videovector_tpu.solver.driver import SolverDriver
+    from videovector_tpu.tools.cli import _train_with_restarts
+
+    solver = parse(f"""
+    net: "{mini_project['net']}"
+    base_lr: 0.05 momentum: 0.9 lr_policy: "fixed"
+    max_iter: 60 display: 10
+    snapshot: 20 snapshot_prefix: "{tmp_path / 'wd'}"
+    """)
+    driver = SolverDriver(solver).build()
+
+    calls = {"n": 0}
+    orig_train = SolverDriver.train
+
+    def flaky_train(self, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # run the first stretch for real (snapshots land), then fault
+            orig_train(self, max_iter=45, **{k: v for k, v in kw.items()
+                                             if k != "max_iter"})
+            raise RuntimeError("injected device fault")
+        return orig_train(self, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(SolverDriver, "train", flaky_train):
+        res = _train_with_restarts(driver, snapshot=None, weights=None,
+                                   mesh=None, max_restarts=2)
+    assert calls["n"] == 2
+    # restart resumed from the iter-40 snapshot, not from scratch
+    iters = [it for it, _ in res.metrics_history]
+    assert min(iters) >= 40
+    assert max(iters) >= 50
+
+    # budget exhausted → the fault propagates
+    calls["n"] = 0
+
+    def always_fail(self, **kw):
+        calls["n"] += 1
+        raise RuntimeError("still broken")
+
+    with mock.patch.object(SolverDriver, "train", always_fail):
+        with pytest.raises(RuntimeError, match="still broken"):
+            _train_with_restarts(driver.rebuild(), snapshot=None,
+                                 weights=None, mesh=None, max_restarts=2)
+    assert calls["n"] == 3  # initial + 2 restarts

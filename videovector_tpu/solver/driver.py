@@ -32,6 +32,8 @@ def _spec_from_batch(batch):
 
 class SolverDriver:
     def __init__(self, solver_msg: Message, *, net_dir: str = "."):
+        self._solver_msg = solver_msg
+        self._net_dir = net_dir
         self.cfg = SolverConfig.from_message(solver_msg)
         # reference visualization/debug knobs (ref solver.cpp:183-193)
         self.snapshot_vis = int(solver_msg.get("snapshot_vis", 0) or 0)
@@ -73,6 +75,14 @@ class SolverDriver:
     def from_prototxt(cls, solver_path: str) -> "SolverDriver":
         msg = parse_file(solver_path)
         return cls(msg, net_dir=os.getcwd())
+
+    def rebuild(self) -> "SolverDriver":
+        """Fresh driver over the same solver config — fresh nets, data
+        sources, and params. Used by crash-restart recovery (`vvtpu train
+        --max_restarts`): the restored snapshot supplies iter/params/
+        momentum, everything else re-initializes like a process restart."""
+        return type(self)(self._solver_msg,
+                          net_dir=self._net_dir).build()
 
     # ------------------------------------------------------------------
     def build(self, *, seed: int | None = None):

@@ -74,10 +74,41 @@ def cmd_train(args) -> int:
     if mesh is not None:
         log.info("Training over mesh data=%d model=%d",
                  mesh.shape["data"], mesh.shape["model"])
-    driver.train(resume_state_path=snapshot,
-                 weights_path=args.weights or None, mesh=mesh)
+    _train_with_restarts(driver, snapshot=snapshot,
+                         weights=args.weights or None, mesh=mesh,
+                         max_restarts=getattr(args, "max_restarts", 0))
     log.info("Optimization Done.")
     return 0
+
+
+def _train_with_restarts(driver, *, snapshot, weights, mesh,
+                         max_restarts: int = 0):
+    """Failure recovery: on a runtime fault (device error, preemption —
+    anything except Ctrl-C), reload the newest snapshot and continue, up to
+    --max_restarts times. The reference's recovery story is a human
+    re-running `caffe train --snapshot=...` (ref:src/caffe/solver.cpp:
+    419-429 Restore); with periodic snapshots + async atomic writes this
+    automates it in-process. Each restart rebuilds the data sources, so
+    sampling streams restart from their seed — the same semantics a manual
+    reference restart has."""
+    restarts = 0
+    while True:
+        try:
+            return driver.train(resume_state_path=snapshot,
+                                weights_path=weights, mesh=mesh)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:  # noqa: BLE001 — deliberate catch-all
+            restarts += 1
+            if restarts > max_restarts:
+                raise
+            latest = _latest_snapshot(driver.cfg.snapshot_prefix)
+            log.error("Training failed (%s: %s); restart %d/%d from %s",
+                      type(e).__name__, e, restarts, max_restarts,
+                      latest or "scratch")
+            snapshot = latest
+            weights = None  # weights only seed the very first attempt
+            driver = driver.rebuild()
 
 
 def _latest_snapshot(prefix: str):
@@ -421,6 +452,10 @@ def main(argv=None) -> int:
                    help="resume from a .vvstate snapshot")
     p.add_argument("--weights", default="",
                    help="finetune from .vvmodel/.caffemodel weights")
+    p.add_argument("--max_restarts", type=int, default=0,
+                   help="failure recovery: on a runtime fault, reload the "
+                        "newest snapshot and continue, up to N times "
+                        "(0 = fail fast, the reference behavior)")
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the newest snapshot matching the "
                         "solver's snapshot_prefix, if any")
