@@ -1,0 +1,80 @@
+"""Serving-artifact throughput: does the frozen StableHLO deployment path
+(vvtpu-serve) run as fast as the live pipeline?
+
+Exports the real-dimension extraction tower (fc7 4096, 227x227, batch 50 —
+the reference extract_features config) into a .vvserve artifact, loads it
+back with ONLY jax (no framework code), and measures steady-state
+throughput device-pure (the artifact call is traceable, so K calls run
+inside one lax.scan program).
+
+python scripts/bench_serving.py [--batch 50] [--k 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "tests"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=50)
+    ap.add_argument("--k", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    import jax.numpy as jnp
+    from jax import lax
+    from test_golden_fullscale import EXTRACTION_NET
+    from videovector_tpu.tools.serving import export_serving, load_serving
+
+    b = args.batch
+    with tempfile.TemporaryDirectory() as td:
+        net = os.path.join(td, "net.prototxt")
+        with open(net, "w") as f:
+            f.write(EXTRACTION_NET)
+        art = os.path.join(td, "extract.vvserve")
+        t0 = time.perf_counter()
+        export_serving(net, [], ["ip2"], art,
+                       input_shapes={"data": (b, 3, 227, 227)})
+        t_export = time.perf_counter() - t0
+        size_mb = os.path.getsize(art) / 1e6
+        call, meta = load_serving(art)
+
+        x = jax.jit(lambda k: jax.random.normal(
+            k, (b, 3, 227, 227), jnp.float32))(jax.random.PRNGKey(0))
+
+        @jax.jit
+        def run(px):
+            def one(carry, i):
+                out = call({"data": px + i.astype(jnp.float32) * 1e-3})
+                return carry + jnp.sum(out["ip2"]), i
+            total, _ = lax.scan(one, jnp.float32(0.0),
+                                jnp.arange(args.k))
+            return total
+
+        float(run(x))  # compile + warm
+        t0 = time.perf_counter()
+        float(run(x))
+        dt = (time.perf_counter() - t0) / args.k
+        print(f"artifact: {size_mb:.1f} MB, export {t_export:.1f}s, "
+              f"platforms={meta['platforms']}")
+        print(f"serving batch {b}: {dt*1e3:.2f} ms/call = "
+              f"{b/dt:,.0f} frames/s/chip (frozen-weights StableHLO, "
+              f"no framework code at call time)")
+
+
+if __name__ == "__main__":
+    main()
