@@ -41,10 +41,19 @@ def main():
     from videovector_tpu.tools.serving import export_serving, load_serving
 
     b = args.batch
+    # the parity-test net has no fillers (its weights come from torch);
+    # without them Caffe defaults to constant-0 weights and XLA folds the
+    # whole tower away — inject gaussian fillers so the artifact carries
+    # real dense weights
+    filler = ('{ weight_filler { type: "gaussian" std: 0.01 } '
+              'bias_filler { type: "constant" value: 0.1 } ')
+    net_text = EXTRACTION_NET \
+        .replace("convolution_param {", "convolution_param " + filler) \
+        .replace("inner_product_param {", "inner_product_param " + filler)
     with tempfile.TemporaryDirectory() as td:
         net = os.path.join(td, "net.prototxt")
         with open(net, "w") as f:
-            f.write(EXTRACTION_NET)
+            f.write(net_text)
         art = os.path.join(td, "extract.vvserve")
         t0 = time.perf_counter()
         export_serving(net, [], ["ip2"], art,

@@ -291,3 +291,36 @@ def test_window_source_pil_fallback_warp(tmp_path, rng, monkeypatch):
     diff = np.abs(with_cv2 - without_cv2)
     assert float(diff.max()) <= 3.0, float(diff.max())
     assert float(diff.mean()) <= 0.5, float(diff.mean())
+
+
+def test_hdf5_source_reads_reference_shipped_fixtures(tmp_path):
+    """Foreign-artifact HDF5: the reference repo SHIPS sample_data.h5 and a
+    gzip-compressed twin (src/caffe/test/test_data/, generated by its
+    generate_sample_data.py: data = arange(10*8*6*5) row-major, label =
+    1+arange(10)); our HDF5_DATA source must read those exact bytes with
+    the reference's file-cycling semantics
+    (ref:src/caffe/test/test_hdf5data_layer.cpp:54-110 TestRead)."""
+    import os
+    ref_dir = "/root/reference/src/caffe/test/test_data"
+    plain = os.path.join(ref_dir, "sample_data.h5")
+    gz = os.path.join(ref_dir, "sample_data_2_gzip.h5")
+    if not (os.path.exists(plain) and os.path.exists(gz)):
+        pytest.skip("reference fixtures unavailable")
+    from videovector_tpu.data.generic import HDF5Source
+    lst = tmp_path / "list.txt"
+    lst.write_text(f"{plain}\n{gz}\n")
+    src = HDF5Source(str(lst), batch_size=5)
+
+    b1 = src.next_batch()
+    assert b1["data"].shape == (5, 8, 6, 5)
+    expect = np.arange(10 * 8 * 6 * 5, dtype=np.float32).reshape(10, 8, 6, 5)
+    np.testing.assert_array_equal(b1["data"], expect[:5])
+    np.testing.assert_array_equal(b1["label"].reshape(-1), [1, 2, 3, 4, 5])
+    b2 = src.next_batch()
+    np.testing.assert_array_equal(b2["data"], expect[5:])
+    # file 2 (gzip-compressed, shuffled variant of the same generator):
+    # decompression is h5py's job; we only require identical dtypes/shapes
+    # and the 1-indexed label contract
+    b3 = src.next_batch()
+    assert b3["data"].shape == (5, 8, 6, 5)
+    assert set(np.unique(b3["label"])) <= set(range(1, 11))
