@@ -102,26 +102,23 @@ def make_train_step(loss_fn: Callable, solver_cfg: SolverConfig, mesh: Mesh, *,
             keys = jax.random.split(rng, n_micro)
 
             def micro(carry, xs):
-                g_acc, loss_acc, aux_acc = carry
+                g_acc, loss_acc = carry
                 mb, key = xs
                 (loss, aux), g = jax.value_and_grad(
                     loss_fn, has_aux=True)(params, mb, key)
-                return (jax.tree.map(jnp.add, g_acc, g), loss_acc + loss,
-                        jax.tree.map(jnp.add, aux_acc, aux)), None
+                return (jax.tree.map(jnp.add, g_acc, g),
+                        loss_acc + loss), aux
 
             g0 = jax.tree.map(jnp.zeros_like, params)
-            # aux accumulator needs the loss_fn's aux structure up front
-            aux_shapes = jax.eval_shape(
-                lambda p, mb, k: loss_fn(p, mb, k)[1],
-                params, jax.tree.map(lambda s: s[0], stacked), keys[0])
-            aux_init = jax.tree.map(
-                lambda s: jnp.zeros(s.shape, s.dtype), aux_shapes)
-            (grads, loss_sum, aux_sum), _ = jax.lax.scan(
-                micro, (g0, jnp.float32(0.0), aux_init),
-                (stacked, keys))
+            (grads, loss_sum), aux_all = jax.lax.scan(
+                micro, (g0, jnp.float32(0.0)), (stacked, keys))
             grads = jax.tree.map(lambda g: g / n_micro, grads)
+            # displayed loss averages over microbatches (== the big-batch
+            # mean for equal micro sizes); other net outputs report the
+            # LAST microbatch, the reference's iter_size display semantics
+            # (counts like `violations` must not be averaged)
             loss = loss_sum / n_micro
-            aux = jax.tree.map(lambda a: a / n_micro, aux_sum)
+            aux = jax.tree.map(lambda a: a[-1], aux_all)
         else:
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, batch, rng)
