@@ -71,7 +71,7 @@ def run(precision: str):
     return nrm_max, rel_max, worst
 
 
-def main():
+def main() -> int:
     import jax
     dev = jax.devices()[0]
     print(f"device: {dev}")
@@ -89,7 +89,8 @@ def main():
     print(f"PARITY fullscale bf16-default on {dev.platform}: "
           f"nrm_err<={nrm:.3g} rel_big<={rel:.3g} "
           f"ip2 nrm {worst['ip2'][0]:.3g} rel {worst['ip2'][1]:.3g}")
+    return 0 if ok else 1  # certification gates on the f32-highest bounds
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

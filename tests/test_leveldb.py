@@ -490,3 +490,30 @@ def test_reader_rejects_corruption_cleanly(tmp_path):
     os.unlink(ldb)
     with pytest.raises(FileNotFoundError):
         LevelDbReader(db)
+
+
+def test_writer_bounded_stray_spill(tmp_path):
+    """Fully-unsorted keys (decimal "10" < "9" — the reference
+    extract_features key scheme) spill to sorted level-0 tables at the
+    max_stray_bytes bound instead of buffering the dataset; the merged
+    view stays correct incl. overwrites across spills."""
+    db = str(tmp_path / "db")
+    n = 400
+    w = LevelDbWriter(db, max_stray_bytes=4096)  # tiny bound → many spills
+    for i in range(n):
+        w.put(str(i), f"v{i}".encode() * 5)
+    w.put("7", b"overwritten")  # duplicate after its spill epoch
+    w.close()
+    import glob
+    tables = glob.glob(os.path.join(db, "*.ldb"))
+    assert len(tables) > 3  # the bound actually forced spills
+    r = LevelDbReader(db, verify_checksums=True)
+    assert len(r) == n
+    got = {bytes(k).decode(): bytes(v) for k, v in r}
+    assert got["7"] == b"overwritten"  # last-put-wins across spills
+    for i in (0, 9, 10, 99, 100, 399):
+        if i != 7:
+            assert got[str(i)] == f"v{i}".encode() * 5
+    # bytewise cursor order preserved
+    keys = [r.key(j) for j in range(len(r))]
+    assert keys == sorted(keys)

@@ -838,20 +838,26 @@ class LevelDbWriter:
 
     `put` in any order. Keys arriving in ascending order (the common case —
     converters iterate stores in key order) STREAM straight to disk with
-    O(1) memory; out-of-order keys are buffered and written to a separate
-    level-0 table on close. Level-0 tables may overlap — readers (ours and
-    C++ leveldb) resolve by sequence number, and sequence numbers here are
-    assigned at put() time, so duplicate keys keep last-put-wins semantics
-    exactly. Existing files are replaced."""
+    O(1) memory; out-of-order keys buffer up to `max_stray_bytes` and then
+    spill as their own sorted level-0 table (so fully-unsorted input — e.g.
+    the reference extract_features' decimal "10" < "9" keys — is bounded
+    at O(max_stray_bytes) memory, not O(dataset)). Level-0 tables may
+    overlap — readers (ours and C++ leveldb) resolve by sequence number,
+    and sequence numbers here are assigned at put() time, so duplicate
+    keys keep last-put-wins semantics exactly. Existing files are
+    replaced."""
 
     def __init__(self, path: str, *, block_size: int = 4096,
                  compression: str = "none",
-                 max_table_bytes: int = 64 << 20):
+                 max_table_bytes: int = 64 << 20,
+                 max_stray_bytes: int = 64 << 20):
         self._dir = path
         self._block_size = block_size
         self._compression = compression
         self._max_table_bytes = max_table_bytes
+        self._max_stray_bytes = max_stray_bytes
         self._stray: dict[bytes, tuple[int, bytes]] = {}  # out-of-order puts
+        self._stray_bytes = 0
         self._closed = False
         self._last_key: bytes | None = None
         self._tw: TableWriter | None = None
@@ -896,18 +902,32 @@ class LevelDbWriter:
             # a key ≤ _last_key can never re-enter the ascending stream
             # (_last_key only grows), so its stray seq always exceeds any
             # streamed seq of the same key — last-put-wins holds
+            if key not in self._stray:
+                self._stray_bytes += len(key) + len(value) + 48
             self._stray[key] = (self._seq, bytes(value))
+            if self._stray_bytes >= self._max_stray_bytes:
+                self._flush_strays()
+
+    def _flush_strays(self) -> None:
+        """Spill the out-of-order buffer as sorted level-0 table(s).
+        Overlap with other tables (and other spills) is fine: the merged
+        reader resolves duplicates by sequence number."""
+        if not self._stray:
+            return
+        self._finish_table()          # close the in-flight ascending run
+        for k in sorted(self._stray):
+            seq, value = self._stray[k]
+            self._emit(k, seq, value)
+        self._stray.clear()
+        self._stray_bytes = 0
+        self._finish_table()
 
     def close(self) -> None:
         if self._closed:
             return
         self._closed = True
         self._finish_table()          # the ascending-run table(s)
-        for k in sorted(self._stray):  # overlapping level-0 table(s)
-            seq, value = self._stray[k]
-            self._emit(k, seq, value)
-        self._stray.clear()
-        self._finish_table()
+        self._flush_strays()          # overlapping level-0 table(s)
         self._edit.last_sequence = self._seq
         self._edit.next_file_number = self._file_number
 

@@ -110,6 +110,14 @@ def make_batch_transform(cfg: TransformConfig, mean: np.ndarray | None,
 
     def f(pixels, h_off, w_off, mirror):
         n = pixels.shape[0]
+        # static layout guard: NHWC vs NCHW mixups would otherwise clip
+        # gather indices silently (3-channel axis read as 256-row H)
+        if pixels.ndim == 4 and (pixels.shape[h_axis], pixels.shape[w_axis]) \
+                != (h, w):
+            raise ValueError(
+                f"pixels shape {pixels.shape} does not place image_hw "
+                f"({h}, {w}) at the {layout} spatial axes — wrong "
+                f"pixels_layout?")
         x = pixels.astype(jnp.float32)
         if cs:
             if _static_offsets(h_off, w_off, mirror):

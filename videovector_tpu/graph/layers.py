@@ -581,6 +581,11 @@ def _retrieval_stats():
             # max_num_videos must equal the distinct-id count — the traced
             # graph cannot CHECK this, see metrics.retrieval.check_num_videos
             nv = int(p.get("max_num_videos", 0))
+            if nv <= 0:  # static at trace time — reject the proto default
+                raise ValueError(
+                    "video_level_retrieval requires max_num_videos > 0 "
+                    "(= the distinct video-id count; the reference CHECKs "
+                    "equality, retrieval_stats_layer.cpp:188)")
             feats, vids = retrieval_metrics.video_level_average(
                 feats, vids, nv)
         classes = id_map.lookup(vids) if id_map is not None else vids

@@ -157,6 +157,42 @@ def retrieval_stats(features, video_ids, class_ids, *,
     }
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(7,))
+def _chunk_retrieval_stats(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
+                           exclude_same_video_shots):
+    """One query chunk of retrieval_stats_chunked: identical math to the
+    dense retrieval_stats over (Q, N) rows; returns partial sums."""
+    q = q_feats.shape[0]
+    n = feats.shape[0]
+    dist = -2.0 * jnp.dot(q_feats, feats.T,
+                          preferred_element_type=jnp.float32)
+    # self item forced first then skipped (diagonal −1e15 trick)
+    dist = jnp.where(jnp.arange(n)[None, :] == q_pos[:, None], -1e15, dist)
+    order = jnp.argsort(dist, axis=1, stable=True)
+    ranked_vid = vids[order]
+    ranked_cls = cls[order]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
+    valid = pos >= 1
+    if exclude_same_video_shots:
+        valid = valid & (ranked_vid != q_vid[:, None])
+    match = valid & (ranked_cls == q_cls[:, None])
+    vf = valid.astype(jnp.float32)
+    mf = match.astype(jnp.float32)
+    val = jnp.cumsum(vf, axis=1)
+    ret = jnp.cumsum(mf, axis=1)
+    ret_total = ret[:, -1]
+    ap = jnp.sum(mf * ret / jnp.maximum(val, 1.0), axis=1)
+    ap = jnp.where(ret_total > 0, ap / jnp.maximum(ret_total, 1.0), 0.0)
+    acc1 = jnp.sum(mf * (val <= 1.0), axis=1)
+    acc5 = jnp.sum(mf * (val <= 5.0), axis=1) / 5.0
+    include = (q_cls >= 0).astype(jnp.float32)
+    return (jnp.sum(ap * include), jnp.sum(acc1 * include),
+            jnp.sum(acc5 * include), jnp.sum(include))
+
+
 def retrieval_stats_chunked(features, video_ids, class_ids, *,
                             exclude_same_video_shots: bool = False,
                             query_chunk: int = 256):
@@ -183,48 +219,22 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     n = feats.shape[0]
     q_chunk = min(query_chunk, n)
 
-    @jax.jit
-    def chunk_stats(q_feats, q_vid, q_cls, q_pos):
-        q = q_feats.shape[0]
-        dist = -2.0 * jnp.dot(q_feats, feats.T,
-                              preferred_element_type=jnp.float32)
-        # self item forced first then skipped (diagonal −1e15 trick)
-        dist = jnp.where(jnp.arange(n)[None, :] == q_pos[:, None],
-                         -1e15, dist)
-        order = jnp.argsort(dist, axis=1, stable=True)
-        ranked_vid = vids[order]
-        ranked_cls = cls[order]
-        pos = jax.lax.broadcasted_iota(jnp.int32, (q, n), 1)
-        valid = pos >= 1
-        if exclude_same_video_shots:
-            valid = valid & (ranked_vid != q_vid[:, None])
-        match = valid & (ranked_cls == q_cls[:, None])
-        vf = valid.astype(jnp.float32)
-        mf = match.astype(jnp.float32)
-        val = jnp.cumsum(vf, axis=1)
-        ret = jnp.cumsum(mf, axis=1)
-        ret_total = ret[:, -1]
-        ap = jnp.sum(mf * ret / jnp.maximum(val, 1.0), axis=1)
-        ap = jnp.where(ret_total > 0, ap / jnp.maximum(ret_total, 1.0), 0.0)
-        acc1 = jnp.sum(mf * (val <= 1.0), axis=1)
-        acc5 = jnp.sum(mf * (val <= 5.0), axis=1) / 5.0
-        include = (q_cls >= 0).astype(jnp.float32)
-        return (jnp.sum(ap * include), jnp.sum(acc1 * include),
-                jnp.sum(acc5 * include), jnp.sum(include))
-
     sums = np.zeros(4, np.float64)
     for start in range(0, n, q_chunk):
         idx = np.arange(start, min(start + q_chunk, n))
         if len(idx) < q_chunk:  # pad; pads carry class −1 ⇒ include 0
             pad = np.full(q_chunk - len(idx), idx[-1])
-            q_cls_np = np.concatenate([np.asarray(cls[idx]),
-                                       np.full(len(pad), -1, np.int32)])
-            idx_full = np.concatenate([idx, pad])
-            part = chunk_stats(feats[idx_full], vids[idx_full],
-                               jnp.asarray(q_cls_np), jnp.asarray(idx_full))
+            q_cls = jnp.concatenate([cls[idx],
+                                     jnp.full(len(pad), -1, jnp.int32)])
+            idx = np.concatenate([idx, pad])
         else:
-            part = chunk_stats(feats[idx], vids[idx], cls[idx],
-                               jnp.asarray(idx))
+            q_cls = cls[idx]
+        # gallery passed as ARGUMENTS (not closed over): one compiled
+        # program reused across chunks and calls, nothing inlined as HLO
+        # constants
+        part = _chunk_retrieval_stats(feats, vids, cls, feats[idx],
+                                      vids[idx], q_cls, jnp.asarray(idx),
+                                      exclude_same_video_shots)
         sums += np.asarray([float(v) for v in part])
     denom = max(sums[3], 1.0)
     return {

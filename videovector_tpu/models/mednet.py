@@ -162,15 +162,8 @@ class MedNet:
                     x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
                     ((0, 0), ph, pw, (0, 0)))
             if spec.lrn:
-                # channel-window sum as 5 shifted adds: fuses into one
-                # elementwise pass, where reduce_window over the lane axis
-                # ran as a separate 0.24 ms op (traced, batch 50)
-                sq = x * x
-                c = x.shape[-1]
-                sqp = jnp.pad(sq, ((0, 0), (0, 0), (0, 0), (2, 2)))
-                summed = sqp[..., 0:c]
-                for o in range(1, 5):
-                    summed = summed + sqp[..., o:o + c]
+                from videovector_tpu.ops.lrn import channel_window_sum
+                summed = channel_window_sum(x * x, 3, 5)
                 x = x * jnp.power(1.0 + (1e-4 / 5) * summed, -0.75)
         x = x.reshape(x.shape[0], -1)
         for name in ("fc6", "fc7"):

@@ -14,21 +14,33 @@ from jax import lax
 from videovector_tpu.ops.pooling import avg_pool
 
 
+def channel_window_sum(sq, axis: int, local_size: int):
+    """Clipped sliding-window sum over `axis` as unrolled shifted adds.
+
+    This formulation is deliberate: a reduce_window over a non-minor axis
+    MISCOMPILES on the TPU backend at C=96 (post-optimization shape
+    mismatch in the fused pow), and over the minor (lane) axis it ran as a
+    standalone 0.24 ms op where shifted adds fuse into the neighboring
+    elementwise pass (trace, batch 50). local_size is tiny (5 in every
+    shipped config) so the unroll is a single fused pass."""
+    half = local_size // 2
+    c = sq.shape[axis]
+    pads = [(0, 0)] * sq.ndim
+    pads[axis] = (half, local_size - 1 - half)
+    sqp = jnp.pad(sq, pads)
+    idx = [slice(None)] * sq.ndim
+    summed = None
+    for o in range(local_size):
+        idx[axis] = slice(o, o + c)
+        part = sqp[tuple(idx)]
+        summed = part if summed is None else summed + part
+    return summed
+
+
 def lrn_cross_channel(x, *, local_size: int = 5, alpha: float = 1.0,
                       beta: float = 0.75):
     """x: (N, C, H, W)."""
-    half = local_size // 2
-    sq = x * x
-    # channel-window sum as shifted adds: a reduce_window over the
-    # (non-minor) C axis miscompiles on the TPU backend at C=96
-    # (post-optimization shape mismatch in the fused pow); local_size is
-    # tiny (5 in every shipped config) so unrolled shifts fuse to the same
-    # single pass over the tensor
-    c = x.shape[1]
-    sqp = jnp.pad(sq, ((0, 0), (half, local_size - 1 - half), (0, 0), (0, 0)))
-    summed = sqp[:, 0:c]
-    for o in range(1, local_size):
-        summed = summed + sqp[:, o:o + c]
+    summed = channel_window_sum(x * x, 1, local_size)
     scale = 1.0 + (alpha / local_size) * summed
     return x * jnp.power(scale, -beta)
 

@@ -105,9 +105,15 @@ def _train_with_restarts(driver, *, snapshot, weights, mesh,
             latest = _latest_snapshot(driver.cfg.snapshot_prefix)
             log.error("Training failed (%s: %s); restart %d/%d from %s",
                       type(e).__name__, e, restarts, max_restarts,
-                      latest or "scratch")
-            snapshot = latest
-            weights = None  # weights only seed the very first attempt
+                      latest or ("finetune weights" if weights else
+                                 "scratch"))
+            if latest is not None:
+                # a snapshot carries the full state; --weights only seeds
+                # the very first attempt
+                snapshot = latest
+                weights = None
+            # else: no snapshot landed yet — keep the original
+            # snapshot/weights so a finetune restart re-seeds correctly
             driver = driver.rebuild()
 
 
