@@ -155,6 +155,10 @@ class MedNet:
                     feature_group_count=spec.group,
                     preferred_element_type=jnp.float32)
             x = jnp.maximum(x + p["b"], 0.0)
+            # throughput mode: run the inter-conv elementwise chain
+            # (pool/LRN) in the compute dtype too — halves its HBM traffic;
+            # the f32 parity mode keeps everything f32
+            x = x.astype(cdt)
             if spec.pool:
                 n, h, w, c = x.shape
                 oh, ow, ph, pw = _pool_geometry(h, w, (3, 3), (2, 2), (0, 0))
