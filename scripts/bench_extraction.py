@@ -33,9 +33,6 @@ def bench_batch(batch: int) -> float:
     import jax
     import jax.numpy as jnp
     from jax import lax
-    from videovector_tpu.data.transformer import (
-        TransformConfig, sample_transform_params,
-    )
     from videovector_tpu.models.retrieval_pipeline import (
         RetrievalPipeline, RetrievalPipelineConfig,
     )

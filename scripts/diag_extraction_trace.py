@@ -77,9 +77,6 @@ def main():
         ".jax_cache"))
     import jax.numpy as jnp
     from jax import lax
-    from videovector_tpu.data.transformer import (
-        TransformConfig, sample_transform_params,
-    )
     from videovector_tpu.models.retrieval_pipeline import (
         RetrievalPipeline, RetrievalPipelineConfig,
     )
