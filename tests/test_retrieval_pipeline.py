@@ -96,3 +96,41 @@ def test_pipeline_nhwc_with_mean(rng):
     b = np.asarray(f_nhwc(jnp.asarray(pix.transpose(0, 2, 3, 1)),
                           jnp.asarray(h), jnp.asarray(w), jnp.asarray(m)))
     np.testing.assert_allclose(a, b.transpose(0, 3, 1, 2), rtol=1e-5)
+
+
+def test_bf16_extraction_preserves_retrieval_quality(rng):
+    """The bf16 throughput mode diverges ~1-2% rms from f32 features
+    (PARITY bf16-default) — this checks what users actually care about:
+    retrieval RANKING is preserved. Strong class structure, f32 vs bf16
+    pipelines, same weights; mAP/hit@1 must agree closely."""
+    from videovector_tpu.metrics.retrieval import retrieval_stats
+    import jax.numpy as jnp
+
+    f32 = _tiny_pipeline("NHWC")
+    bf16 = _tiny_pipeline("NHWC")
+    from videovector_tpu.models.mednet import MedNet, MedNetConfig, ConvSpec
+    for pipe, dt in ((f32, "float32"), (bf16, "bfloat16")):
+        pipe.mednet = MedNet(MedNetConfig(
+            convs=(ConvSpec("conv1", 8, 5, stride=2, pool=True),),
+            fc6=32, fc7=64, input_hw=(32, 32), compute_dtype=dt))
+    params = f32.init(jax.random.PRNGKey(0))
+
+    # 24 frames in 6 classes: per-class pixel motifs + noise
+    n, n_cls = 24, 6
+    motifs = rng.randint(0, 256, (n_cls, 36, 36, 3))
+    cls = np.arange(n) % n_cls
+    pix = np.clip(motifs[cls] + rng.randint(-30, 30, (n, 36, 36, 3)),
+                  0, 255).astype(np.uint8)
+    h = np.full(n, 2); w = np.full(n, 2); m = np.zeros(n, bool)
+
+    stats = {}
+    for name, pipe in (("f32", f32), ("bf16", bf16)):
+        emb = np.asarray(pipe.embed_frames(
+            params, jnp.asarray(pix), jnp.asarray(h), jnp.asarray(w),
+            jnp.asarray(m)), np.float32)
+        out = retrieval_stats(jnp.asarray(emb), jnp.arange(n),
+                              jnp.asarray(cls))
+        stats[name] = {k: float(v) for k, v in out.items()}
+    assert abs(stats["bf16"]["mean_ap"] - stats["f32"]["mean_ap"]) < 0.02, \
+        stats
+    assert abs(stats["bf16"]["hit_at_1"] - stats["f32"]["hit_at_1"]) <= 0.1
