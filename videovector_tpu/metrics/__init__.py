@@ -1,4 +1,5 @@
 from videovector_tpu.metrics.retrieval import (  # noqa: F401
-    IdToClassMap, retrieval_rank_stats, retrieval_stats, video_level_average,
+    IdToClassMap, check_num_videos, retrieval_rank_stats, retrieval_stats,
+    retrieval_stats_chunked, retrieval_stats_report, video_level_average,
 )
 from videovector_tpu.metrics.classification import classification_stats  # noqa: F401

@@ -254,23 +254,40 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     vids = np.asarray(video_ids).astype(np.int64)
     classes = np.asarray(class_ids).astype(np.int64)
     n = feats.shape[0]
-    dist = -2.0 * feats @ feats.T
-    np.fill_diagonal(dist, -1e15)
-    order = np.argsort(dist, axis=1, kind="stable")
 
-    agg = retrieval_stats(jnp.asarray(feats), jnp.asarray(vids),
-                          jnp.asarray(classes),
-                          exclude_same_video_shots=exclude_same_video_shots)
+    # aggregates: dense device math at small n, chunked (same values,
+    # O(Q·N) memory) at gallery scale
+    if n <= 4096:
+        agg = retrieval_stats(
+            jnp.asarray(feats), jnp.asarray(vids), jnp.asarray(classes),
+            exclude_same_video_shots=exclude_same_video_shots)
+    else:
+        agg = retrieval_stats_chunked(
+            feats, vids, classes,
+            exclude_same_video_shots=exclude_same_video_shots)
+
+    def order_rows():
+        """Yield (i, order_row) with the csv loop's dense semantics but
+        only a (chunk, N) distance block in memory at a time."""
+        chunk = max(1, min(512, (1 << 27) // max(n, 1)))  # ≤~512MB block
+        for start in range(0, n, chunk):
+            idx = np.arange(start, min(start + chunk, n))
+            dist = -2.0 * feats[idx] @ feats.T
+            dist[np.arange(len(idx)), idx] = -1e15
+            order = np.argsort(dist, axis=1, kind="stable")
+            for k, i in enumerate(idx):
+                yield int(i), order[k]
+
     with open(path, "w") as f:
         f.write("#video_id,class_id,ap,acc@1,acc@5"
                 ",ret_id_1,ret_id_2,ret_id_3,ret_id_4,ret_id_5"
                 ",class_id_1,class_id_2,class_id_3,class_id_4,class_id_5\n")
-        for i in range(n):
+        for i, order_i in order_rows():
             if classes[i] < 0:
                 continue
             ap = acc1 = acc5 = 0.0
             val = ret = 0.0
-            for j in order[i, 1:]:
+            for j in order_i[1:]:
                 if exclude_same_video_shots and vids[j] == vids[i]:
                     continue
                 val += 1
@@ -284,7 +301,7 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
             ap = ap / ret if ret > 0 else 0.0
             acc5 /= 5
             # top-5 retrieved from other videos (ref :315-321)
-            top5 = [j for j in order[i] if vids[j] != vids[i]][:5]
+            top5 = [j for j in order_i if vids[j] != vids[i]][:5]
             top5 += [0] * (5 - len(top5))
             f.write(f"{vids[i]},{classes[i]},{ap},{acc1},{acc5},"
                     + ",".join(str(j) for j in top5) + ","
