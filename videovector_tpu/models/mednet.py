@@ -18,7 +18,7 @@ the graph-engine path (tested in tests/test_mednet.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ mode delegates to average pooling of x² over a size×size spatial window
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax import lax
+
 
 from videovector_tpu.ops.pooling import avg_pool
 
