@@ -246,3 +246,46 @@ def test_grad_microbatch_matches_bigbatch(rng, key):
         for k2, a in l1.items():
             np.testing.assert_allclose(np.asarray(a), np.asarray(p2[k1][k2]),
                                        rtol=1e-5, atol=1e-6)
+
+
+def test_grad_microbatch_role_major_batch_axes(rng, key):
+    """Role-major batches (R, B, D) — the fast layout — must microbatch
+    along axis 1 via batch_axes; a silent axis-0 split would slice ROLES.
+    Parity with the big-batch role-major step proves the split axis."""
+    from videovector_tpu.solver import solver_update
+
+    cfg = _small_cfg()
+    model = VideoEmbeddingModel(cfg)
+    params = model.init(key)
+    solver_cfg = SolverConfig(base_lr=0.05, momentum=0.9, weight_decay=1e-4,
+                              lr_policy="fixed")
+    batch_np = rng.randn(cfg.num_roles, 16, cfg.feature_dim) \
+        .astype(np.float32)
+
+    def loss_fn(p, b, k):
+        return model.loss(p, b, rng=k, train=False, role_major=True)
+
+    mesh = make_mesh(data=1, model=1)
+    big = make_train_step(loss_fn, solver_cfg, mesh, donate=False)
+    micro = make_train_step(loss_fn, solver_cfg, mesh, grad_microbatch=4,
+                            batch_axes={"data": 1}, donate=False)
+    p1 = jax.tree.map(jnp.array, params)
+    s1 = init_solver_state(solver_cfg, p1)
+    p2 = jax.tree.map(jnp.array, params)
+    s2 = init_solver_state(solver_cfg, p2)
+    rngk = jax.random.PRNGKey(3)
+    for _ in range(2):
+        p1, s1, m1 = big(p1, s1, {"data": jnp.asarray(batch_np)}, rngk)
+        p2, s2, m2 = micro(p2, s2, {"data": jnp.asarray(batch_np)}, rngk)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1["tower"]["w"]),
+                               np.asarray(p2["tower"]["w"]),
+                               rtol=1e-5, atol=1e-6)
+    # wrong axis (default 0 = roles) must be rejected: 15 roles % 4 != 0
+    bad = make_train_step(loss_fn, solver_cfg, mesh, grad_microbatch=4,
+                          donate=False)
+    with pytest.raises(Exception, match="divide|batch axis"):
+        bad(jax.tree.map(jnp.array, params),
+            init_solver_state(solver_cfg, params),
+            {"data": jnp.asarray(batch_np)}, rngk)
