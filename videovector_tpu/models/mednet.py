@@ -139,6 +139,12 @@ class MedNet:
         `upto`: fc6 | fc7 (fc7 output == the reference's ip2 blob after ReLU).
         """
         cdt = jnp.dtype(self.cfg.compute_dtype)
+        # throughput mode: convs EMIT the compute dtype (MXU still
+        # accumulates f32 internally; rounding happens at the conv output
+        # either way) so the bf16 cast cannot detach from the conv epilogue
+        # — traced at batch 512, a detached cast forced a 1.16 ms f32
+        # layout copy of conv2's output. f32 parity mode is unchanged.
+        conv_out = jnp.float32 if cdt == jnp.float32 else cdt
         x = images
         for spec in self.cfg.convs:
             p = params[spec.name]
@@ -153,11 +159,10 @@ class MedNet:
                     padding=[(spec.pad, spec.pad)] * 2,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                     feature_group_count=spec.group,
-                    preferred_element_type=jnp.float32)
-            x = jnp.maximum(x + p["b"], 0.0)
-            # throughput mode: run the inter-conv elementwise chain
-            # (pool/LRN) in the compute dtype too — halves its HBM traffic;
-            # the f32 parity mode keeps everything f32
+                    preferred_element_type=conv_out)
+            x = jnp.maximum(x + p["b"].astype(conv_out), 0.0)
+            # inter-conv elementwise chain (pool/LRN) also runs in the
+            # compute dtype — halves its HBM traffic
             x = x.astype(cdt)
             if spec.pool:
                 n, h, w, c = x.shape
