@@ -212,7 +212,6 @@ def test_grad_microbatch_matches_bigbatch(rng, key):
     ref:src/caffe/solver.cpp) must produce the same updated params as the
     single big-batch step — losses average, grads average, one update.
     (It is also the large-batch throughput schedule on v5e; PERF.md r3.)"""
-    from videovector_tpu.solver import solver_update
 
     cfg = _small_cfg()  # dropout 0 → rng split has no effect on the math
     model = VideoEmbeddingModel(cfg)
@@ -252,8 +251,6 @@ def test_grad_microbatch_role_major_batch_axes(rng, key):
     """Role-major batches (R, B, D) — the fast layout — must microbatch
     along axis 1 via batch_axes; a silent axis-0 split would slice ROLES.
     Parity with the big-batch role-major step proves the split axis."""
-    from videovector_tpu.solver import solver_update
-
     cfg = _small_cfg()
     model = VideoEmbeddingModel(cfg)
     params = model.init(key)

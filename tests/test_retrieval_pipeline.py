@@ -110,8 +110,11 @@ def test_bf16_extraction_preserves_retrieval_quality(rng):
     bf16 = _tiny_pipeline("NHWC")
     from videovector_tpu.models.mednet import MedNet, MedNetConfig, ConvSpec
     for pipe, dt in ((f32, "float32"), (bf16, "bfloat16")):
+        # lrn=True: the riskiest bf16-chain op (scale = 1 + eps-scale sums)
+        # must be in the tested path, not just the conv
         pipe.mednet = MedNet(MedNetConfig(
-            convs=(ConvSpec("conv1", 8, 5, stride=2, pool=True),),
+            convs=(ConvSpec("conv1", 8, 5, stride=2, pool=True, lrn=True),
+                   ConvSpec("conv2", 8, 3, pad=1)),
             fc6=32, fc7=64, input_hw=(32, 32), compute_dtype=dt))
     params = f32.init(jax.random.PRNGKey(0))
 

@@ -214,6 +214,16 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     Returns dict(mean_ap, hit_at_1, hit_at_5) of f32 scalars.
     """
     feats = jnp.asarray(features)
+    # device ids are int32 (x64 is off; the dense path truncates the same
+    # way via jnp.asarray) — reject out-of-range ids instead of silently
+    # aliasing distinct videos/classes mod 2^32
+    for name, arr in (("video_ids", video_ids), ("class_ids", class_ids)):
+        a = np.asarray(arr)
+        if a.size and (a.max() > np.iinfo(np.int32).max
+                       or a.min() < np.iinfo(np.int32).min):
+            raise ValueError(f"{name} exceed int32 range — remap ids "
+                             f"(e.g. np.unique(..., return_inverse=True)) "
+                             f"before retrieval eval")
     vids = jnp.asarray(video_ids).reshape(-1).astype(jnp.int32)
     cls = jnp.asarray(class_ids).reshape(-1).astype(jnp.int32)
     n = feats.shape[0]
@@ -268,8 +278,10 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
 
     def order_rows():
         """Yield (i, order_row) with the csv loop's dense semantics but
-        only a (chunk, N) distance block in memory at a time."""
-        chunk = max(1, min(512, (1 << 27) // max(n, 1)))  # ≤~512MB block
+        only a (chunk, N) block in memory at a time. Peak per chunk ≈
+        12 B/element (4 B f32 dist + 8 B int64 argsort output) plus sort
+        scratch — the 2^26-element cap bounds it at roughly 1 GB."""
+        chunk = max(1, min(512, (1 << 26) // max(n, 1)))
         for start in range(0, n, chunk):
             idx = np.arange(start, min(start + chunk, n))
             dist = -2.0 * feats[idx] @ feats.T

@@ -106,7 +106,7 @@ class MedNet:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _conv_space_to_depth(x, w, stride: int, cdt):
+    def _conv_space_to_depth(x, w, stride: int, cdt, conv_out=None):
         """Strided no-pad conv as a stride-1 conv on space-to-depth blocks:
         k11/s4 over 3 channels (3/128 MXU lane utilization, traced at ~51
         TFLOP/s) becomes k3/s1 over 48 channels. Exact same math — the
@@ -132,7 +132,7 @@ class MedNet:
         return lax.conv_general_dilated(
             xs.astype(cdt), ws.astype(cdt), window_strides=(1, 1),
             padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=conv_out or jnp.float32)
 
     def forward(self, params, images, *, upto: str = "fc7"):
         """images: (N, H, W, C) f32 (preprocessed) → features.
@@ -151,7 +151,8 @@ class MedNet:
             if (spec.pad == 0 and spec.group == 1 and spec.stride > 1
                     and (x.shape[1] - spec.kernel) % spec.stride == 0
                     and self.cfg.conv1_space_to_depth):
-                x = self._conv_space_to_depth(x, p["w"], spec.stride, cdt)
+                x = self._conv_space_to_depth(x, p["w"], spec.stride, cdt,
+                                              conv_out)
             else:
                 x = lax.conv_general_dilated(
                     x.astype(cdt), p["w"].astype(cdt),
