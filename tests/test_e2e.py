@@ -458,9 +458,15 @@ def test_extract_features_leveldb_backend(mini_project, tmp_path):
     d = D.decode(r.get(b"0"))
     assert (d.channels, d.height, d.width) == (1, 16, 1)
     assert len(d.float_data) == 16
-    lines = open(out_prefix + "_ctxn.txt").read().split("\n")
+    # text file lives INSIDE the db dir (ref :141-142) with ostream float
+    # formatting (6 sig figs / %g) and trailing-comma rows (:179)
+    lines = open(out_prefix + "_ctxn_leveldb/text_output.txt").read().split("\n")
     assert lines[0] == "#features"
-    assert lines[1].endswith(",")  # trailing comma per reference (:179)
+    assert lines[1].endswith(",")
+    vals = [v for v in lines[1].split(",") if v]
+    assert len(vals) == 16
+    for v in vals:  # %g: no fixed-point zero-padding like 0.000000
+        assert v == f"{float(v):g}"
 
 
 def test_dump_network_tool(mini_project, tmp_path):

@@ -73,7 +73,12 @@ def test_extract_parity_with_reference_test_phase(rng):
     """TEST branch of the reference prototxt (4-context frame average → fc7 →
     normalize → ctxn) vs model.extract with the same weights."""
     feat = 4096
-    net = Net(parse_file(REF_TRAIN), phase="TEST")
+    # the unmodified reference prototxt points id_to_class_file at an AFS
+    # path that exists only on the authors' cluster — pre-seed the table
+    # (Net's documented opt-out; the reference itself would CHECK-fail here)
+    from videovector_tpu.metrics.retrieval import IdToClassMap
+    net = Net(parse_file(REF_TRAIN), phase="TEST",
+              side={"retrieval_stats": IdToClassMap([0], [0])})
     spec = {"data": jax.ShapeDtypeStruct((3, 4, feat, 1), jnp.float32),
             "video_ids": jax.ShapeDtypeStruct((3,), jnp.float32)}
     net_params, _ = net.init(jax.random.PRNGKey(2), spec)
@@ -226,7 +231,8 @@ def test_grad_microbatch_matches_bigbatch(rng, key):
 
     mesh = make_mesh(data=4, model=1)
     big = make_train_step(loss_fn, solver_cfg, mesh)
-    micro = make_train_step(loss_fn, solver_cfg, mesh, grad_microbatch=4)
+    micro = make_train_step(loss_fn, solver_cfg, mesh, grad_microbatch=4,
+                            batch_axes={"data": 0})
 
     # independent copies: the jitted steps donate their param buffers
     p1 = shard_params(jax.tree.map(jnp.array, params), mesh)
@@ -279,10 +285,11 @@ def test_grad_microbatch_role_major_batch_axes(rng, key):
     np.testing.assert_allclose(np.asarray(p1["tower"]["w"]),
                                np.asarray(p2["tower"]["w"]),
                                rtol=1e-5, atol=1e-6)
-    # wrong axis (default 0 = roles) must be rejected: 15 roles % 4 != 0
+    # omitting batch_axes must be rejected outright — a default axis-0
+    # split would slice ROLES whenever R is divisible (silent corruption)
     bad = make_train_step(loss_fn, solver_cfg, mesh, grad_microbatch=4,
                           donate=False)
-    with pytest.raises(Exception, match="divide|batch axis"):
+    with pytest.raises(Exception, match="batch_axes"):
         bad(jax.tree.map(jnp.array, params),
             init_solver_state(solver_cfg, params),
             {"data": jnp.asarray(batch_np)}, rngk)

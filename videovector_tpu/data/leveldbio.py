@@ -791,12 +791,14 @@ class LevelDbReader:
 
     def _block_values(self, table_idx: int, block_idx: int) -> list[bytes]:
         ck = (table_idx, block_idx)
-        vals = self._block_cache.get(ck)
+        vals = self._block_cache.pop(ck, None)
         if vals is None:
             vals = [v for _k, v in self._tables[table_idx].block(block_idx)]
             if len(self._block_cache) >= 32:
+                # evict least-recently-used: hits reinsert at the end, so
+                # the first dict key is the coldest block
                 self._block_cache.pop(next(iter(self._block_cache)))
-            self._block_cache[ck] = vals
+        self._block_cache[ck] = vals  # (re)insert at the end = most recent
         return vals
 
     def value(self, i: int) -> bytes:

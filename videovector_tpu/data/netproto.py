@@ -126,6 +126,98 @@ def load_net(path: str):
     return net_msg, weights
 
 
+# ---------------------------------------------------------------------------
+# SolverState (.solverstate) — both-ways interop
+# ---------------------------------------------------------------------------
+#
+# The reference snapshots <prefix>_iter_N.solverstate: SolverState{iter=1,
+# learned_net=2, history=3 repeated BlobProto} (ref:src/caffe/proto/
+# caffe.proto:176-180; written SGDSolver::SnapshotSolverState
+# ref:src/caffe/solver.cpp:321-341,578-596; restored :419-429). The history
+# blobs carry NO names — they are ordered exactly like net_->params(): layer
+# order in the net, blob order within each layer. Export/import therefore
+# takes an explicit `layer_order` (param-carrying layer names in net order)
+# and reuses data/weights.params_to_weights's per-blob layout conventions,
+# so history blob shapes match the .caffemodel param blob shapes the
+# reference expects (momentum history mirrors param shapes).
+
+_SS_ITER, _SS_LEARNED_NET, _SS_HISTORY = 1, 2, 3
+
+
+def save_solverstate(path: str, it: int, history: dict, learned_net: str,
+                     layer_order: list) -> None:
+    """history: pytree {layer: {pname: array}} (momentum / AdaGrad accum);
+    layer_order: names of param-carrying layers in NET order."""
+    from videovector_tpu.data.wire import write_int
+    hw = params_to_weights(history).by_name()
+    buf = bytearray()
+    write_int(buf, _SS_ITER, int(it))
+    write_bytes(buf, _SS_LEARNED_NET, learned_net.encode())
+    for lname in layer_order:
+        lw = hw.get(lname)
+        if lw is None:
+            raise KeyError(f"layer_order names layer {lname!r} absent from "
+                           f"the history pytree")
+        for blob in lw.blobs:
+            write_msg(buf, _SS_HISTORY, blob.encode())
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+
+
+def load_solverstate(path: str):
+    """Read a SolverState binary → (iter, learned_net, list[BlobProto])."""
+    from videovector_tpu.data.wire import _decode_int32
+    with open(path, "rb") as f:
+        data = f.read()
+    it, learned_net, blobs = 0, "", []
+    for fnum, wt, v in iter_fields(data):
+        if fnum == _SS_ITER:
+            it = _decode_int32(v)
+        elif fnum == _SS_LEARNED_NET:
+            learned_net = v.decode()
+        elif fnum == _SS_HISTORY:
+            blobs.append(BlobProto.decode(v))
+    return it, learned_net, blobs
+
+
+def _layer_blob_count(lp: dict) -> int:
+    """How many blobs params_to_weights emits for this layer's params —
+    the slicing key for the nameless history list."""
+    if "w_i" in lp:  # LSTM family: W_i, W_h [, bias]
+        return 2 + (1 if "b" in lp else 0)
+    return sum(1 for k in ("w", "table", "b") if k in lp)
+
+
+def history_from_blobs(blobs: list, params_template: dict,
+                       layer_order: list) -> dict:
+    """Map the ordered history BlobProtos onto a params-shaped pytree,
+    applying the same layout conversions as .caffemodel loading (IP weight
+    transpose, LSTM gate reshapes)."""
+    from videovector_tpu.data.weights import load_into_params
+    weights = NetWeights()
+    pos = 0
+    for lname in layer_order:
+        lp = params_template.get(lname)
+        if lp is None:
+            raise KeyError(f"layer_order names layer {lname!r} absent from "
+                           f"the params template")
+        n = _layer_blob_count(lp)
+        if pos + n > len(blobs):
+            raise ValueError(
+                f"solverstate history has {len(blobs)} blobs but layer "
+                f"order {layer_order} needs more — net/state mismatch")
+        weights.layers.append(LayerBlobs(name=lname,
+                                         blobs=blobs[pos:pos + n]))
+        pos += n
+    if pos != len(blobs):
+        raise ValueError(
+            f"solverstate history has {len(blobs)} blobs; the net's param "
+            f"layers consume only {pos} — net/state mismatch")
+    zeros = {ln: {pn: np.zeros_like(np.asarray(a)) for pn, a in lp.items()}
+             for ln, lp in params_template.items()}
+    return load_into_params(weights, zeros)
+
+
 def diffs_from_weights(weights: NetWeights, params: dict) -> dict | None:
     """Extract the diff payloads of a snapshot_diff NetParameter into a
     grads-shaped pytree (same layout rules as load_into_params)."""

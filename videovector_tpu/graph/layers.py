@@ -819,10 +819,16 @@ def _lstm_single_step():
 
 
 # DUMMY_DATA is an active layer (filler-driven), not a pipeline input
-# (ref:include/caffe/data_layers.hpp DummyDataLayer).
+# (ref:include/caffe/data_layers.hpp DummyDataLayer). Refill semantics
+# (ref:src/caffe/layers/dummy_data_layer.cpp:31-55): constant fillers fill
+# once (same values every forward); every other filler type REFILLS with
+# fresh randomness each Forward — so the per-call rng (ctx.rng, threaded by
+# the train loop) is folded into the key. Without an rng (plain eval calls)
+# the fill is deterministic per layer/top.
 @register("DUMMY_DATA")
 def _dummy_data():
     def apply(params, inputs, cfg, ctx):
+        import zlib
         p = cfg.get_msg("dummy_data_param")
         nums = [int(v) for v in p.get_list("num")]
         chans = [int(v) for v in p.get_list("channels")]
@@ -830,6 +836,9 @@ def _dummy_data():
         widths = [int(v) for v in p.get_list("width")]
         n_top = len(cfg.get_list("top"))
         fill_cfgs = p.get_list("data_filler")
+        layer_salt = zlib.crc32(str(cfg.get("name")).encode())
+        base = (jax.random.fold_in(ctx.rng, layer_salt)
+                if ctx.rng is not None else jax.random.PRNGKey(layer_salt))
         outs = []
         for i in range(n_top):
             def dim(lst, i=i):
@@ -838,6 +847,11 @@ def _dummy_data():
             fcfg = fill_cfgs[i] if i < len(fill_cfgs) else (
                 fill_cfgs[0] if fill_cfgs else None)
             fill = fillers.get_filler(fcfg)
-            outs.append(fill(jax.random.PRNGKey(0), shape, jnp.float32))
+            ftype = fcfg.get("type", "constant") if fcfg is not None \
+                else "constant"
+            key = (jax.random.PRNGKey(layer_salt + i)
+                   if ftype == "constant"  # fill-once: key is irrelevant
+                   else jax.random.fold_in(base, i))
+            outs.append(fill(key, shape, jnp.float32))
         return outs
     return _no_params, apply

@@ -176,20 +176,48 @@ class Net:
 
     def _load_side_tables(self):
         """Load csv side tables referenced by layer configs (id→class maps for
-        retrieval stats, id→weight for max-margin) when the files exist."""
+        retrieval stats, id→weight for max-margin, infogain H matrices).
+
+        A path that is DECLARED but missing/empty is a hard error, matching
+        the reference's CHECK-fail semantics — a typo'd csv must not silently
+        degrade retrieval classes to raw video ids or margin weights to None
+        (ref:src/caffe/layers/retrieval_stats_layer.cpp:48
+        CHECK_GE(video_id_to_class_.size(), 1);
+        max_margin_loss_layer.cpp:26-33; infogain_loss_layer.cpp:17-24).
+        An UNSET id_to_class_file keeps the documented identity-classes
+        extension (the reference proto marks the field `required`, so such a
+        net cannot exist there; see projects/videovec_embedding/
+        generate_net.py). Pre-seeding self.side[name] (the `side=` ctor arg)
+        is the explicit opt-out for tests."""
         import os
+
+        def _require(path, layer_name, what):
+            if not os.path.exists(path):
+                raise ValueError(
+                    f"layer {layer_name!r}: {what} {path!r} does not exist "
+                    f"(the reference CHECK-fails on a missing/empty side "
+                    f"table; fix the path or pre-seed Net(side=...))")
+
         for layer in self.layers:
             name = layer.get("name")
             if name in self.side:
                 continue
             rs = layer.get_msg("retrieval_stats_param")
             path = rs.get("id_to_class_file")
-            if path and os.path.exists(path):
-                self.side[name] = IdToClassMap.from_csv(path)
+            if path:
+                _require(path, name, "id_to_class_file")
+                id_map = IdToClassMap.from_csv(path)
+                if id_map.ids.shape[0] < 1:
+                    raise ValueError(
+                        f"layer {name!r}: id_to_class_file {path!r} has no "
+                        f"entries (ref CHECK_GE(video_id_to_class_.size(), 1),"
+                        f" retrieval_stats_layer.cpp:48)")
+                self.side[name] = id_map
                 continue
             ig = layer.get_msg("infogain_loss_param")
             path = ig.get("source")
-            if path and os.path.exists(path):
+            if path:
+                _require(path, name, "infogain source")
                 # infogain H matrix from a BlobProto binary
                 # (ref:src/caffe/layers/infogain_loss_layer.cpp:18-24)
                 from videovector_tpu.data.wire import BlobProto
@@ -199,9 +227,16 @@ class Net:
                 self.side[name] = jnp.asarray(arr.reshape(
                     arr.shape[-2], arr.shape[-1]))
                 continue
+            if (layer.get("type") == "INFOGAIN_LOSS"
+                    and len(layer.get_list("bottom")) < 3):
+                raise ValueError(
+                    f"layer {name!r}: INFOGAIN_LOSS with 2 bottoms needs "
+                    f"infogain_loss_param.source (ref CHECK(has_source()), "
+                    f"infogain_loss_layer.cpp:17-19)")
             mm = layer.get_msg("max_margin_loss_param")
             path = mm.get("id_to_weight_file")
-            if path and os.path.exists(path):
+            if path:
+                _require(path, name, "id_to_weight_file")
                 ids, ws = [], []
                 with open(path) as f:
                     for line in f:
@@ -210,11 +245,48 @@ class Net:
                             continue
                         a, b = line.split(",")
                         ids.append(int(a))
-                        ws.append(float(b))
+                        w = float(b)
+                        if w < 0:  # ref CHECK_GE(weight, 0)
+                            raise ValueError(
+                                f"layer {name!r}: negative weight {w} in "
+                                f"{path!r} (ref max_margin_loss_layer.cpp:34)")
+                        ws.append(w)
                 order = np.argsort(ids)
                 self.side[name] = (
                     jnp.asarray(np.asarray(ids)[order], dtype=jnp.int32),
                     jnp.asarray(np.asarray(ws)[order], dtype=jnp.float32))
+
+    # ------------------------------------------------------------------
+    def batch_validators(self):
+        """Host-side per-batch checks that the traced graph cannot perform.
+
+        Currently: RETRIEVAL_STATS with video_level_retrieval needs the
+        batch's distinct-video-id count to EQUAL max_num_videos — under jit,
+        extra ids are silently dropped by segment_sum and missing segments
+        pad with zeros, corrupting video-level mAP with no error. The
+        reference CHECKs this at forward
+        (ref:src/caffe/layers/retrieval_stats_layer.cpp:188). Returns a list
+        of callables(batch_dict) to run on each HOST batch before it is fed
+        to a jitted eval; they raise ValueError on violation."""
+        from videovector_tpu.metrics.retrieval import check_num_videos
+        validators = []
+        for layer in self.layers:
+            if layer.get("type") != "RETRIEVAL_STATS":
+                continue
+            p = layer.get_msg("retrieval_stats_param")
+            if not bool(p.get("video_level_retrieval", False)):
+                continue
+            nv = int(p.get("max_num_videos", 0))
+            bottoms = [str(b) for b in layer.get_list("bottom")]
+            if len(bottoms) < 2:
+                continue
+            vid_blob = bottoms[1]
+
+            def _check(batch, vid_blob=vid_blob, nv=nv):
+                if vid_blob in batch:  # only checkable for graph-input ids
+                    check_num_videos(np.asarray(batch[vid_blob]), nv)
+            validators.append(_check)
+        return validators
 
     # ------------------------------------------------------------------
     def init(self, key, batch_spec: dict[str, Any]):

@@ -79,12 +79,21 @@ def make_train_step(loss_fn: Callable, solver_cfg: SolverConfig, mesh: Mesh, *,
     GEMMs stay in the good tiling regime and the optimizer runs once —
     measured B=512 f32 5.00 → 4.17 ms/step (+20%), and the B=256 dip
     disappears (see PERF.md round 3). batch_axes maps batch dict keys to
-    their batch axis for the split (default 0 for every leaf).
+    their batch axis for the split — REQUIRED for dict batches when
+    grad_microbatch is set: a silent default of axis 0 would split a
+    role-major (R, B, ...) batch on the role axis whenever R happens to be
+    divisible, scrambling roles across microbatches with no error. Pass
+    {key: 0} explicitly for batch-leading layouts.
     """
-
     def step(params, state, batch, rng):
         n_micro = grad_microbatch
         if n_micro and n_micro > 1:
+            if isinstance(batch, dict) and batch_axes is None:
+                raise ValueError(
+                    "grad_microbatch requires batch_axes (e.g. {'data': 0} "
+                    "for batch-leading or {'data': 1} for role-major "
+                    "layouts): the split axis must be declared, not guessed")
+
             def split(leaf, axis):
                 b = leaf.shape[axis]
                 if b % n_micro:

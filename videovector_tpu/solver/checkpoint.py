@@ -8,14 +8,21 @@ caffe.proto:176-180). We keep the same two-file shape:
   <prefix>_iter_N.vvmodel  — npz of the param pytree (flat "layer/name" keys)
   <prefix>_iter_N.vvstate  — npz of iter + history pytree + model filename
 
-plus optional `.caffemodel` export via data/weights.py for graph-engine
-params (so reference tooling can consume our training output).
+plus BOTH-ways reference interop: `restore_solverstate` resumes a foreign
+`.solverstate` (momentum history + weights), and `export_caffe_snapshot`
+(snapshot_format: "caffe" in the solver prototxt) writes the
+`.caffemodel`/`.solverstate` pair the reference's
+`caffe train --snapshot=...` consumes. Caveat: the reference sizes its
+history by net_->params(), which double-counts cross-layer SHARED params;
+our pytree stores shared arrays once, so solverstate interop covers nets
+without cross-layer param sharing (all shipped configs qualify).
 """
 
 from __future__ import annotations
 
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -86,13 +93,19 @@ class AsyncSnapshotter:
         self._thread = None
         self._exc: BaseException | None = None
 
-    def submit(self, prefix: str, it: int, params, state=None, diffs=None):
+    def submit(self, prefix: str, it: int, params, state=None, diffs=None,
+               extra=None):
+        """`extra`: optional no-arg callable run in the writer thread after
+        the native snapshot lands (e.g. the reference-format .caffemodel/
+        .solverstate export when snapshot_format is "caffe")."""
         import threading
         self.wait()
 
         def _run():
             try:
                 snapshot(prefix, it, params, state, diffs)
+                if extra is not None:
+                    extra()
             except BaseException as e:  # surfaced at next wait()
                 self._exc = e
 
@@ -134,3 +147,61 @@ def restore(state_path: str):
     params = load_model(model_path)
     history = _unflatten(flat)["history"]
     return params, {"iter": jnp.int32(it), "history": history}
+
+
+def restore_solverstate(state_path: str, params_template: dict,
+                        layer_order: list):
+    """Resume from a REFERENCE `.solverstate` binary: momentum history +
+    iter + the pointed-to `.caffemodel` weights, mapped onto our param
+    pytree (ref:src/caffe/solver.cpp:419-429 Solver::Restore →
+    RestoreSolverState :578-596). Returns (params, state).
+
+    `layer_order`: param-carrying layer names in NET order — the history
+    blobs are nameless and ordered like net_->params(). The learned_net
+    path is tried as written, then relative to the solverstate's directory
+    (the reference stores whatever snapshot_prefix produced)."""
+    from videovector_tpu.data.netproto import (
+        history_from_blobs, load_solverstate,
+    )
+    from videovector_tpu.data.weights import NetWeights, load_into_params
+
+    it, learned_net, blobs = load_solverstate(state_path)
+    model_path = learned_net
+    if model_path and not os.path.exists(model_path):
+        cand = os.path.join(os.path.dirname(os.path.abspath(state_path)),
+                            os.path.basename(model_path))
+        if os.path.exists(cand):
+            model_path = cand
+    if not model_path or not os.path.exists(model_path):
+        raise FileNotFoundError(
+            f"solverstate {state_path!r} points at learned_net "
+            f"{learned_net!r}, which does not exist (also tried next to the "
+            f"solverstate)")
+    params = load_into_params(NetWeights.load(model_path), params_template)
+    params = {ln: {pn: jnp.asarray(a) for pn, a in lp.items()}
+              for ln, lp in params.items()}
+    history_np = history_from_blobs(blobs, params_template, layer_order)
+    history = {ln: {pn: jnp.asarray(a) for pn, a in lp.items()}
+               for ln, lp in history_np.items()}
+    return params, {"iter": jnp.int32(it), "history": history}
+
+
+def export_caffe_snapshot(prefix: str, it: int, params: dict, state: dict,
+                          net_msg, layer_order: list):
+    """Write a reference-consumable snapshot pair:
+    `<prefix>_iter_N.caffemodel` (full NetParameter: configs + blobs,
+    Net::ToProto) and `<prefix>_iter_N.solverstate` (iter + learned_net +
+    ordered momentum history) — `caffe train --snapshot=<...>.solverstate`
+    on the reference resumes our training run with momentum intact
+    (ref:src/caffe/solver.cpp:321-341). Returns (model_path, state_path)."""
+    from videovector_tpu.data.netproto import save_net, save_solverstate
+
+    os.makedirs(os.path.dirname(os.path.abspath(prefix)) or ".",
+                exist_ok=True)
+    model_path = f"{prefix}_iter_{it}.caffemodel"
+    save_net(model_path, net_msg, jax.tree.map(np.asarray, params))
+    state_path = f"{prefix}_iter_{it}.solverstate"
+    save_solverstate(state_path, int(state["iter"]),
+                     jax.tree.map(np.asarray, state["history"]),
+                     model_path, layer_order)
+    return model_path, state_path

@@ -136,12 +136,22 @@ class SolverDriver:
         return MergedSource(sources)
 
     # ------------------------------------------------------------------
-    def _data_iter(self, source, sharding=None):
+    def _data_iter(self, source, sharding=None, validators=None):
         # background host batching + async H2D (double buffered), the
-        # reference's prefetch-thread overlap at the jit boundary
+        # reference's prefetch-thread overlap at the jit boundary.
+        # `validators`: host-side batch checks (Net.batch_validators) that
+        # must run BEFORE the batch enters the jitted graph — e.g. the
+        # video_level_retrieval distinct-id CHECK the traced layer cannot do
         from videovector_tpu.data.prefetch import DevicePrefetcher
-        return iter(DevicePrefetcher(iter(source), depth=2,
-                                     sharding=sharding))
+        it = iter(source)
+        if validators:
+            def _checked(inner):
+                for b in inner:
+                    for v in validators:
+                        v(b)
+                    yield b
+            it = _checked(it)
+        return iter(DevicePrefetcher(it, depth=2, sharding=sharding))
 
     @staticmethod
     def _batch_shardings(probe_batch, source, mesh):
@@ -229,7 +239,8 @@ class SolverDriver:
                 return eval_fn
 
             eval_fn = [make_eval(n) for n in self.test_nets]
-            test_iter = [self._data_iter(s) for s in self.test_sources]
+            test_iter = [self._data_iter(s, validators=n.batch_validators())
+                         for n, s in zip(self.test_nets, self.test_sources)]
 
         hooks = []
         if self.snapshot_vis:
@@ -261,10 +272,25 @@ class SolverDriver:
                 self.train_source, sharding=self._batch_shardings(
                     self._first_batch, self.train_source, mesh))
 
+        # param-carrying layers in NET order — the .solverstate history
+        # blob order (ref net_->params(); src/caffe/solver.cpp:578-596)
+        layer_order = [l.get("name") for l in net.layers
+                       if l.get("name") in self.params]
+        caffe_export = None
+        if str(cfg.snapshot_format).lower() == "caffe":
+            from videovector_tpu.solver.checkpoint import export_caffe_snapshot
+            net_msg = self.net_msg
+
+            def caffe_export(it, p_np, s_np):
+                export_caffe_snapshot(cfg.snapshot_prefix or "snapshot",
+                                      it, p_np, s_np, net_msg, layer_order)
+
         return train(loss_fn, params, data_iter, cfg,
                      lr_mults=self.lr_mults, decay_mults=self.decay_mults,
                      eval_fn=eval_fn, test_data=test_iter, hooks=hooks,
-                     resume_state_path=resume_state_path)
+                     resume_state_path=resume_state_path,
+                     param_layer_order=layer_order,
+                     caffe_export=caffe_export)
 
     def _first_batch_jnp(self):
         return {k: jnp.asarray(v) for k, v in self._first_batch.items()}

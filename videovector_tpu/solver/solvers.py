@@ -55,6 +55,9 @@ class SolverConfig:
     test_initialization: bool = True    # test at iter 0 (ref caffe.proto:119)
     test_compute_loss: bool = False     # include test-net loss (ref :116)
     random_seed: int = -1
+    # extension: "vv" (native npz pair) or "caffe" (ALSO write the
+    # reference-consumable .caffemodel/.solverstate pair each snapshot)
+    snapshot_format: str = "vv"
     extras: dict = field(default_factory=dict)
 
     @classmethod
@@ -76,6 +79,7 @@ class SolverConfig:
             ("test_initialization", "test_initialization"),
             ("test_compute_loss", "test_compute_loss"),
             ("random_seed", "random_seed"),
+            ("snapshot_format", "snapshot_format"),
         ]:
             if msg.has(fname):
                 kw[key] = msg.get(fname)

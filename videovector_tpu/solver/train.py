@@ -41,19 +41,38 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
           test_data: Iterator[dict] | None = None,
           resume_state_path: str | None = None,
           hooks: list | None = None,
+          param_layer_order: list | None = None,
+          caffe_export: Callable | None = None,
           rng=None, jit: bool = True) -> TrainResult:
     """loss_fn(params, batch, rng) -> (loss, aux_dict).
     eval_fn(params, batch) -> dict of scalars; averaged over cfg.test_iter[0]
     batches every cfg.test_interval iterations.
     hooks: [(interval, fn(params, it))] — called every `interval` iterations
-    (the mechanism behind snapshot_vis / debug_info, ref solver.cpp:183-193)."""
+    (the mechanism behind snapshot_vis / debug_info, ref solver.cpp:183-193).
+    param_layer_order: param-carrying layer names in NET order — required to
+    resume from a reference `.solverstate` (its history blobs are nameless,
+    ordered like net_->params()).
+    caffe_export: optional fn(it, params_np, state_np) writing the
+    reference-format snapshot pair; runs in the snapshot writer thread."""
     # private copies: the jitted step donates its param/state buffers, and the
     # caller's arrays must survive the call
     params = jax.tree.map(jax.numpy.array, params)
     state = init_solver_state(cfg, params)
     start_iter = 0
     if resume_state_path:
-        params, state = restore(resume_state_path)
+        if resume_state_path.endswith(".solverstate"):
+            # foreign resume: reference snapshot with momentum intact
+            # (ref:src/caffe/solver.cpp:419-429)
+            from videovector_tpu.solver.checkpoint import restore_solverstate
+            if param_layer_order is None:
+                raise ValueError(
+                    "resuming from a .solverstate needs param_layer_order "
+                    "(history blobs are nameless; train through SolverDriver "
+                    "or pass the net's param-layer order)")
+            params, state = restore_solverstate(resume_state_path, params,
+                                                param_layer_order)
+        else:
+            params, state = restore(resume_state_path)
         start_iter = int(state["iter"])
         log.info("Restoring previous solver status from %s (iter %d)",
                  resume_state_path, start_iter)
@@ -140,10 +159,14 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
     snapshotter = AsyncSnapshotter()
 
     def _snap(at_iter):
+        p_np, s_np = jax.device_get(params), jax.device_get(state)
+        extra = ((lambda: caffe_export(at_iter, p_np, s_np))
+                 if caffe_export is not None else None)
         snapshotter.submit(cfg.snapshot_prefix or "snapshot", at_iter,
-                           jax.device_get(params), jax.device_get(state),
+                           p_np, s_np,
                            diffs=jax.device_get(last_grads)
-                           if last_grads is not None else None)
+                           if last_grads is not None else None,
+                           extra=extra)
     try:
         while it < cfg.max_iter:
             if cfg.snapshot and it > start_iter and it % cfg.snapshot == 0:

@@ -166,11 +166,15 @@ def cmd_test(args) -> int:
         batch0 = place_batch(batch0)
 
     apply_fn = jax.jit(lambda p, b: net.apply(p, b))
+    validators = net.batch_validators()  # host-side twins of jit-opaque
+    # CHECKs (video_level_retrieval id-count, retrieval_stats_layer.cpp:188)
     sums: dict[str, float] = {}
     loss_sum = 0.0
     for i in range(args.iterations):
         batch = batch0 if i == 0 else place_batch({
             k: jnp.asarray(v) for k, v in source.next_batch().items()})
+        for v in validators:
+            v(batch)
         loss, outputs = apply_fn(params, batch)
         loss_sum += float(loss)
         for k, v in outputs.items():
@@ -455,7 +459,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("train", help="train a model from a solver prototxt")
     p.add_argument("--solver", required=True)
     p.add_argument("--snapshot", default="",
-                   help="resume from a .vvstate snapshot")
+                   help="resume from a .vvstate snapshot, or a reference "
+                        ".solverstate (momentum history restored; "
+                        "ref solver.cpp:419-429)")
     p.add_argument("--weights", default="",
                    help="finetune from .vvmodel/.caffemodel weights")
     p.add_argument("--max_restarts", type=int, default=0,

@@ -14,6 +14,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -73,23 +74,31 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
                                   sharding=batch_sharding,
                                   max_batches=num_batches)
 
-    # backend "leveldb" matches the reference output format exactly
-    # (ref:tools/extract_features.cpp:152-188): plain "%d" decimal keys and
-    # Datum(height=dim_features, width=1, channels=1), plus a text file with
-    # a "#features" header and trailing-comma rows (:144-182). "vvr" is the
-    # fast native store and "lmdb" the other reference db; both use
-    # zero-padded keys so iteration order == insertion order.
+    # backend "leveldb" matches the reference output format
+    # (ref:tools/extract_features.cpp:125-188): plain "%d" decimal keys,
+    # Datum(height=dim_features, width=1, channels=1), and the text file at
+    # <db_dir>/text_output.txt with a "#features" header, trailing-comma
+    # rows, and ostream default float formatting (6 significant digits,
+    # scientific for small/large — Python's "%g"). "vvr" is the fast native
+    # store and "lmdb" the other reference db; both use zero-padded keys so
+    # iteration order == insertion order.
     ref_format = backend == "leveldb"
     suffix = {"vvr": "_{}.vvr", "leveldb": "_{}_leveldb",
               "lmdb": "_{}_lmdb"}[backend]
     writers = {name: open_store_writer(out_prefix + suffix.format(name),
                                        backend)
                for name in blob_names}
-    texts = {name: open(f"{out_prefix}_{name}.txt", "w")
-             for name in blob_names}
     if ref_format:
-        for t in texts.values():
-            t.write("#features\n")
+        # reference writes the csv INSIDE the db directory (:141-142)
+        texts = {}
+        for name in blob_names:
+            db_dir = out_prefix + suffix.format(name)
+            os.makedirs(db_dir, exist_ok=True)
+            texts[name] = open(os.path.join(db_dir, "text_output.txt"), "w")
+            texts[name].write("#features\n")
+    else:
+        texts = {name: open(f"{out_prefix}_{name}.txt", "w")
+                 for name in blob_names}
     counts = {name: 0 for name in blob_names}
     try:
         for bi, batch in enumerate(prefetcher):
@@ -102,8 +111,10 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
                         key = str(counts[name])
                         datum = Datum(channels=1, height=len(row), width=1,
                                       float_data=row)
+                        # C++ `stream << float` default formatting == %g
+                        # (6 sig figs, sci notation outside [1e-4, 1e6))
                         texts[name].write(
-                            "".join(f"{v:.6f}," for v in row) + "\n")
+                            "".join(f"{float(v):g}," for v in row) + "\n")
                     else:
                         key = f"{counts[name]:010d}"
                         datum = Datum(channels=len(row), height=1, width=1,
