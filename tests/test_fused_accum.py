@@ -1,0 +1,185 @@
+"""Fused iter_size / grad_microbatch accumulation in the ENGINE train path
+(VERDICT r3 item 1): the product surface (`vvtpu train` → solver/train.py)
+must run the same scanned one-program schedule as
+parallel.train.make_train_step, with identical math.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from videovector_tpu.solver import SolverConfig, init_solver_state
+from videovector_tpu.solver.train import auto_grad_microbatch, train
+
+
+def _lsq_problem(rng, n=16, d=3):
+    X = rng.randn(n, d).astype(np.float32)
+    w_true = rng.randn(d).astype(np.float32)
+    y = X @ w_true
+
+    def loss_fn(p, batch, key):
+        pred = batch["x"] @ p["w"]
+        return 0.5 * jnp.mean((pred - batch["y"]) ** 2), {
+            "err": jnp.mean(jnp.abs(pred - batch["y"]))}
+
+    def data():
+        while True:
+            yield {"x": jnp.asarray(X), "y": jnp.asarray(y)}
+
+    return loss_fn, data, {"w": jnp.zeros(d)}
+
+
+def test_fused_iter_size_matches_host_loop(rng):
+    """fused scan accumulation == the host-loop accumulation (same grads,
+    same single update) for a deterministic loss."""
+    loss_fn, data, params = _lsq_problem(rng)
+    cfg = SolverConfig(base_lr=0.2, momentum=0.9, max_iter=12, iter_size=3,
+                       display=1)
+    r_host = train(loss_fn, params, data(), cfg, fused_accum=False)
+    r_fused = train(loss_fn, params, data(), cfg, fused_accum=True)
+    np.testing.assert_allclose(np.asarray(r_host.params["w"]),
+                               np.asarray(r_fused.params["w"]),
+                               rtol=1e-5, atol=1e-7)
+    lh = [m[1]["loss"] for m in r_host.metrics_history]
+    lf = [m[1]["loss"] for m in r_fused.metrics_history]
+    np.testing.assert_allclose(lh, lf, rtol=1e-5)
+
+
+def test_explicit_grad_microbatch_matches_bigbatch(rng):
+    """grad_microbatch=4 on one batch == the plain big-batch step (losses
+    and grads average; one update)."""
+    loss_fn, data, params = _lsq_problem(rng, n=16)
+    base = SolverConfig(base_lr=0.2, momentum=0.9, max_iter=10,
+                        grad_microbatch=1, display=1)
+    micro = SolverConfig(base_lr=0.2, momentum=0.9, max_iter=10,
+                         grad_microbatch=4, display=1)
+    r_big = train(loss_fn, params, data(), base)
+    r_micro = train(loss_fn, params, data(), micro)
+    np.testing.assert_allclose(np.asarray(r_big.params["w"]),
+                               np.asarray(r_micro.params["w"]),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        [m[1]["loss"] for m in r_big.metrics_history],
+        [m[1]["loss"] for m in r_micro.metrics_history], rtol=1e-5)
+
+
+def test_iter_size_times_grad_microbatch_composes(rng):
+    """iter_size=2 × grad_microbatch=2 = 4 scanned microbatches, one
+    update — equals the fused iter_size=2 run on the same stream."""
+    loss_fn, data, params = _lsq_problem(rng, n=8)
+    a = SolverConfig(base_lr=0.3, max_iter=8, iter_size=2,
+                     grad_microbatch=1)
+    b = SolverConfig(base_lr=0.3, max_iter=8, iter_size=2,
+                     grad_microbatch=2)
+    ra = train(loss_fn, params, data(), a)
+    rb = train(loss_fn, params, data(), b)
+    np.testing.assert_allclose(np.asarray(ra.params["w"]),
+                               np.asarray(rb.params["w"]),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_auto_schedule_thresholds():
+    """~128 rows per microbatch, power-of-two, off below B=256, every
+    top's batch length must divide."""
+    mk = lambda b: {"data": np.zeros((b, 4), np.float32),
+                    "ids": np.zeros((b,), np.float32)}
+    assert auto_grad_microbatch(mk(128)) == 1
+    assert auto_grad_microbatch(mk(255)) == 1
+    assert auto_grad_microbatch(mk(256)) == 2
+    assert auto_grad_microbatch(mk(512)) == 4
+    assert auto_grad_microbatch(mk(1024)) == 8
+    assert auto_grad_microbatch(mk(4096)) == 8  # capped
+    # odd batch: no power-of-two divisor → off
+    assert auto_grad_microbatch(mk(300)) == 2  # 300/2=150>=128, /4 no
+    # role-major declared axis
+    rm = {"data": np.zeros((15, 512, 8), np.float32)}
+    assert auto_grad_microbatch(rm, {"data": 1}) == 4
+    # mismatched tops constrain the divisor
+    mixed = {"data": np.zeros((512, 4), np.float32),
+             "gallery": np.zeros((258, 4), np.float32)}
+    assert auto_grad_microbatch(mixed) == 2
+
+
+def test_engine_auto_microbatch_matches_explicit_off(rng):
+    """B=256 through train(): auto (-1) picks gm=2 and the trajectory
+    matches grad_microbatch explicitly off, to f32 accumulation order."""
+    loss_fn, data, params = _lsq_problem(rng, n=256)
+    auto = SolverConfig(base_lr=0.05, momentum=0.9, max_iter=6, display=1)
+    off = SolverConfig(base_lr=0.05, momentum=0.9, max_iter=6, display=1,
+                       grad_microbatch=1)
+    ra = train(loss_fn, params, data(), auto)
+    ro = train(loss_fn, params, data(), off)
+    np.testing.assert_allclose(np.asarray(ra.params["w"]),
+                               np.asarray(ro.params["w"]),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_stateful_loss_fn_rejected_in_fused_mode(rng):
+    """A loss_fn that returns a cross-batch carry cannot be scanned —
+    must fail with the actionable message, not silently drop state."""
+    def loss_fn(p, batch, key):
+        return jnp.sum(p["w"] * jnp.mean(batch["x"])), \
+            {"__carry__": jnp.zeros(2)}
+
+    def data():
+        while True:
+            yield {"x": jnp.ones((4, 2), np.float32)}
+
+    cfg = SolverConfig(base_lr=0.1, max_iter=2, iter_size=2)
+    with pytest.raises(ValueError, match="fused_accum=False"):
+        train(loss_fn, {"w": jnp.zeros(2)}, data(), cfg, fused_accum=True)
+
+
+def test_engine_driver_fused_matches_host_loop(tmp_path, rng):
+    """The PRODUCT surface: SolverDriver with iter_size through the fused
+    scan equals the host-loop schedule on the flagship-style prototxt
+    (dropout off for rng-stream independence)."""
+    from tests.test_e2e import mini_project  # fixture function, call parts
+    from videovector_tpu.config.textformat import parse_file
+    from videovector_tpu.solver.driver import SolverDriver
+    from tests.test_e2e import _make_shot_records, _make_test_windows, \
+        MINI_NET, MINI_SOLVER
+
+    train_src, _ = _make_shot_records(tmp_path, rng, "train.vvr")
+    test_src = _make_test_windows(tmp_path, rng, "test.vvr")
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text(MINI_NET.format(train_src=train_src,
+                                        test_src=test_src))
+    solver_path = tmp_path / "solver.prototxt"
+    solver_path.write_text(MINI_SOLVER.format(
+        net_path=str(net_path), snap_prefix=str(tmp_path / "s"))
+        + "iter_size: 2\nrandom_seed: 11\n")
+
+    msg = parse_file(str(solver_path))
+    msg.fields["max_iter"] = [6]
+    msg.fields["test_interval"] = [0]
+    msg.fields["display"] = [1]
+
+    res_fused = SolverDriver(msg).build().train()
+
+    # host-loop control: force fused off through train()'s knob by driving
+    # the driver with a stateful-looking override
+    import videovector_tpu.solver.driver as drv
+    import videovector_tpu.solver.train as trn
+    orig_train = trn.train
+
+    def train_no_fuse(*a, **kw):
+        kw["fused_accum"] = False
+        return orig_train(*a, **kw)
+
+    drv.train = train_no_fuse
+    try:
+        res_host = SolverDriver(msg).build().train()
+    finally:
+        drv.train = orig_train
+
+    lf = [m[1]["loss"] for m in res_fused.metrics_history]
+    lh = [m[1]["loss"] for m in res_host.metrics_history]
+    assert len(lf) == len(lh) > 0
+    # dropout rng streams differ between schedules (fold_in vs split) —
+    # MINI_NET has no dropout, so trajectories must match tightly
+    np.testing.assert_allclose(lf, lh, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(res_fused.params["fc7"]["w"]),
+        np.asarray(res_host.params["fc7"]["w"]), rtol=1e-4, atol=1e-6)

@@ -285,12 +285,19 @@ class SolverDriver:
                 export_caffe_snapshot(cfg.snapshot_prefix or "snapshot",
                                       it, p_np, s_np, net_msg, layer_order)
 
+        # fused iter_size/grad_microbatch accumulation (ONE scanned XLA
+        # program per step) for stateless nets; stateful nets must thread
+        # the LSTM carry between sub-batches on the host
+        src_axes = (self.train_source.batch_axes()
+                    if hasattr(self.train_source, "batch_axes") else {})
         return train(loss_fn, params, data_iter, cfg,
                      lr_mults=self.lr_mults, decay_mults=self.decay_mults,
                      eval_fn=eval_fn, test_data=test_iter, hooks=hooks,
                      resume_state_path=resume_state_path,
                      param_layer_order=layer_order,
-                     caffe_export=caffe_export)
+                     caffe_export=caffe_export,
+                     batch_axes=src_axes,
+                     fused_accum=not net.stateful_layer_names)
 
     def _first_batch_jnp(self):
         return {k: jnp.asarray(v) for k, v in self._first_batch.items()}

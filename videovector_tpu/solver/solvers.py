@@ -45,6 +45,10 @@ class SolverConfig:
     delta: float = 1e-8                 # AdaGrad
     max_iter: int = 0
     iter_size: int = 1
+    # extension: on-device microbatch split of each step's batch (the
+    # fused large-batch schedule, PERF.md). -1 = auto (~128 batch rows per
+    # microbatch for B >= 256, off below), 0/1 = off, N = explicit
+    grad_microbatch: int = -1
     display: int = 0
     test_interval: int = 0
     test_iter: tuple = ()
@@ -72,6 +76,7 @@ class SolverConfig:
             ("momentum", "momentum"), ("weight_decay", "weight_decay"),
             ("regularization_type", "regularization_type"), ("delta", "delta"),
             ("max_iter", "max_iter"), ("iter_size", "iter_size"),
+            ("grad_microbatch", "grad_microbatch"),
             ("display", "display"), ("test_interval", "test_interval"),
             ("snapshot", "snapshot"), ("snapshot_prefix", "snapshot_prefix"),
             ("snapshot_after_train", "snapshot_after_train"),

@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Iterator
 
 import jax
+import numpy as np
 
 from videovector_tpu.solver.checkpoint import (
     AsyncSnapshotter, restore, snapshot,
@@ -35,6 +36,27 @@ class TrainResult:
     test_history: list = field(default_factory=list)
 
 
+def auto_grad_microbatch(batch, batch_axes: dict | None = None) -> int:
+    """Large-batch schedule: split so each microbatch carries ~128 batch
+    rows (the v5e-measured good wgrad regime — B=256 dip gone, B=1024
+    record, PERF.md r3). Power-of-two divisor of EVERY top's batch length,
+    ≤8; 1 (off) below B=256 so small-batch runs keep bit-identical
+    trajectories. Measured on v5e — other TPU generations should re-run
+    scripts/bench_engine_train.py and override via the solver prototxt's
+    `grad_microbatch` extension field."""
+    axes = batch_axes or {}
+    lens = {np.asarray(v).shape[axes.get(k, 0)]
+            for k, v in batch.items()
+            if np.asarray(v).ndim > axes.get(k, 0)}
+    if not lens or min(lens) < 256:
+        return 1
+    gm = 1
+    while (gm < 8 and all(n % (gm * 2) == 0 for n in lens)
+           and min(lens) // (gm * 2) >= 128):
+        gm *= 2
+    return gm
+
+
 def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
           lr_mults=None, decay_mults=None,
           eval_fn: Callable | None = None,
@@ -43,6 +65,8 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
           hooks: list | None = None,
           param_layer_order: list | None = None,
           caffe_export: Callable | None = None,
+          batch_axes: dict | None = None,
+          fused_accum: bool = True,
           rng=None, jit: bool = True) -> TrainResult:
     """loss_fn(params, batch, rng) -> (loss, aux_dict).
     eval_fn(params, batch) -> dict of scalars; averaged over cfg.test_iter[0]
@@ -53,7 +77,13 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
     resume from a reference `.solverstate` (its history blobs are nameless,
     ordered like net_->params()).
     caffe_export: optional fn(it, params_np, state_np) writing the
-    reference-format snapshot pair; runs in the snapshot writer thread."""
+    reference-format snapshot pair; runs in the snapshot writer thread.
+    batch_axes: {batch key → batch axis} for the grad_microbatch split
+    (default 0 per key; time-major sources declare 1).
+    fused_accum: run iter_size / grad_microbatch accumulation as ONE jitted
+    lax.scan step (the chip-record schedule, PERF.md) instead of a host loop
+    of separate grad calls. Must be False for stateful (cross-batch LSTM
+    carry) nets — the driver passes this automatically."""
     # private copies: the jitted step donates its param/state buffers, and the
     # caller's arrays must survive the call
     params = jax.tree.map(jax.numpy.array, params)
@@ -105,6 +135,63 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         return solver_update(cfg, p, grads_acc, s,
                              lr_mults=lr_mults, decay_mults=decay_mults)
 
+    def make_fused_step(n_accum: int, gm: int):
+        """ONE jitted program: split/stack the step's batches into
+        n_accum·gm microbatches, lax.scan the gradient accumulation, apply
+        ONE solver update — the reference's iter_size semantics
+        (ref:src/caffe/solver.cpp iter_size; losses average so the update
+        equals the big-batch update up to f32 summation order) at the
+        fused-schedule throughput measured in PERF.md (wgrad GEMMs stay in
+        the good tiling regime, optimizer runs once)."""
+        import jax.numpy as jnp
+        from jax import lax
+        n_total = n_accum * gm
+        axes = batch_axes or {}
+
+        def split(leaf, axis):
+            if gm == 1:
+                return leaf[None]
+            b = leaf.shape[axis]
+            return jnp.moveaxis(
+                leaf.reshape(leaf.shape[:axis] + (gm, b // gm)
+                             + leaf.shape[axis + 1:]), axis, 0)
+
+        def fstep(p, s, batches, key):
+            parts = [{k: split(v, axes.get(k, 0)) for k, v in b.items()}
+                     for b in batches]
+            stacked = {k: jnp.concatenate([pb[k] for pb in parts], axis=0)
+                       for k in parts[0]}
+            keys = jax.random.split(key, n_total)
+
+            def micro(carry, xs):
+                g_acc, loss_acc = carry
+                mb, kk = xs
+                (loss, aux), g = grad_fn(p, mb, kk)
+                if "__carry__" in aux:  # structure known at trace time
+                    raise ValueError(
+                        "fused accumulation cannot thread cross-batch LSTM "
+                        "state — pass fused_accum=False for stateful nets")
+                return (jax.tree.map(jnp.add, g_acc, g),
+                        loss_acc + loss), aux
+
+            g0 = jax.tree.map(jnp.zeros_like, p)
+            (grads, loss_sum), aux_all = lax.scan(
+                micro, (g0, jnp.float32(0.0)), (stacked, keys))
+            grads = jax.tree.map(lambda g: g / n_total, grads)
+            p2, s2 = solver_update(cfg, p, grads, s,
+                                   lr_mults=lr_mults,
+                                   decay_mults=decay_mults)
+            # displayed loss averages over microbatches (== the big-batch
+            # mean for equal micro sizes); other net outputs report the
+            # LAST microbatch (counts like `violations` must not average)
+            metrics = {"loss": loss_sum / n_total,
+                       **{k: v[-1] for k, v in aux_all.items()}}
+            if cfg.snapshot_diff:
+                metrics["__diff__"] = grads
+            return p2, s2, metrics
+
+        return jax.jit(fstep, donate_argnums=(0, 1)) if jit else fstep
+
     if jit:
         step = jax.jit(raw_step, donate_argnums=(0, 1))
         accum = jax.jit(raw_accum, donate_argnums=(1,))
@@ -149,6 +236,8 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
     it = start_iter
     carry = None  # cross-batch recurrent state (stateful nets only)
     last_grads = None  # most recent gradients (kept when snapshot_diff)
+    fused_plan = None   # (iter_size, grad_microbatch) once shapes are known
+    fused_step = None
     # the reference's Solve() banner (ref:src/caffe/solver.cpp:161) — also
     # the elapsed-seconds anchor for log tooling (tools/extra/
     # extract_seconds.py looks for "Solving")
@@ -179,7 +268,11 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                     hook(params, it)
 
             key = jax.random.fold_in(rng, it)
-            if cfg.iter_size > 1:
+            if cfg.iter_size > 1 and not fused_accum:
+                # host-loop accumulation: one jitted grad call per
+                # sub-batch. Kept ONLY for stateful nets (the LSTM carry
+                # must thread between sub-batches); stateless nets take
+                # the fused scan below
                 grads_acc = jax.tree.map(jax.numpy.zeros_like, params)
                 for sub in range(cfg.iter_size):
                     batch = next(data)
@@ -195,9 +288,27 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                 params, state = apply_update(params, state, grads_acc)
             else:
                 batch = next(data)
-                if carry is not None:
-                    batch = {**batch, "__carry__": carry}
-                params, state, metrics = step(params, state, batch, key)
+                if fused_accum and fused_plan is None:
+                    n_accum = max(1, cfg.iter_size)
+                    gm_cfg = getattr(cfg, "grad_microbatch", -1)
+                    gm = (auto_grad_microbatch(batch, batch_axes)
+                          if gm_cfg < 0 else max(1, gm_cfg))
+                    fused_plan = (n_accum, gm)
+                    if n_accum * gm > 1:
+                        log.info(
+                            "Fused accumulation schedule: iter_size=%d x "
+                            "grad_microbatch=%d (one scanned XLA program)",
+                            n_accum, gm)
+                        fused_step = make_fused_step(n_accum, gm)
+                if fused_step is not None:
+                    batches = (batch,) + tuple(
+                        next(data) for _ in range(fused_plan[0] - 1))
+                    params, state, metrics = fused_step(
+                        params, state, batches, key)
+                else:
+                    if carry is not None:
+                        batch = {**batch, "__carry__": carry}
+                    params, state, metrics = step(params, state, batch, key)
                 # recurrent cross-batch state (ref lstm_layer.cpp:171-173):
                 # stateful nets return the updated carry through aux
                 carry = metrics.pop("__carry__", None)
