@@ -144,17 +144,22 @@ def test_video_level_retrieval_mode(rng):
     assert float(out["hit_at_1"]) == 1.0
 
 
+@pytest.mark.parametrize("method", ["sort", "count"])
 @pytest.mark.parametrize("exclude", [False, True])
-def test_retrieval_stats_chunked_matches_dense(rng, exclude):
-    """The O(Q·N)-memory chunked variant must reproduce the dense path
-    exactly (same stable sort, same cumsum math) incl. ragged last chunk
-    and excluded (class<0) queries."""
+def test_retrieval_stats_chunked_matches_dense(rng, exclude, method):
+    """Both chunked engines — the (Q, N) stable-sort path and the
+    rank-by-counting path (no sort; ranks are masked #(key < mine)
+    compare-reductions) — must reproduce the dense path exactly, incl.
+    stable (distance, index) tie-breaking, ragged last chunk, excluded
+    (class<0) queries, and duplicate features (distance ties)."""
     from videovector_tpu.metrics.retrieval import (
         retrieval_stats, retrieval_stats_chunked,
     )
     n, d = 531, 24  # not a multiple of the chunk → exercises padding
     feats = rng.randn(n, d).astype(np.float32)
     feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    feats[100] = feats[7]
+    feats[101] = feats[7]  # exact duplicates → sort-order ties
     vids = rng.randint(0, 40, size=(n,))
     cls = vids % 7
     cls[::50] = -1  # excluded queries
@@ -163,7 +168,7 @@ def test_retrieval_stats_chunked_matches_dense(rng, exclude):
                             exclude_same_video_shots=exclude)
     chunked = retrieval_stats_chunked(feats, vids, cls,
                                       exclude_same_video_shots=exclude,
-                                      query_chunk=128)
+                                      query_chunk=128, method=method)
     for k in ("mean_ap", "hit_at_1", "hit_at_5"):
         np.testing.assert_allclose(float(chunked[k]), float(dense[k]),
                                    rtol=1e-6, atol=1e-7)

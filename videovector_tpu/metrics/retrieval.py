@@ -163,8 +163,9 @@ from functools import partial
 @partial(jax.jit, static_argnums=(7,))
 def _chunk_retrieval_stats(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
                            exclude_same_video_shots):
-    """One query chunk of retrieval_stats_chunked: identical math to the
-    dense retrieval_stats over (Q, N) rows; returns partial sums."""
+    """One query chunk of retrieval_stats_chunked (sort engine): identical
+    math to the dense retrieval_stats over (Q, N) rows; returns per-query
+    (ap, acc1, acc5, include) arrays."""
     q = q_feats.shape[0]
     n = feats.shape[0]
     dist = -2.0 * jnp.dot(q_feats, feats.T,
@@ -189,27 +190,136 @@ def _chunk_retrieval_stats(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
     acc1 = jnp.sum(mf * (val <= 1.0), axis=1)
     acc5 = jnp.sum(mf * (val <= 5.0), axis=1) / 5.0
     include = (q_cls >= 0).astype(jnp.float32)
-    return (jnp.sum(ap * include), jnp.sum(acc1 * include),
-            jnp.sum(acc5 * include), jnp.sum(include))
+    return ap, acc1, acc5, include
+
+
+@partial(jax.jit, static_argnums=(8,))
+def _chunk_retrieval_counts(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
+                            rel_idx, exclude_same_video_shots):
+    """Rank-by-COUNTING query chunk: identical results to the sort-based
+    chunk, no argsort.
+
+    mAP/hit@1/hit@5 only need, for each RELEVANT candidate of each query,
+    its rank among valid candidates and among relevant ones — both are
+    `#(key < my key)` counts over the gallery, where key = (distance,
+    index) lexicographic (exactly the dense path's stable argsort order).
+    The counts are masked compare-reductions that ride the VPU at O(Q·M·N)
+    (M = max class size) instead of O(Q·N·logN) sort lanes — 5× on the
+    20k×4096 gallery (PERF.md r4).
+
+    rel_idx: (Q, M) gallery positions of each query's class members
+    (host-precomputed; -1 pads). Returns the same partial sums as
+    _chunk_retrieval_stats.
+    """
+    q = q_feats.shape[0]
+    n = feats.shape[0]
+    m = rel_idx.shape[1]
+    dist = -2.0 * jnp.dot(q_feats, feats.T,
+                          preferred_element_type=jnp.float32)
+
+    safe_rel = jnp.clip(rel_idx, 0, n - 1)
+    d_rel = jnp.take_along_axis(dist, safe_rel, axis=1)       # (Q, M)
+    rel_vid = vids[safe_rel]                                  # (Q, M)
+    # a relevant candidate must itself be valid: not the query item, not
+    # a pad, and (optionally) not from the query's video
+    rel_ok = (rel_idx >= 0) & (rel_idx != q_pos[:, None])
+    if exclude_same_video_shots:
+        rel_ok = rel_ok & (rel_vid != q_vid[:, None])
+
+    # scan the gallery in chunks; counts accumulate in int32
+    kc = 512
+    npad = ((n + kc - 1) // kc) * kc
+    nk = npad // kc
+    pad = npad - n
+    dist_p = jnp.pad(dist, ((0, 0), (0, pad)))
+    kidx = jnp.arange(npad, dtype=jnp.int32)
+    vids_p = jnp.pad(vids, (0, pad))
+    cls_p = jnp.pad(cls, (0, pad), constant_values=np.int32(-2**31 + 1))
+
+    d_ch = dist_p.reshape(q, nk, kc).transpose(1, 0, 2)       # (nk, Q, kc)
+    k_ch = kidx.reshape(nk, kc)
+    v_ch = vids_p.reshape(nk, kc)
+    c_ch = cls_p.reshape(nk, kc)
+
+    def body(carry, xs):
+        cnt_v, cnt_m = carry
+        dk, kk, vk, ck = xs                                   # (Q,kc),(kc,)
+        in_gallery = kk < n
+        valid = in_gallery[None, :] & (kk[None, :] != q_pos[:, None])
+        if exclude_same_video_shots:
+            valid = valid & (vk[None, :] != q_vid[:, None])
+        match = valid & (ck[None, :] == q_cls[:, None])
+        # lexicographic (distance, index) — the stable-argsort order
+        less = ((dk[:, None, :] < d_rel[:, :, None])
+                | ((dk[:, None, :] == d_rel[:, :, None])
+                   & (kk[None, None, :] < rel_idx[:, :, None])))
+        cnt_v = cnt_v + jnp.sum(
+            (valid[:, None, :] & less).astype(jnp.int32), axis=2)
+        cnt_m = cnt_m + jnp.sum(
+            (match[:, None, :] & less).astype(jnp.int32), axis=2)
+        return (cnt_v, cnt_m), None
+
+    zeros = jnp.zeros((q, m), jnp.int32)
+    (cnt_v, cnt_m), _ = jax.lax.scan(body, (zeros, zeros),
+                                     (d_ch, k_ch, v_ch, c_ch))
+
+    valrank = (cnt_v + 1).astype(jnp.float32)                 # 1-based
+    matchrank = (cnt_m + 1).astype(jnp.float32)
+    okf = rel_ok.astype(jnp.float32)
+    ret_total = jnp.sum(okf, axis=1)
+    ap = jnp.sum(okf * matchrank / valrank, axis=1)
+    ap = jnp.where(ret_total > 0, ap / jnp.maximum(ret_total, 1.0), 0.0)
+    acc1 = jnp.sum(okf * (valrank <= 1.0), axis=1)
+    acc5 = jnp.sum(okf * (valrank <= 5.0), axis=1) / 5.0
+    include = (q_cls >= 0).astype(jnp.float32)
+    # per-query arrays — the csv report consumes them; the aggregate
+    # wrapper sums them host-side
+    return ap, acc1, acc5, include
+
+
+def _class_member_table(cls_np: np.ndarray):
+    """(member_table (C+1, M) int32 w/ -1 pads, row_of_query (N,)) — row C
+    is all-pads, assigned to negative-class queries (they are excluded
+    from the means but still flow through the chunk in padded slots)."""
+    n = cls_np.shape[0]
+    nonneg = cls_np >= 0
+    uniq, inv = np.unique(cls_np[nonneg], return_inverse=True)
+    c = len(uniq)
+    counts = np.bincount(inv, minlength=c) if c else np.zeros(0, np.int64)
+    m = int(counts.max()) if c else 1
+    table = np.full((c + 1, m), -1, np.int32)
+    order = np.argsort(inv, kind="stable")
+    pos_nonneg = np.flatnonzero(nonneg).astype(np.int32)
+    starts = np.zeros(c + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    for ci in range(c):
+        mem = pos_nonneg[order[starts[ci]:starts[ci + 1]]]
+        table[ci, :len(mem)] = mem
+    row_of_query = np.full(n, c, np.int32)
+    row_of_query[nonneg] = inv
+    return table, row_of_query
 
 
 def retrieval_stats_chunked(features, video_ids, class_ids, *,
                             exclude_same_video_shots: bool = False,
-                            query_chunk: int = 256):
-    """Gallery-scale retrieval_stats: EXACT same math as retrieval_stats
+                            query_chunk: int = 256, method: str = "auto"):
+    """Gallery-scale retrieval_stats: EXACT same results as retrieval_stats
     (mAP, hit@1, hit@5, stable tie-breaking included) with O(Q·N) device
     memory instead of O(N²).
 
     The dense path materializes the full (N, N) distance matrix plus its
     argsort — ~3.2 GB at N=20k — fine at the 673-window reference gallery
     (ref:src/caffe/layers/retrieval_stats_layer.cpp:143-355 is O(N²) too)
-    but not at corpus scale. This variant processes `query_chunk` query
-    rows at a time: each chunk computes its (Q, N) distance rows by one
-    GEMM, sorts them, and applies the identical cumsum formulas, so the
-    result equals the dense path bit-for-bit per query (same reduction
-    shapes, same stable sort). Memory: Q·N·(4 B dist + 4 B order + ~9 B
-    masks/cumsums) ≈ 17·Q·N bytes — at N=1e5, Q=256 that's ~0.44 GB;
-    compute is the same N²·D GEMM + N·(N log N) sort as dense.
+    but not at corpus scale. Two chunked engines, identical outputs:
+
+    - "count" (default via "auto" when max class size ≤ max(256, N/8)):
+      rank-by-counting — each relevant candidate's rank is a masked
+      `#(key < mine)` compare-reduction, no sort at all. 5× the sort
+      engine on the 20k×4096 gallery (the argsort was 90% of its 15.2 s,
+      PERF.md r3/r4).
+    - "sort": the (Q, N) stable-argsort + cumsum formulation (kept for
+      degenerate class structure, e.g. one giant class where counting
+      degrades to O(Q·N·M≈N)).
 
     Returns dict(mean_ap, hit_at_1, hit_at_5) of f32 scalars.
     """
@@ -224,10 +334,28 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
             raise ValueError(f"{name} exceed int32 range — remap ids "
                              f"(e.g. np.unique(..., return_inverse=True)) "
                              f"before retrieval eval")
-    vids = jnp.asarray(video_ids).reshape(-1).astype(jnp.int32)
-    cls = jnp.asarray(class_ids).reshape(-1).astype(jnp.int32)
+    vids_np = np.asarray(video_ids).reshape(-1).astype(np.int32)
+    cls_np = np.asarray(class_ids).reshape(-1).astype(np.int32)
+    vids = jnp.asarray(vids_np)
+    cls = jnp.asarray(cls_np)
     n = feats.shape[0]
     q_chunk = min(query_chunk, n)
+
+    if method == "auto":
+        table, row_of_query = _class_member_table(cls_np)
+        # counting rides the TPU VPU (masked compare-reductions); on the
+        # CPU backend XLA materializes the (Q, M, Kc) compare cube and the
+        # sort engine wins — auto picks per backend and class structure
+        method = ("count"
+                  if (jax.default_backend() not in ("cpu",)
+                      and table.shape[1] <= max(256, n // 8))
+                  else "sort")
+    elif method == "count":
+        table, row_of_query = _class_member_table(cls_np)
+    elif method != "sort":
+        raise ValueError(f"unknown method {method!r}")
+    if method == "count":
+        table_j = jnp.asarray(table)
 
     sums = np.zeros(4, np.float64)
     for start in range(0, n, q_chunk):
@@ -236,15 +364,29 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
             pad = np.full(q_chunk - len(idx), idx[-1])
             q_cls = jnp.concatenate([cls[idx],
                                      jnp.full(len(pad), -1, jnp.int32)])
-            idx = np.concatenate([idx, pad])
+            idx_np = np.concatenate([idx, pad])
+            rows = np.concatenate([row_of_query[idx],
+                                   np.full(len(pad), table.shape[0] - 1,
+                                           np.int32)]) \
+                if method == "count" else None
         else:
             q_cls = cls[idx]
+            idx_np = idx
+            rows = row_of_query[idx] if method == "count" else None
         # gallery passed as ARGUMENTS (not closed over): one compiled
         # program reused across chunks and calls, nothing inlined as HLO
         # constants
-        part = _chunk_retrieval_stats(feats, vids, cls, feats[idx],
-                                      vids[idx], q_cls, jnp.asarray(idx),
-                                      exclude_same_video_shots)
+        if method == "count":
+            ap, acc1, acc5, inc = _chunk_retrieval_counts(
+                feats, vids, cls, feats[idx_np], vids[idx_np], q_cls,
+                jnp.asarray(idx_np), table_j[jnp.asarray(rows)],
+                exclude_same_video_shots)
+        else:
+            ap, acc1, acc5, inc = _chunk_retrieval_stats(
+                feats, vids, cls, feats[idx_np], vids[idx_np], q_cls,
+                jnp.asarray(idx_np), exclude_same_video_shots)
+        part = (jnp.sum(ap * inc), jnp.sum(acc1 * inc),
+                jnp.sum(acc5 * inc), jnp.sum(inc))
         sums += np.asarray([float(v) for v in part])
     denom = max(sums[3], 1.0)
     return {
@@ -254,71 +396,119 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     }
 
 
+def _sort_key64(dist_f32: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Exact (distance, index) lexicographic order as ONE int64 key:
+    the f32 bits map monotonically to uint32 (sign-flip trick), then
+    `key = mono << 21 | idx` — exact for galleries < 2^21 ≈ 2M items."""
+    bits = dist_f32.view(np.int32).astype(np.int64)
+    mono = np.where(bits >= 0, bits + 0x80000000, (~bits) & 0x7FFFFFFF)
+    return (mono << 21) | idx
+
+
 def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
                            exclude_same_video_shots: bool = False) -> dict:
     """Host-side per-query csv dump matching the reference's
     `stats_output_file` (ref:src/caffe/layers/retrieval_stats_layer.cpp:
     148-155, 310-340): header `#video_id,class_id,ap,acc@1,acc@5,` + top-5
-    retrieved indices and their classes. Returns the aggregate stats dict."""
+    retrieved (from OTHER videos, ref :315-321) indices and their classes.
+    Returns the aggregate stats dict.
+
+    Fully vectorized: per-query ap/acc come from the chunked device
+    engines (rank-by-counting on TPU, sort on CPU — same backend-aware
+    choice as retrieval_stats_chunked); the top-5 picks use an int64
+    (distance, index) key + argpartition per chunk — no per-row Python
+    ranking loops, so a 100k-row dump takes seconds, not hours. Float
+    fields print with %g (6 significant digits), the reference's ostream
+    formatting."""
     feats = np.asarray(features, np.float32)
-    vids = np.asarray(video_ids).astype(np.int64)
-    classes = np.asarray(class_ids).astype(np.int64)
+    vids64 = np.asarray(video_ids).astype(np.int64).reshape(-1)
+    cls64 = np.asarray(class_ids).astype(np.int64).reshape(-1)
     n = feats.shape[0]
+    if n >= (1 << 21):
+        raise ValueError("csv report supports galleries < 2^21 rows "
+                         "(int64 sort-key layout)")
+    for name, a in (("video_ids", vids64), ("class_ids", cls64)):
+        if a.size and (a.max() > np.iinfo(np.int32).max
+                       or a.min() < np.iinfo(np.int32).min):
+            raise ValueError(f"{name} exceed int32 range — remap ids "
+                             f"before retrieval eval")
+    vids_np = vids64.astype(np.int32)
+    cls_np = cls64.astype(np.int32)
+    feats_j = jnp.asarray(feats)
+    vids_j = jnp.asarray(vids_np)
+    cls_j = jnp.asarray(cls_np)
+    table, row_of_query = _class_member_table(cls_np)
+    table_j = jnp.asarray(table)
+    use_count = (jax.default_backend() not in ("cpu",)
+                 and table.shape[1] <= max(256, n // 8))
+    all_idx = np.arange(n, dtype=np.int64)
 
-    # aggregates: dense device math at small n, chunked (same values,
-    # O(Q·N) memory) at gallery scale
-    if n <= 4096:
-        agg = retrieval_stats(
-            jnp.asarray(feats), jnp.asarray(vids), jnp.asarray(classes),
-            exclude_same_video_shots=exclude_same_video_shots)
-    else:
-        agg = retrieval_stats_chunked(
-            feats, vids, classes,
-            exclude_same_video_shots=exclude_same_video_shots)
-
-    def order_rows():
-        """Yield (i, order_row) with the csv loop's dense semantics but
-        only a (chunk, N) block in memory at a time. Peak per chunk ≈
-        12 B/element (4 B f32 dist + 8 B int64 argsort output) plus sort
-        scratch — the 2^26-element cap bounds it at roughly 1 GB."""
-        chunk = max(1, min(512, (1 << 26) // max(n, 1)))
-        for start in range(0, n, chunk):
-            idx = np.arange(start, min(start + chunk, n))
-            dist = -2.0 * feats[idx] @ feats.T
-            dist[np.arange(len(idx)), idx] = -1e15
-            order = np.argsort(dist, axis=1, kind="stable")
-            for k, i in enumerate(idx):
-                yield int(i), order[k]
-
+    q_chunk = max(1, min(256, (1 << 25) // max(n, 1)))
+    sums = np.zeros(4, np.float64)
     with open(path, "w") as f:
         f.write("#video_id,class_id,ap,acc@1,acc@5"
                 ",ret_id_1,ret_id_2,ret_id_3,ret_id_4,ret_id_5"
                 ",class_id_1,class_id_2,class_id_3,class_id_4,class_id_5\n")
-        for i, order_i in order_rows():
-            if classes[i] < 0:
-                continue
-            ap = acc1 = acc5 = 0.0
-            val = ret = 0.0
-            for j in order_i[1:]:
-                if exclude_same_video_shots and vids[j] == vids[i]:
+        for start in range(0, n, q_chunk):
+            idx = np.arange(start, min(start + q_chunk, n))
+            if len(idx) < q_chunk:  # pad to the compiled chunk shape
+                pad = np.full(q_chunk - len(idx), idx[-1])
+                idx_np = np.concatenate([idx, pad])
+                q_cls = np.concatenate([cls_np[idx],
+                                        np.full(len(pad), -1, np.int32)])
+                rows = np.concatenate([row_of_query[idx],
+                                       np.full(len(pad), table.shape[0] - 1,
+                                               np.int32)])
+            else:
+                idx_np, q_cls, rows = idx, cls_np[idx], row_of_query[idx]
+            if use_count:
+                ap, acc1, acc5, inc = _chunk_retrieval_counts(
+                    feats_j, vids_j, cls_j, feats_j[idx_np], vids_j[idx_np],
+                    jnp.asarray(q_cls), jnp.asarray(idx_np),
+                    table_j[jnp.asarray(rows)], exclude_same_video_shots)
+            else:
+                ap, acc1, acc5, inc = _chunk_retrieval_stats(
+                    feats_j, vids_j, cls_j, feats_j[idx_np], vids_j[idx_np],
+                    jnp.asarray(q_cls), jnp.asarray(idx_np),
+                    exclude_same_video_shots)
+            ap, acc1, acc5, inc = (np.asarray(ap), np.asarray(acc1),
+                                   np.asarray(acc5), np.asarray(inc))
+            sums += [float(np.sum(ap * inc)), float(np.sum(acc1 * inc)),
+                     float(np.sum(acc5 * inc)), float(np.sum(inc))]
+
+            # top-5 retrieved from other videos: exact stable order via
+            # the int64 key, argpartition + small sort — no row loops
+            dist = -2.0 * feats[idx] @ feats.T
+            key = _sort_key64(dist.astype(np.float32, copy=False), all_idx)
+            key[vids_np[idx][:, None] == vids_np[None, :]] = np.iinfo(
+                np.int64).max
+            k5 = min(5, n)
+            part = np.argpartition(key, k5 - 1, axis=1)[:, :k5]
+            pk = np.take_along_axis(key, part, axis=1)
+            ordr = np.argsort(pk, axis=1, kind="stable")
+            top5 = np.take_along_axis(part, ordr, axis=1)
+            valid5 = np.take_along_axis(pk, ordr, axis=1) \
+                != np.iinfo(np.int64).max
+            top5 = np.where(valid5, top5, 0)
+            if k5 < 5:
+                top5 = np.pad(top5, ((0, 0), (0, 5 - k5)))
+                valid5 = np.pad(valid5, ((0, 0), (0, 5 - k5)))
+            top5_cls = np.where(valid5, cls64[top5], 0)
+
+            lines = []
+            for r, i in enumerate(idx):  # formatting only — no ranking math
+                if cls_np[i] < 0:
                     continue
-                val += 1
-                if classes[j] == classes[i]:
-                    if val <= 1:
-                        acc1 += 1
-                    if val <= 5:
-                        acc5 += 1
-                    ret += 1
-                    ap += ret / val
-            ap = ap / ret if ret > 0 else 0.0
-            acc5 /= 5
-            # top-5 retrieved from other videos (ref :315-321)
-            top5 = [j for j in order_i if vids[j] != vids[i]][:5]
-            top5 += [0] * (5 - len(top5))
-            f.write(f"{vids[i]},{classes[i]},{ap},{acc1},{acc5},"
-                    + ",".join(str(j) for j in top5) + ","
-                    + ",".join(str(classes[j]) for j in top5) + "\n")
-    return {k: float(v) for k, v in agg.items()}
+                lines.append(
+                    f"{vids64[i]},{cls64[i]},{ap[r]:g},{acc1[r]:g},"
+                    f"{acc5[r]:g},"
+                    + ",".join(str(j) for j in top5[r]) + ","
+                    + ",".join(str(c) for c in top5_cls[r]) + "\n")
+            f.write("".join(lines))
+
+    denom = max(sums[3], 1.0)
+    return {"mean_ap": sums[0] / denom, "hit_at_1": sums[1] / denom,
+            "hit_at_5": sums[2] / denom}
 
 
 def _bucket_video_id(item_idx, num_videos: int, positive_size: int):
