@@ -34,6 +34,15 @@ class ApplyContext:
     phase: str = "TRAIN"            # TRAIN or TEST
     rng: Any = None                 # PRNGKey for stochastic layers (dropout)
     side: dict = field(default_factory=dict)   # layer_name -> host-loaded tables
+    # GEMM/conv operand dtype (f32 accumulation either way). None = f32,
+    # the reference's numerics; "bfloat16" is the TPU throughput extension
+    # (solver prototxt `compute_dtype` field → Net(compute_dtype=...)) —
+    # same cast discipline as models/embedding.py's compute_dtype
+    compute_dtype: Any = None
+    # int8 PTQ side-table {layer_name: {"w_q", "s_w", "s_x"}} from
+    # tools/quantize.py — serving-path extension (v5e int8 MXU = 2× bf16
+    # peak); None = no quantization
+    quant: Any = None
     # cross-batch recurrent state (ref next_cell_/next_out_ carry,
     # lstm_layer.cpp:171-173,261-264): layer_name -> LstmState in/out.
     # A pure jit graph cannot hold hidden state, so the engine threads it
@@ -112,7 +121,26 @@ def _inner_product():
     def apply(params, inputs, cfg, ctx):
         p = cfg.get_msg("inner_product_param")
         reg = float(p.get("regularization", 0.0))
-        return [ops.inner_product(inputs[0], params["w"], params.get("b"),
+        x, w = inputs[0], params["w"]
+        q = (ctx.quant or {}).get(cfg.get("name"))
+        if q is not None and reg == 0.0:
+            # int8 PTQ serving path (tools/quantize.py): symmetric
+            # per-tensor activation / per-column weight scales, int32
+            # accumulation on the MXU, f32 dequantize + bias
+            if x.ndim > 2:
+                x = x.reshape(x.shape[0], -1)
+            x_q = jnp.clip(jnp.round(x / q["s_x"]), -127, 127) \
+                .astype(jnp.int8)
+            y = jnp.dot(x_q, jnp.asarray(q["w_q"]),
+                        preferred_element_type=jnp.int32)
+            y = y.astype(jnp.float32) * (q["s_x"] * jnp.asarray(q["s_w"]))
+            b = params.get("b")
+            return [y + b if b is not None else y]
+        cd = ctx.compute_dtype
+        if cd is not None and reg == 0.0:
+            # bf16 GEMM operands, f32 accumulation (preferred_element_type)
+            x, w = x.astype(cd), w.astype(cd)
+        return [ops.inner_product(x, w, params.get("b"),
                                   regularization=reg)]
 
     return init, apply
@@ -173,7 +201,24 @@ def _convolution():
     def apply(params, inputs, cfg, ctx):
         p = cfg.get_msg("convolution_param")
         _, stride, pad = _kernel_geometry(p)
-        return [conv_ops.conv2d(inputs[0], params["w"], params.get("b"),
+        x, w = inputs[0], params["w"]
+        q = (ctx.quant or {}).get(cfg.get("name"))
+        if q is not None:
+            # int8 PTQ: quantize the input per-tensor, convolve int8×int8
+            # with int32 accumulation, dequantize per output channel
+            x_q = jnp.clip(jnp.round(x / q["s_x"]), -127, 127) \
+                .astype(jnp.int8)
+            y = conv_ops.conv2d(x_q, jnp.asarray(q["w_q"]), None,
+                                stride=stride, pad=pad,
+                                groups=int(p.get("group", 1)),
+                                preferred_dtype=jnp.int32)
+            scale = (q["s_x"] * jnp.asarray(q["s_w"]))[None, :, None, None]
+            y = y.astype(jnp.float32) * scale
+            b = params.get("b")
+            return [y + b[None, :, None, None] if b is not None else y]
+        if ctx.compute_dtype is not None:
+            x, w = x.astype(ctx.compute_dtype), w.astype(ctx.compute_dtype)
+        return [conv_ops.conv2d(x, w, params.get("b"),
                                 stride=stride, pad=pad,
                                 groups=int(p.get("group", 1)))]
 

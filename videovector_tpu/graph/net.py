@@ -91,7 +91,17 @@ class Net:
     """A compiled view of a NetParameter for one phase."""
 
     def __init__(self, net_msg: Message, phase: str = "TRAIN", *,
-                 level: int = 0, stages: tuple = (), side: dict | None = None):
+                 level: int = 0, stages: tuple = (), side: dict | None = None,
+                 compute_dtype=None):
+        # compute_dtype: None = f32 (reference numerics). "bfloat16" casts
+        # GEMM/conv operands (f32 accumulation stays) — the TPU throughput
+        # extension, wired from the solver prototxt's `compute_dtype` field
+        import jax.numpy as _jnp
+        self.compute_dtype = (_jnp.dtype(compute_dtype)
+                              if compute_dtype is not None else None)
+        # int8 PTQ side-table (tools/quantize.py), set by the serving
+        # exporter after calibration; None = f32/bf16 math
+        self.quant = None
         # legacy V0 auto-upgrade on load (ref ReadNetParamsFromTextFileOrDie →
         # UpgradeV0Net, util/upgrade_proto.cpp)
         from videovector_tpu.config.upgrade import net_needs_upgrade, upgrade_net
@@ -305,7 +315,7 @@ class Net:
         meta: dict[str, dict[str, ParamMeta]] = {}
         shared_owner_by_name: dict[str, tuple[str, str]] = {}
         ctx = ApplyContext(phase=self.phase, rng=jax.random.PRNGKey(0),
-                           side=self.side)
+                           side=self.side, compute_dtype=self.compute_dtype)
 
         for layer in self.layers:
             ltype = layer.get("type")
@@ -411,7 +421,8 @@ class Net:
             blobs[name] = batch[name]
 
         ctx = ApplyContext(phase=self.phase, rng=rng, side=self.side,
-                           state_in=state)
+                           state_in=state, compute_dtype=self.compute_dtype,
+                           quant=self.quant)
         loss = jnp.float32(0.0)
         consumed: set[str] = set()
 

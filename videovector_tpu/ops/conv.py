@@ -33,7 +33,12 @@ def conv2d(x, w, b=None, *, stride=(1, 1), pad=(0, 0), groups: int = 1,
     )
     if b is not None:
         out = out + b.reshape(1, -1, 1, 1)
-    return out.astype(x.dtype)
+    # float inputs (f32/bf16): cast the f32-accumulated result back to the
+    # input dtype; integer inputs (int8 PTQ) keep the int32 accumulator
+    # for the caller to dequantize
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return out.astype(x.dtype)
+    return out
 
 
 def im2col(x, *, kernel=(1, 1), stride=(1, 1), pad=(0, 0)):

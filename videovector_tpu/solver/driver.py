@@ -92,7 +92,12 @@ class SolverDriver:
             # (ref:src/caffe/solver.cpp:37-39 Caffe::set_random_seed)
             rs = int(self.cfg.random_seed)
             seed = rs if rs >= 0 else 1234
-        self.train_net = Net(self.net_msg, phase="TRAIN")
+        # extension: solver `compute_dtype: "bfloat16"` runs the TRAIN
+        # net's GEMMs/convs on bf16 operands (f32 accumulation) — the TPU
+        # throughput mode matching the hand model's compute_dtype. TEST
+        # nets stay f32 so eval metrics keep reference numerics.
+        cd = self._solver_msg.get("compute_dtype") or None
+        self.train_net = Net(self.net_msg, phase="TRAIN", compute_dtype=cd)
         self.train_source = self._build_sources(self.train_net, "TRAIN", seed)
         batch0 = self.train_source.next_batch()
         self._first_batch = batch0

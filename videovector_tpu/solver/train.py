@@ -36,6 +36,70 @@ class TrainResult:
     test_history: list = field(default_factory=list)
 
 
+def build_fused_step(grad_fn, cfg: "SolverConfig", n_accum: int, gm: int, *,
+                     lr_mults=None, decay_mults=None,
+                     batch_axes: dict | None = None, jit: bool = True):
+    """ONE jitted program: split/stack a step's batches into n_accum·gm
+    microbatches, lax.scan the gradient accumulation, apply ONE solver
+    update — the reference's iter_size semantics
+    (ref:src/caffe/solver.cpp iter_size; losses average so the update
+    equals the big-batch update up to f32 summation order) at the
+    fused-schedule throughput measured in PERF.md (wgrad GEMMs stay in the
+    good tiling regime, the optimizer runs once).
+
+    Module-level so scripts/bench_engine_train.py times EXACTLY the
+    program `vvtpu train` runs. Returns
+    fstep(params, state, batches_tuple, key) -> (params, state, metrics)
+    where batches_tuple holds n_accum batch dicts."""
+    import jax.numpy as jnp
+    from jax import lax
+    n_total = n_accum * gm
+    axes = batch_axes or {}
+
+    def split(leaf, axis):
+        if gm == 1:
+            return leaf[None]
+        b = leaf.shape[axis]
+        return jnp.moveaxis(
+            leaf.reshape(leaf.shape[:axis] + (gm, b // gm)
+                         + leaf.shape[axis + 1:]), axis, 0)
+
+    def fstep(p, s, batches, key):
+        parts = [{k: split(v, axes.get(k, 0)) for k, v in b.items()}
+                 for b in batches]
+        stacked = {k: jnp.concatenate([pb[k] for pb in parts], axis=0)
+                   for k in parts[0]}
+        keys = jax.random.split(key, n_total)
+
+        def micro(carry, xs):
+            g_acc, loss_acc = carry
+            mb, kk = xs
+            (loss, aux), g = grad_fn(p, mb, kk)
+            if "__carry__" in aux:  # structure known at trace time
+                raise ValueError(
+                    "fused accumulation cannot thread cross-batch LSTM "
+                    "state — pass fused_accum=False for stateful nets")
+            return (jax.tree.map(jnp.add, g_acc, g),
+                    loss_acc + loss), aux
+
+        g0 = jax.tree.map(jnp.zeros_like, p)
+        (grads, loss_sum), aux_all = lax.scan(
+            micro, (g0, jnp.float32(0.0)), (stacked, keys))
+        grads = jax.tree.map(lambda g: g / n_total, grads)
+        p2, s2 = solver_update(cfg, p, grads, s,
+                               lr_mults=lr_mults, decay_mults=decay_mults)
+        # displayed loss averages over microbatches (== the big-batch
+        # mean for equal micro sizes); other net outputs report the
+        # LAST microbatch (counts like `violations` must not average)
+        metrics = {"loss": loss_sum / n_total,
+                   **{k: v[-1] for k, v in aux_all.items()}}
+        if cfg.snapshot_diff:
+            metrics["__diff__"] = grads
+        return p2, s2, metrics
+
+    return jax.jit(fstep, donate_argnums=(0, 1)) if jit else fstep
+
+
 def auto_grad_microbatch(batch, batch_axes: dict | None = None) -> int:
     """Large-batch schedule: split so each microbatch carries ~128 batch
     rows (the v5e-measured good wgrad regime — B=256 dip gone, B=1024
@@ -136,61 +200,9 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                              lr_mults=lr_mults, decay_mults=decay_mults)
 
     def make_fused_step(n_accum: int, gm: int):
-        """ONE jitted program: split/stack the step's batches into
-        n_accum·gm microbatches, lax.scan the gradient accumulation, apply
-        ONE solver update — the reference's iter_size semantics
-        (ref:src/caffe/solver.cpp iter_size; losses average so the update
-        equals the big-batch update up to f32 summation order) at the
-        fused-schedule throughput measured in PERF.md (wgrad GEMMs stay in
-        the good tiling regime, optimizer runs once)."""
-        import jax.numpy as jnp
-        from jax import lax
-        n_total = n_accum * gm
-        axes = batch_axes or {}
-
-        def split(leaf, axis):
-            if gm == 1:
-                return leaf[None]
-            b = leaf.shape[axis]
-            return jnp.moveaxis(
-                leaf.reshape(leaf.shape[:axis] + (gm, b // gm)
-                             + leaf.shape[axis + 1:]), axis, 0)
-
-        def fstep(p, s, batches, key):
-            parts = [{k: split(v, axes.get(k, 0)) for k, v in b.items()}
-                     for b in batches]
-            stacked = {k: jnp.concatenate([pb[k] for pb in parts], axis=0)
-                       for k in parts[0]}
-            keys = jax.random.split(key, n_total)
-
-            def micro(carry, xs):
-                g_acc, loss_acc = carry
-                mb, kk = xs
-                (loss, aux), g = grad_fn(p, mb, kk)
-                if "__carry__" in aux:  # structure known at trace time
-                    raise ValueError(
-                        "fused accumulation cannot thread cross-batch LSTM "
-                        "state — pass fused_accum=False for stateful nets")
-                return (jax.tree.map(jnp.add, g_acc, g),
-                        loss_acc + loss), aux
-
-            g0 = jax.tree.map(jnp.zeros_like, p)
-            (grads, loss_sum), aux_all = lax.scan(
-                micro, (g0, jnp.float32(0.0)), (stacked, keys))
-            grads = jax.tree.map(lambda g: g / n_total, grads)
-            p2, s2 = solver_update(cfg, p, grads, s,
-                                   lr_mults=lr_mults,
-                                   decay_mults=decay_mults)
-            # displayed loss averages over microbatches (== the big-batch
-            # mean for equal micro sizes); other net outputs report the
-            # LAST microbatch (counts like `violations` must not average)
-            metrics = {"loss": loss_sum / n_total,
-                       **{k: v[-1] for k, v in aux_all.items()}}
-            if cfg.snapshot_diff:
-                metrics["__diff__"] = grads
-            return p2, s2, metrics
-
-        return jax.jit(fstep, donate_argnums=(0, 1)) if jit else fstep
+        return build_fused_step(grad_fn, cfg, n_accum, gm,
+                                lr_mults=lr_mults, decay_mults=decay_mults,
+                                batch_axes=batch_axes, jit=jit)
 
     if jit:
         step = jax.jit(raw_step, donate_argnums=(0, 1))

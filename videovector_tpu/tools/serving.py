@@ -34,14 +34,23 @@ def export_serving(model_path: str, weight_paths: list[str],
                    blob_names: list[str], out_path: str, *,
                    platforms: list[str] | None = None,
                    symbolic_batch: bool = False,
-                   input_shapes: dict | None = None) -> dict:
+                   input_shapes: dict | None = None,
+                   quantize: str | None = None,
+                   calib_batches: int = 4,
+                   calib_data: list | None = None) -> dict:
     """Freeze phase=TEST forward(params, batch) → {blob: activation} with
     params as constants; write a self-contained artifact. Returns the
     input spec {name: (shape, dtype)}.
 
     symbolic_batch=True exports the leading dimension as a shape symbol so
     ONE artifact serves any batch size (fails loudly at export when a layer
-    needs a static batch, e.g. FLATTEN_BATCH with an explicit batch_size)."""
+    needs a static batch, e.g. FLATTEN_BATCH with an explicit batch_size).
+
+    quantize="int8" runs a calibration pass (`calib_batches` batches from
+    the net's data source) and freezes conv/fc weights as int8 with
+    symmetric per-channel scales (tools/quantize.py) — int8×int8→int32 on
+    the MXU (v5e: 2× bf16 peak) and a 4× smaller artifact. Accuracy is
+    bounded by tests/test_quantize.py (retrieval-metric deltas)."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -83,6 +92,28 @@ def export_serving(model_path: str, weight_paths: list[str],
         for k, v in batch0.items()})
     for wp in weight_paths:
         params = _load_weights(wp, params)
+
+    if quantize == "int8":
+        from videovector_tpu.tools.quantize import calibrate, quantize_weights
+        if calib_data is not None:
+            calib = list(calib_data)
+        elif sources:
+            # a fresh source stream supplies the calibration batches
+            src = MergedSource([make_data_source(l, phase="TEST")
+                                for l in net.layers
+                                if l.get("type") in DATA_LAYER_TYPES])
+            calib = [batch0] + [src.next_batch()
+                                for _ in range(max(0, calib_batches - 1))]
+        else:
+            raise ValueError(
+                "int8 quantization needs calibration data: the net has no "
+                "data layers, so pass calib_data=[{input: array}, ...]")
+        scales = calibrate(net, params, calib)
+        net.quant = quantize_weights(params, net, scales)
+        log.info("int8 PTQ: quantized %d layers (%s)", len(net.quant),
+                 ",".join(sorted(net.quant)))
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode {quantize!r}")
 
     # stateful (LSTM) nets: expose the cross-batch recurrent carry
     # (ref:src/caffe/layers/lstm_layer.cpp:171-173 next_cell_/next_out_) as
@@ -139,6 +170,7 @@ def export_serving(model_path: str, weight_paths: list[str],
         "state": sorted(state0),
         "platforms": list(exp.platforms),
         "model": model_path,
+        "quantize": quantize or "none",
     }
     meta_bytes = json.dumps(meta).encode()
     with open(out_path, "wb") as f:
@@ -184,6 +216,12 @@ def main(argv=None) -> int:
     p.add_argument("--input_shape", action="append", default=[],
                    help="name=4,3,227,227 — explicit input shapes "
                         "(needed for MEMORY_DATA-fed nets)")
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="int8 PTQ: calibrated symmetric per-channel "
+                        "weights, int8 MXU math (v5e: 2x bf16 peak), "
+                        "4x smaller artifact")
+    p.add_argument("--calib_batches", type=int, default=4,
+                   help="calibration batches for --quantize")
 
     p = sub.add_parser("run", help="smoke-run an artifact on random inputs")
     p.add_argument("artifact")
@@ -198,7 +236,9 @@ def main(argv=None) -> int:
         export_serving(args.model, args.weights, args.blobs.split(","),
                        args.out, platforms=platforms,
                        symbolic_batch=args.symbolic_batch,
-                       input_shapes=shapes or None)
+                       input_shapes=shapes or None,
+                       quantize=args.quantize or None,
+                       calib_batches=args.calib_batches)
     elif args.command == "run":
         call, meta = load_serving(args.artifact)
         rng = np.random.RandomState(0)
