@@ -210,3 +210,31 @@ def test_lstm_graph_layer(rng):
              "cont": jnp.ones((4, 2), jnp.float32)}
     _, blobs = net.apply(params, batch, return_blobs=True)
     assert blobs["h"].shape == (4, 2, 6)
+
+
+def test_lstm_unroll_is_exact(rng):
+    """scan(unroll=k) is a scheduling knob — outputs and final state must
+    be bit-identical to unroll=1."""
+    from videovector_tpu.ops.recurrent import init_lstm_params, lstm
+    p = init_lstm_params(jax.random.PRNGKey(0), 5, 7)
+    x = jnp.asarray(rng.randn(8, 3, 5).astype(np.float32))
+    cont = jnp.ones((8, 3), jnp.float32).at[0].set(0.0)
+    h1, s1 = jax.jit(lambda: lstm(p, x, cont))()
+    h4, s4 = jax.jit(lambda: lstm(p, x, cont, unroll=4))()
+    np.testing.assert_array_equal(np.asarray(h1), np.asarray(h4))
+    np.testing.assert_array_equal(np.asarray(s1.c), np.asarray(s4.c))
+
+
+def test_lstm_bf16_recurrent_close_and_f32_carry(rng):
+    """recurrent_dtype=bf16 casts only the recurrent GEMM operands: the
+    c/h carries stay f32 and the trajectory stays close to full f32."""
+    from videovector_tpu.ops.recurrent import init_lstm_params, lstm
+    p = init_lstm_params(jax.random.PRNGKey(1), 6, 8)
+    x = jnp.asarray(rng.randn(12, 4, 6).astype(np.float32))
+    cont = jnp.ones((12, 4), jnp.float32).at[0].set(0.0)
+    h32, s32 = lstm(p, x, cont)
+    hbf, sbf = lstm(p, x, cont, recurrent_dtype=jnp.bfloat16)
+    assert hbf.dtype == h32.dtype == jnp.float32
+    assert sbf.c.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(h32), np.asarray(hbf),
+                               atol=0.02, rtol=0.05)

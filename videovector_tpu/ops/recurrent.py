@@ -104,9 +104,20 @@ def _cell(pre, c_prev_masked, hidden: int, *, linear: bool,
 
 
 def lstm(params, x, cont, state: LstmState | None = None, *,
-         clip_threshold: float = 0.0, linear: bool = False):
+         clip_threshold: float = 0.0, linear: bool = False,
+         recurrent_dtype=None, unroll: int = 1):
     """x: (T, B, I); cont: (T, B) continuation bits.
-    Returns (h_all (T, B, H), final LstmState)."""
+    Returns (h_all (T, B, H), final LstmState).
+
+    recurrent_dtype: optional dtype (e.g. bfloat16) for the RECURRENT GEMM
+    operands only — W_h and the masked h carry are cast per step, the
+    accumulation stays f32 (preferred_element_type) and the c/h carries
+    stay f32. Measured on v5e (PERF.md r4 LSTM ledger); the default (None)
+    keeps full-f32 reference numerics.
+    unroll: lax.scan unroll factor (the "time-blocked recurrence"
+    candidate — with the input projection already hoisted into one
+    all-timestep GEMM, blocking k steps per scan iteration IS scan
+    unrolling; measured and rejected on v5e, see PERF.md)."""
     t, b, i_dim = x.shape
     hidden = params["w_h"].shape[0]
     if state is None:
@@ -120,20 +131,25 @@ def lstm(params, x, cont, state: LstmState | None = None, *,
     pre_x = jnp.dot(x.reshape(t * b, i_dim), params["w_i"],
                     preferred_element_type=jnp.float32) + params["b"]
     pre_x = pre_x.reshape(t, b, 4 * hidden).astype(jnp.float32)
+    w_h = (params["w_h"].astype(recurrent_dtype)
+           if recurrent_dtype is not None else params["w_h"])
 
     def step(carry, inp):
         c_prev, h_prev = carry
         pre_t, cont_t = inp
         mask = cont_t[:, None]
         h_masked = h_prev * mask
-        pre = pre_t + jnp.dot(h_masked, params["w_h"],
+        if recurrent_dtype is not None:
+            h_masked = h_masked.astype(recurrent_dtype)
+        pre = pre_t + jnp.dot(h_masked, w_h,
                               preferred_element_type=jnp.float32)
         c, h = _cell(pre, c_prev * mask, hidden, linear=linear,
                      clip_threshold=clip_threshold)
         return (c, h), h
 
     (c_fin, h_fin), h_all = lax.scan(step, (state.c, state.h),
-                                     (pre_x, cont.astype(jnp.float32)))
+                                     (pre_x, cont.astype(jnp.float32)),
+                                     unroll=unroll)
     return h_all, LstmState(c_fin, h_fin)
 
 
