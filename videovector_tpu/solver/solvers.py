@@ -112,15 +112,25 @@ def maybe_grad_barrier(grads, batch, opt_barrier="auto"):
     the barrier when any batch leaf carries >= 3840 rows (elements / last
     dim — layout-agnostic: B=256 x 15 roles in either batch- or role-major
     order crosses it, B=128 does not; static shapes, resolved at trace
-    time)."""
+    time).
+
+    The 3840-row threshold encodes THIS chip's (v5e) fusion behavior.
+    "auto" therefore only fires on TPU backends — CPU/GPU XLA schedules
+    differently and the barrier would be an unvalidated guess there. On
+    other TPU generations re-measure with scripts/diag_batch_cliff.py and
+    pass opt_barrier=True/False explicitly if the threshold moved."""
     import numpy as np
     import jax
     from jax import lax
     if opt_barrier == "auto":
-        def rows(leaf):
-            shape = getattr(leaf, "shape", ())
-            return int(np.prod(shape[:-1])) if len(shape) >= 2 else 0
-        opt_barrier = any(rows(l) >= 3840 for l in jax.tree.leaves(batch))
+        if jax.default_backend() not in ("tpu", "axon"):
+            opt_barrier = False
+        else:
+            def rows(leaf):
+                shape = getattr(leaf, "shape", ())
+                return int(np.prod(shape[:-1])) if len(shape) >= 2 else 0
+            opt_barrier = any(rows(l) >= 3840
+                              for l in jax.tree.leaves(batch))
     return lax.optimization_barrier(grads) if opt_barrier else grads
 
 
