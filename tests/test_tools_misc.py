@@ -10,7 +10,11 @@ from videovector_tpu.utils.logging import GlogFormatter
 
 def test_upgrade_cli(tmp_path):
     src = tmp_path / "v0.prototxt"
+    # "x" must be a declared net input — the reference's padding-upgrade
+    # pass LOG(FATAL)s on undeclared blob inputs (upgrade_proto.cpp:74)
     src.write_text("""
+    input: "x"
+    input_dim: 1 input_dim: 4 input_dim: 1 input_dim: 1
     layers { layer { name: "ip" type: "innerproduct" num_output: 4 }
              bottom: "x" top: "y" }
     """)
