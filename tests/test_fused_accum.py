@@ -183,3 +183,42 @@ def test_engine_driver_fused_matches_host_loop(tmp_path, rng):
     np.testing.assert_allclose(
         np.asarray(res_fused.params["fc7"]["w"]),
         np.asarray(res_host.params["fc7"]["w"]), rtol=1e-4, atol=1e-6)
+
+
+def test_engine_compute_dtype_bf16(tmp_path, rng):
+    """Solver `compute_dtype: "bfloat16"` runs the TRAIN net on bf16 GEMM
+    operands: training still converges and stays near the f32 trajectory;
+    the TEST net stays f32."""
+    import jax.numpy as jnp_
+    from videovector_tpu.config.textformat import parse_file
+    from videovector_tpu.solver.driver import SolverDriver
+    from tests.test_e2e import _make_shot_records, _make_test_windows, \
+        MINI_NET, MINI_SOLVER
+
+    train_src, _ = _make_shot_records(tmp_path, rng, "train.vvr")
+    test_src = _make_test_windows(tmp_path, rng, "test.vvr")
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text(MINI_NET.format(train_src=train_src,
+                                        test_src=test_src))
+    solver_path = tmp_path / "solver.prototxt"
+    solver_path.write_text(MINI_SOLVER.format(
+        net_path=str(net_path), snap_prefix=str(tmp_path / "s")))
+
+    msg = parse_file(str(solver_path))
+    msg.fields["max_iter"] = [20]
+    msg.fields["test_interval"] = [0]
+    msg.fields["display"] = [1]
+    msg.fields["random_seed"] = [5]
+    res_f32 = SolverDriver(msg).build().train()
+    msg.add("compute_dtype", "bfloat16")
+    drv = SolverDriver(msg).build()
+    assert drv.train_net.compute_dtype == jnp_.bfloat16
+    if drv.test_nets:
+        assert drv.test_nets[0].compute_dtype is None
+    res_bf = drv.train()
+    lf = [m[1]["loss"] for m in res_f32.metrics_history]
+    lb = [m[1]["loss"] for m in res_bf.metrics_history]
+    assert len(lf) == len(lb) == 20
+    # bf16 GEMM operands, f32 accumulation: same trajectory within ~1%
+    np.testing.assert_allclose(lf, lb, rtol=0.05)
+    assert lb[-1] < lb[0]  # still learning
