@@ -1,0 +1,80 @@
+"""Gallery-scale retrieval eval on chip: rank-by-counting vs sort engine.
+
+The round-3 measurement: 20k x 4096, 50 classes, EXACT mAP/hit@1/hit@5
+over all queries = 15.2 s with the sort engine (the argsort dominated).
+Round-4 target (VERDICT item 2): <= 3 s with the counting engine, plus a
+100k-gallery demonstration.
+
+python scripts/bench_gallery_eval.py [--n 20000] [--d 4096] [--classes 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=20000)
+    ap.add_argument("--d", type=int, default=4096)
+    ap.add_argument("--classes", type=int, default=50)
+    ap.add_argument("--engines", default="count,sort")
+    ap.add_argument("--big_n", type=int, default=100000,
+                    help="second run at this gallery size (count engine "
+                         "only; 0 to skip)")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache"))
+    import jax.numpy as jnp
+    import numpy as np
+    from videovector_tpu.metrics.retrieval import retrieval_stats_chunked
+
+    def run(n, d, n_cls, engines):
+        rng = np.random.RandomState(0)
+        cls = rng.randint(0, n_cls, size=(n,)).astype(np.int32)
+        vids = rng.randint(0, n // 10, size=(n,)).astype(np.int32)
+        centers = jnp.asarray(rng.randn(n_cls, d).astype(np.float32))
+        # features generated ON DEVICE (tunnel H2D is a harness artifact)
+        noise = jax.jit(lambda k: jax.random.normal(
+            k, (n, d), jnp.float32))(jax.random.PRNGKey(0))
+        feats = centers[jnp.asarray(cls)] * 2.0 + noise
+        feats = feats / jnp.linalg.norm(feats, axis=1, keepdims=True)
+        float(jnp.sum(feats))  # fence the setup
+        results = {}
+        for engine in engines:
+            t0 = time.perf_counter()
+            out = retrieval_stats_chunked(feats, vids, cls,
+                                          query_chunk=512, method=engine)
+            vals = {k: float(v) for k, v in out.items()}
+            warm = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = retrieval_stats_chunked(feats, vids, cls,
+                                          query_chunk=512, method=engine)
+            vals2 = {k: float(v) for k, v in out.items()}
+            hot = time.perf_counter() - t0
+            assert vals == vals2
+            results[engine] = (hot, warm, vals)
+            print(f"N={n} D={d} C={n_cls} engine={engine}: "
+                  f"{hot:.2f}s warm ({warm:.2f}s incl. compile)  {vals}",
+                  flush=True)
+        if len(results) == 2:
+            a, b = (results[e][2] for e in results)
+            for k in a:
+                assert abs(a[k] - b[k]) < 1e-5, (k, a[k], b[k])
+            print("count == sort on chip: OK", flush=True)
+
+    run(args.n, args.d, args.classes, args.engines.split(","))
+    if args.big_n:
+        run(args.big_n, args.d, args.classes, ["count"])
+
+
+if __name__ == "__main__":
+    main()
