@@ -65,11 +65,13 @@ def main():
             print(f"N={n} D={d} C={n_cls} engine={engine}: "
                   f"{hot:.2f}s warm ({warm:.2f}s incl. compile)  {vals}",
                   flush=True)
-        if len(results) == 2:
-            a, b = (results[e][2] for e in results)
-            for k in a:
-                assert abs(a[k] - b[k]) < 1e-5, (k, a[k], b[k])
-            print("count == sort on chip: OK", flush=True)
+        if len(results) > 1:
+            vals_list = [results[e][2] for e in results]
+            for other in vals_list[1:]:
+                for k in vals_list[0]:
+                    assert abs(vals_list[0][k] - other[k]) < 1e-5, \
+                        (k, vals_list[0][k], other[k])
+            print(f"{' == '.join(results)} on chip: OK", flush=True)
 
     run(args.n, args.d, args.classes, args.engines.split(","))
     if args.big_n:

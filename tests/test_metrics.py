@@ -144,12 +144,13 @@ def test_video_level_retrieval_mode(rng):
     assert float(out["hit_at_1"]) == 1.0
 
 
-@pytest.mark.parametrize("method", ["sort", "count"])
+@pytest.mark.parametrize("method", ["sort", "count", "search"])
 @pytest.mark.parametrize("exclude", [False, True])
 def test_retrieval_stats_chunked_matches_dense(rng, exclude, method):
-    """Both chunked engines — the (Q, N) stable-sort path and the
-    rank-by-counting path (no sort; ranks are masked #(key < mine)
-    compare-reductions) — must reproduce the dense path exactly, incl.
+    """All three chunked engines — the (Q, N) stable-sort path, the
+    rank-by-counting path (masked #(key < mine) compare-reductions), and
+    the sorted-key binary-search path — must reproduce the dense path
+    exactly, incl.
     stable (distance, index) tie-breaking, ragged last chunk, excluded
     (class<0) queries, and duplicate features (distance ties)."""
     from videovector_tpu.metrics.retrieval import (
@@ -172,6 +173,33 @@ def test_retrieval_stats_chunked_matches_dense(rng, exclude, method):
     for k in ("mean_ap", "hit_at_1", "hit_at_5"):
         np.testing.assert_allclose(float(chunked[k]), float(dense[k]),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_retrieval_report_top5_stable_ties(rng, tmp_path):
+    """The csv report's device top-5 (lax.top_k on −distance) must
+    reproduce the stable ascending (distance, index) order — checked
+    against a numpy stable-argsort oracle on data with exact duplicate
+    features (distance ties) and same-video exclusions."""
+    from videovector_tpu.metrics.retrieval import retrieval_stats_report
+    n, d = 37, 8
+    feats = rng.randn(n, d).astype(np.float32)
+    feats[9] = feats[3]
+    feats[21] = feats[3]   # duplicates → top-5 order decided by index
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    vids = rng.randint(0, 6, size=(n,))
+    cls = vids % 3
+    path = str(tmp_path / "r.csv")
+    retrieval_stats_report(feats, vids, cls, path)
+    rows = [l.split(",") for l in
+            open(path).read().strip().split("\n")[1:]]
+    assert len(rows) == n
+    for q, row in enumerate(rows):
+        dist = (-2.0 * feats @ feats[q]).astype(np.float32)
+        dist[vids == vids[q]] = np.inf
+        order = np.argsort(dist, kind="stable")[:5]
+        expect = [int(i) for i in order if np.isfinite(dist[i])]
+        expect += [0] * (5 - len(expect))
+        assert [int(x) for x in row[5:10]] == expect, (q, row)
 
 
 def test_retrieval_stats_chunked_gallery_scale(rng):

@@ -201,11 +201,13 @@ def _chunk_retrieval_counts(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
 
     mAP/hit@1/hit@5 only need, for each RELEVANT candidate of each query,
     its rank among valid candidates and among relevant ones — both are
-    `#(key < my key)` counts over the gallery, where key = (distance,
-    index) lexicographic (exactly the dense path's stable argsort order).
-    The counts are masked compare-reductions that ride the VPU at O(Q·M·N)
-    (M = max class size) instead of O(Q·N·logN) sort lanes — 5× on the
-    20k×4096 gallery (PERF.md r4).
+    `#(key < my key)` counts, where key = (distance, index) lexicographic
+    (exactly the dense path's stable argsort order). Keys are pre-masked
+    monotone int32 pairs (invalid → INT32_MAX, computed once per (Q, N)
+    row — NOT per cube element), so the O(Q·M·N) valid-rank cube is 4
+    integer VPU ops per element; the match-rank count only scans the
+    query's own M class members — an (Q, M, M) cube, a factor N/M smaller
+    than the full-gallery formulation (chip measurements in PERF.md r4).
 
     rel_idx: (Q, M) gallery positions of each query's class members
     (host-precomputed; -1 pads). Returns the same partial sums as
@@ -216,9 +218,11 @@ def _chunk_retrieval_counts(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
     m = rel_idx.shape[1]
     dist = -2.0 * jnp.dot(q_feats, feats.T,
                           preferred_element_type=jnp.float32)
+    mono = _mono_i32(dist)                                    # (Q, N)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, mono.shape, 1)
 
     safe_rel = jnp.clip(rel_idx, 0, n - 1)
-    d_rel = jnp.take_along_axis(dist, safe_rel, axis=1)       # (Q, M)
+    mono_rel = jnp.take_along_axis(mono, safe_rel, axis=1)    # (Q, M)
     rel_vid = vids[safe_rel]                                  # (Q, M)
     # a relevant candidate must itself be valid: not the query item, not
     # a pad, and (optionally) not from the query's video
@@ -226,42 +230,47 @@ def _chunk_retrieval_counts(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
     if exclude_same_video_shots:
         rel_ok = rel_ok & (rel_vid != q_vid[:, None])
 
-    # scan the gallery in chunks; counts accumulate in int32
+    # invalid gallery entries masked to (MAX, MAX) keys once per row —
+    # finite-distance keys never collide with the masks, so the cube
+    # needs no separate validity operand
+    valid = gidx != q_pos[:, None]
+    if exclude_same_video_shots:
+        valid = valid & (vids[None, :] != q_vid[:, None])
+    g_mono = jnp.where(valid, mono, _I32_MAX)
+    g_idx = jnp.where(valid, gidx, _I32_MAX)
+
+    # valid-candidate rank: scan the gallery in kc-column chunks, cube
+    # bounded to (Q, M, kc)
     kc = 512
     npad = ((n + kc - 1) // kc) * kc
     nk = npad // kc
     pad = npad - n
-    dist_p = jnp.pad(dist, ((0, 0), (0, pad)))
-    kidx = jnp.arange(npad, dtype=jnp.int32)
-    vids_p = jnp.pad(vids, (0, pad))
-    cls_p = jnp.pad(cls, (0, pad), constant_values=np.int32(-2**31 + 1))
+    g_mono = jnp.pad(g_mono, ((0, 0), (0, pad)), constant_values=_I32_MAX)
+    g_idx = jnp.pad(g_idx, ((0, 0), (0, pad)), constant_values=_I32_MAX)
+    gm_ch = g_mono.reshape(q, nk, kc).transpose(1, 0, 2)      # (nk, Q, kc)
+    gi_ch = g_idx.reshape(q, nk, kc).transpose(1, 0, 2)
 
-    d_ch = dist_p.reshape(q, nk, kc).transpose(1, 0, 2)       # (nk, Q, kc)
-    k_ch = kidx.reshape(nk, kc)
-    v_ch = vids_p.reshape(nk, kc)
-    c_ch = cls_p.reshape(nk, kc)
-
-    def body(carry, xs):
-        cnt_v, cnt_m = carry
-        dk, kk, vk, ck = xs                                   # (Q,kc),(kc,)
-        in_gallery = kk < n
-        valid = in_gallery[None, :] & (kk[None, :] != q_pos[:, None])
-        if exclude_same_video_shots:
-            valid = valid & (vk[None, :] != q_vid[:, None])
-        match = valid & (ck[None, :] == q_cls[:, None])
+    def body(cnt_v, xs):
+        gm, gi = xs                                           # (Q, kc)
         # lexicographic (distance, index) — the stable-argsort order
-        less = ((dk[:, None, :] < d_rel[:, :, None])
-                | ((dk[:, None, :] == d_rel[:, :, None])
-                   & (kk[None, None, :] < rel_idx[:, :, None])))
-        cnt_v = cnt_v + jnp.sum(
-            (valid[:, None, :] & less).astype(jnp.int32), axis=2)
-        cnt_m = cnt_m + jnp.sum(
-            (match[:, None, :] & less).astype(jnp.int32), axis=2)
-        return (cnt_v, cnt_m), None
+        less = ((gm[:, None, :] < mono_rel[:, :, None])
+                | ((gm[:, None, :] == mono_rel[:, :, None])
+                   & (gi[:, None, :] < rel_idx[:, :, None])))
+        return cnt_v + jnp.sum(less.astype(jnp.int32), axis=2), None
 
-    zeros = jnp.zeros((q, m), jnp.int32)
-    (cnt_v, cnt_m), _ = jax.lax.scan(body, (zeros, zeros),
-                                     (d_ch, k_ch, v_ch, c_ch))
+    cnt_v, _ = jax.lax.scan(body, jnp.zeros((q, m), jnp.int32),
+                            (gm_ch, gi_ch))
+
+    # match rank: only the query's class members can match, and rel_idx
+    # already lists exactly those — compare the (Q, M) member keys
+    # against themselves (masked to valid members) instead of re-scanning
+    # the gallery for class equality
+    m_mono = jnp.where(rel_ok, mono_rel, _I32_MAX)
+    m_idx = jnp.where(rel_ok, rel_idx, _I32_MAX)
+    less_m = ((m_mono[:, None, :] < mono_rel[:, :, None])
+              | ((m_mono[:, None, :] == mono_rel[:, :, None])
+                 & (m_idx[:, None, :] < rel_idx[:, :, None])))
+    cnt_m = jnp.sum(less_m.astype(jnp.int32), axis=2)
 
     valrank = (cnt_v + 1).astype(jnp.float32)                 # 1-based
     matchrank = (cnt_m + 1).astype(jnp.float32)
@@ -274,6 +283,109 @@ def _chunk_retrieval_counts(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
     include = (q_cls >= 0).astype(jnp.float32)
     # per-query arrays — the csv report consumes them; the aggregate
     # wrapper sums them host-side
+    return ap, acc1, acc5, include
+
+
+_I32_MAX = np.int32(np.iinfo(np.int32).max)
+
+
+def _mono_i32(d):
+    """f32 → int32 whose SIGNED order equals the float order (sign-flip
+    trick). −0.0 is canonicalized to +0.0 first so ties match
+    float-compare semantics exactly."""
+    d = d + 0.0  # IEEE: -0.0 + 0.0 == +0.0 (not folded — XLA is strict)
+    bits = jax.lax.bitcast_convert_type(d, jnp.int32)
+    return jnp.where(bits >= 0, bits, bits ^ jnp.int32(0x7FFFFFFF))
+
+
+def _searchsorted_2key(s_mono, s_idx, q_mono, q_idx):
+    """Count, per query, how many sorted keys are lexicographically below
+    it: batched binary search over (mono, idx) int32 key pairs — the
+    exact (distance, index) stable-argsort order without x64 packing.
+
+    s_mono/s_idx: (..., K) sorted ascending by (mono, idx); q_mono/q_idx:
+    query keys, same leading dims (broadcastable). Returns int32 counts,
+    shape of the broadcast queries."""
+    k = s_mono.shape[-1]
+    q_mono, q_idx = jnp.broadcast_arrays(q_mono, q_idx)
+    shape = jnp.broadcast_shapes(s_mono.shape[:-1] + (1,), q_mono.shape)
+    lo = jnp.zeros(shape, jnp.int32)
+    hi = jnp.full(shape, k, jnp.int32)
+    for _ in range(max(int(k).bit_length(), 1)):
+        proceed = lo < hi
+        mid = jnp.clip((lo + hi) // 2, 0, k - 1)
+        sm = jnp.take_along_axis(s_mono, mid, axis=-1)
+        si = jnp.take_along_axis(s_idx, mid, axis=-1)
+        less = (sm < q_mono) | ((sm == q_mono) & (si < q_idx))
+        lo = jnp.where(proceed & less, mid + 1, lo)
+        hi = jnp.where(proceed & ~less, mid, hi)
+    return lo
+
+
+@partial(jax.jit, static_argnums=(8, 9))
+def _chunk_retrieval_search(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
+                            rel_idx, exclude_same_video_shots,
+                            sort_chunk=2048):
+    """Rank-by-SEARCH query chunk: identical results to the count/sort
+    engines, computed as sorted-key binary-search counts.
+
+    Each query row's (distance, index) keys are packed into int32 pairs
+    (invalid → MAX), VALUES-sorted in sort_chunk pieces (no index
+    permutation, no vid/cls gathers), and every relevant candidate's rank
+    is a lexicographic binary search: O(Q·N·log²(sort_chunk)) sort lanes
+    + O(Q·M·log) search gathers. The match rank searches the (Q, M)
+    candidate keys themselves.
+
+    REJECTED as a default on chip measurement (PERF.md r4): despite the
+    better asymptotics, XLA:TPU's sort lanes and take_along_axis bisection
+    gathers make it 7× slower than the count engine at 20k×4096 (48.5s vs
+    6.7s warm). Kept as an exactness cross-check engine.
+    """
+    n = feats.shape[0]
+    dist = -2.0 * jnp.dot(q_feats, feats.T,
+                          preferred_element_type=jnp.float32)
+    mono = _mono_i32(dist)                                    # (Q, N)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, mono.shape, 1)
+
+    safe_rel = jnp.clip(rel_idx, 0, n - 1)
+    mono_rel = jnp.take_along_axis(mono, safe_rel, axis=1)    # (Q, M)
+    rel_vid = vids[safe_rel]
+    rel_ok = (rel_idx >= 0) & (rel_idx != q_pos[:, None])
+    if exclude_same_video_shots:
+        rel_ok = rel_ok & (rel_vid != q_vid[:, None])
+
+    valid = gidx != q_pos[:, None]
+    if exclude_same_video_shots:
+        valid = valid & (vids[None, :] != q_vid[:, None])
+    g_mono = jnp.where(valid, mono, _I32_MAX)
+    g_idx = jnp.where(valid, gidx, _I32_MAX)
+
+    kc = min(sort_chunk, n)
+    npad = ((n + kc - 1) // kc) * kc
+    pad = npad - n
+    q = q_feats.shape[0]
+    g_mono = jnp.pad(g_mono, ((0, 0), (0, pad)), constant_values=_I32_MAX) \
+        .reshape(q, npad // kc, kc)
+    g_idx = jnp.pad(g_idx, ((0, 0), (0, pad)), constant_values=_I32_MAX) \
+        .reshape(q, npad // kc, kc)
+    s_mono, s_idx = jax.lax.sort((g_mono, g_idx), dimension=2, num_keys=2)
+    cnt_v = jnp.sum(_searchsorted_2key(
+        s_mono, s_idx, mono_rel[:, None, :], rel_idx[:, None, :]), axis=1)
+
+    m_mono = jnp.where(rel_ok, mono_rel, _I32_MAX)
+    m_idx = jnp.where(rel_ok, rel_idx, _I32_MAX)
+    sm_mono, sm_idx = jax.lax.sort((m_mono, m_idx), dimension=1, num_keys=2)
+    cnt_m = _searchsorted_2key(sm_mono, sm_idx, mono_rel, rel_idx)
+
+    valrank = (cnt_v + 1).astype(jnp.float32)
+    matchrank = (cnt_m + 1).astype(jnp.float32)
+    okf = rel_ok.astype(jnp.float32)
+    ret_total = jnp.sum(okf, axis=1)
+    ap = jnp.sum(okf * matchrank / valrank, axis=1)
+    ap = jnp.where(ret_total > 0, ap / jnp.maximum(ret_total, 1.0), 0.0)
+    acc1 = jnp.sum(okf * (valrank <= 1.0), axis=1)
+    acc5 = jnp.sum(okf * (valrank <= 5.0), axis=1) / 5.0
+    include = (q_cls >= 0).astype(jnp.float32)
     return ap, acc1, acc5, include
 
 
@@ -310,16 +422,23 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     The dense path materializes the full (N, N) distance matrix plus its
     argsort — ~3.2 GB at N=20k — fine at the 673-window reference gallery
     (ref:src/caffe/layers/retrieval_stats_layer.cpp:143-355 is O(N²) too)
-    but not at corpus scale. Two chunked engines, identical outputs:
+    but not at corpus scale. Three chunked engines, identical outputs:
 
-    - "count" (default via "auto" when max class size ≤ max(256, N/8)):
-      rank-by-counting — each relevant candidate's rank is a masked
-      `#(key < mine)` compare-reduction, no sort at all. 5× the sort
-      engine on the 20k×4096 gallery (the argsort was 90% of its 15.2 s,
-      PERF.md r3/r4).
-    - "sort": the (Q, N) stable-argsort + cumsum formulation (kept for
-      degenerate class structure, e.g. one giant class where counting
-      degrades to O(Q·N·M≈N)).
+    - "count" (the "auto" default on TPU): rank-by-counting — each
+      relevant candidate's rank is a masked `#(key < mine)`
+      compare-reduction over pre-masked monotone int32 keys (O(Q·M·N)
+      cube for the valid rank, O(Q·M·M) member-vs-member for the match
+      rank; M = max class size). No sort lanes at all — the fastest
+      engine at every shape measured on chip (PERF.md r4).
+    - "sort": the (Q, N) stable-argsort + cumsum formulation — the
+      "auto" default on the CPU backend (XLA:CPU's native sort beats its
+      compare cubes) and the fallback for degenerate class structure
+      (one giant class drives the count cube to O(Q·N²)).
+    - "search": sorted-key binary-search ranks (values-sort in pieces +
+      lexicographic bisection) — O(Q·N·log²) asymptotics, but measured
+      7× SLOWER than "count" on chip at 20k×4096 (48.5s vs 6.7s: XLA:TPU
+      sort lanes and gather-based bisection are both slow paths); kept
+      as a tested engine for exactness cross-checks, never auto-chosen.
 
     Returns dict(mean_ap, hit_at_1, hit_at_5) of f32 scalars.
     """
@@ -343,18 +462,18 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
 
     if method == "auto":
         table, row_of_query = _class_member_table(cls_np)
-        # counting rides the TPU VPU (masked compare-reductions); on the
-        # CPU backend XLA materializes the (Q, M, Kc) compare cube and the
-        # sort engine wins — auto picks per backend and class structure
+        # count wins on TPU unless the class structure is degenerate
+        # (huge M drives the cube to O(Q·N·M≈N²)); CPU favors its native
+        # sort (PERF.md r4)
         method = ("count"
-                  if (jax.default_backend() not in ("cpu",)
-                      and table.shape[1] <= max(256, n // 8))
+                  if jax.default_backend() not in ("cpu",)
+                  and table.shape[1] <= max(256, n // 8)
                   else "sort")
-    elif method == "count":
+    elif method in ("count", "search"):
         table, row_of_query = _class_member_table(cls_np)
     elif method != "sort":
         raise ValueError(f"unknown method {method!r}")
-    if method == "count":
+    if method in ("count", "search"):
         table_j = jnp.asarray(table)
 
     sums = np.zeros(4, np.float64)
@@ -368,15 +487,21 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
             rows = np.concatenate([row_of_query[idx],
                                    np.full(len(pad), table.shape[0] - 1,
                                            np.int32)]) \
-                if method == "count" else None
+                if method in ("count", "search") else None
         else:
             q_cls = cls[idx]
             idx_np = idx
-            rows = row_of_query[idx] if method == "count" else None
+            rows = row_of_query[idx] if method in ("count", "search") \
+                else None
         # gallery passed as ARGUMENTS (not closed over): one compiled
         # program reused across chunks and calls, nothing inlined as HLO
         # constants
-        if method == "count":
+        if method == "search":
+            ap, acc1, acc5, inc = _chunk_retrieval_search(
+                feats, vids, cls, feats[idx_np], vids[idx_np], q_cls,
+                jnp.asarray(idx_np), table_j[jnp.asarray(rows)],
+                exclude_same_video_shots)
+        elif method == "count":
             ap, acc1, acc5, inc = _chunk_retrieval_counts(
                 feats, vids, cls, feats[idx_np], vids[idx_np], q_cls,
                 jnp.asarray(idx_np), table_j[jnp.asarray(rows)],
@@ -396,15 +521,6 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     }
 
 
-def _sort_key64(dist_f32: np.ndarray, idx: np.ndarray) -> np.ndarray:
-    """Exact (distance, index) lexicographic order as ONE int64 key:
-    the f32 bits map monotonically to uint32 (sign-flip trick), then
-    `key = mono << 21 | idx` — exact for galleries < 2^21 ≈ 2M items."""
-    bits = dist_f32.view(np.int32).astype(np.int64)
-    mono = np.where(bits >= 0, bits + 0x80000000, (~bits) & 0x7FFFFFFF)
-    return (mono << 21) | idx
-
-
 def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
                            exclude_same_video_shots: bool = False) -> dict:
     """Host-side per-query csv dump matching the reference's
@@ -415,18 +531,16 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
 
     Fully vectorized: per-query ap/acc come from the chunked device
     engines (rank-by-counting on TPU, sort on CPU — same backend-aware
-    choice as retrieval_stats_chunked); the top-5 picks use an int64
-    (distance, index) key + argpartition per chunk — no per-row Python
-    ranking loops, so a 100k-row dump takes seconds, not hours. Float
-    fields print with %g (6 significant digits), the reference's ostream
-    formatting."""
+    choice as retrieval_stats_chunked); the top-5 picks
+    ride the device too — `lax.top_k` on the negated distances, whose
+    lower-index tie rule IS the stable (distance, index) order — no
+    per-row Python ranking loops and no host GEMM, so a 100k-row dump
+    takes seconds, not hours. Float fields print with %g (6 significant
+    digits), the reference's ostream formatting."""
     feats = np.asarray(features, np.float32)
     vids64 = np.asarray(video_ids).astype(np.int64).reshape(-1)
     cls64 = np.asarray(class_ids).astype(np.int64).reshape(-1)
     n = feats.shape[0]
-    if n >= (1 << 21):
-        raise ValueError("csv report supports galleries < 2^21 rows "
-                         "(int64 sort-key layout)")
     for name, a in (("video_ids", vids64), ("class_ids", cls64)):
         if a.size and (a.max() > np.iinfo(np.int32).max
                        or a.min() < np.iinfo(np.int32).min):
@@ -441,7 +555,17 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     table_j = jnp.asarray(table)
     use_count = (jax.default_backend() not in ("cpu",)
                  and table.shape[1] <= max(256, n // 8))
-    all_idx = np.arange(n, dtype=np.int64)
+
+    @jax.jit
+    def _top5_chunk(q_feats, q_vid):
+        # exact stable top-5 from OTHER videos (ref :315-321): lax.top_k
+        # on −distance — its lower-index tie rule reproduces the stable
+        # ascending (distance, index) order bit-for-bit
+        d = -2.0 * jnp.dot(q_feats, feats_j.T,
+                           preferred_element_type=jnp.float32)
+        d = jnp.where(vids_j[None, :] == q_vid[:, None], jnp.inf, d)
+        negd, top = jax.lax.top_k(-d, min(5, n))
+        return top, jnp.isfinite(negd)
 
     q_chunk = max(1, min(256, (1 << 25) // max(n, 1)))
     sums = np.zeros(4, np.float64)
@@ -476,19 +600,12 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
             sums += [float(np.sum(ap * inc)), float(np.sum(acc1 * inc)),
                      float(np.sum(acc5 * inc)), float(np.sum(inc))]
 
-            # top-5 retrieved from other videos: exact stable order via
-            # the int64 key, argpartition + small sort — no row loops
-            dist = -2.0 * feats[idx] @ feats.T
-            key = _sort_key64(dist.astype(np.float32, copy=False), all_idx)
-            key[vids_np[idx][:, None] == vids_np[None, :]] = np.iinfo(
-                np.int64).max
+            # top-5 retrieved from other videos — device top_k (exact
+            # stable order, see docstring); only 5 ints/row come host-side
             k5 = min(5, n)
-            part = np.argpartition(key, k5 - 1, axis=1)[:, :k5]
-            pk = np.take_along_axis(key, part, axis=1)
-            ordr = np.argsort(pk, axis=1, kind="stable")
-            top5 = np.take_along_axis(part, ordr, axis=1)
-            valid5 = np.take_along_axis(pk, ordr, axis=1) \
-                != np.iinfo(np.int64).max
+            top5_j, valid5_j = _top5_chunk(feats_j[idx_np], vids_j[idx_np])
+            top5 = np.asarray(top5_j)
+            valid5 = np.asarray(valid5_j)
             top5 = np.where(valid5, top5, 0)
             if k5 < 5:
                 top5 = np.pad(top5, ((0, 0), (0, 5 - k5)))
