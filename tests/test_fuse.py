@@ -1,0 +1,162 @@
+"""Scoring-head fusion (graph/fuse.py): the symbolic batched evaluation of
+the SLICE/NORMALIZATION/ELTWISE/SUM/CONCAT score motif must reproduce the
+per-layer interpretation exactly — loss bit-equal, gradients to float
+determinism — on both the generated flagship family and the unmodified
+reference prototxt (whose CONCAT→NORM→SLICE stack variant exercises the
+stack-distribution rules)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import jax.tree_util as jtu
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "projects", "videovec_embedding"))
+
+from videovector_tpu.config.textformat import parse
+from videovector_tpu.graph.net import Net
+
+REF_PROTOTXT = ("/root/reference/projects/videovec_embedding/"
+                "mednet_embedding_train.prototxt")
+
+
+def _pair(msg, phase, batch, side=None):
+    """(unfused, fused) Nets sharing params/meta."""
+    n0 = Net(msg, phase, fuse_scoring=False,
+             side=dict(side) if side else None)
+    n1 = Net(msg, phase, fuse_scoring=True,
+             side=dict(side) if side else None)
+    p, meta = n0.init(jax.random.PRNGKey(0), batch)
+    n1.param_meta = meta
+    n1._blob_shapes = n0._blob_shapes
+    return n0, n1, p
+
+
+def _generated_net(negatives=5, embed=48, batch=16):
+    from generate_net import emit
+    txt = emit("train.vvr", "test.vvr", batch=batch, test_batch=8,
+               negatives=negatives, embed=embed, buffer_size=480,
+               weight_std=0.01, dropout=0.9)
+    return parse(txt)
+
+
+def test_generated_net_fused_matches_unfused():
+    msg = _generated_net()
+    rng = np.random.RandomState(0)
+    batch = {"data": jnp.asarray(rng.randn(16, 10, 48, 1), jnp.float32)}
+    n0, n1, p = _pair(msg, "TRAIN", batch)
+    key = jax.random.PRNGKey(7)
+    l0, g0 = jax.value_and_grad(lambda p: n0.apply(p, batch, rng=key)[0])(p)
+    l1, g1 = jax.value_and_grad(lambda p: n1.apply(p, batch, rng=key)[0])(p)
+    assert float(l0) == float(l1)                       # bit-equal loss
+    gmax = max(jtu.tree_leaves(jtu.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)))
+    assert gmax <= 1e-7, gmax
+    # outputs (loss tops) identical
+    _, o0 = n0.apply(p, batch, rng=key)
+    _, o1 = n1.apply(p, batch, rng=key)
+    assert sorted(o0) == sorted(o1)
+    for k in o0:
+        np.testing.assert_array_equal(np.asarray(o0[k]), np.asarray(o1[k]))
+    # and the motif actually ran symbolically
+    assert n1._last_absorbed >= 15
+    assert n0._last_absorbed == 0
+
+
+def test_return_blobs_materializes_all_intermediates():
+    """debug_info / vvtpu-time style full-blob requests must still see
+    every motif blob, equal to the unfused values."""
+    msg = _generated_net(negatives=3)
+    rng = np.random.RandomState(1)
+    batch = {"data": jnp.asarray(rng.randn(8, 8, 48, 1), jnp.float32)}
+    n0, n1, p = _pair(msg, "TRAIN", batch)
+    key = jax.random.PRNGKey(0)
+    _, b0 = n0.apply(p, batch, rng=key, return_blobs=True)
+    _, b1 = n1.apply(p, batch, rng=key, return_blobs=True)
+    assert set(b0) == set(b1)
+    for k in b0:
+        np.testing.assert_allclose(np.asarray(b0[k]), np.asarray(b1[k]),
+                                   rtol=0, atol=1e-6, err_msg=k)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PROTOTXT),
+                    reason="reference checkout unavailable")
+def test_reference_prototxt_fused_matches_unfused():
+    """The unmodified reference flagship: TRAIN (stack variant: CONCAT of
+    11 roles → one NORMALIZATION → SLICE back) and TEST phases."""
+    msg = parse(open(REF_PROTOTXT).read())
+    rng = np.random.RandomState(0)
+    batch = {"data": jnp.asarray(rng.randn(4, 15, 256, 1), jnp.float32)}
+    # shrink fc7 so CPU tests stay fast: patch num_output via init shapes —
+    # the prototxt's INNER_PRODUCT num_output is fixed, so run at feat 4096
+    # only for the forward/backward of the scoring head; use a narrow batch
+    batch = {"data": jnp.asarray(rng.randn(3, 15, 4096, 1), jnp.float32)}
+    n0, n1, p = _pair(msg, "TRAIN", batch)
+    key = jax.random.PRNGKey(5)
+    l0, g0 = jax.value_and_grad(lambda p: n0.apply(p, batch, rng=key)[0])(p)
+    l1, g1 = jax.value_and_grad(lambda p: n1.apply(p, batch, rng=key)[0])(p)
+    assert float(l0) == float(l1)
+    gmax = max(jtu.tree_leaves(jtu.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)))
+    assert gmax <= 1e-7, gmax
+    assert n1._last_absorbed >= 29   # slice+stack+norms + 11 chains + concat
+
+    from videovector_tpu.metrics.retrieval import IdToClassMap
+    side = {"retrieval_stats": IdToClassMap(np.arange(50), np.arange(50) % 5)}
+    t0 = Net(msg, "TEST", fuse_scoring=False, side=dict(side))
+    t1 = Net(msg, "TEST", fuse_scoring=True, side=dict(side))
+    tb = {"data": jnp.asarray(rng.randn(8, 4, 4096, 1), jnp.float32),
+          "video_ids": jnp.asarray(
+              rng.randint(0, 50, (8, 1, 1, 1)).astype(np.float32))}
+    p, meta = t0.init(jax.random.PRNGKey(0), tb)
+    t1.param_meta = meta
+    _, o0 = t0.apply(p, tb)
+    _, o1 = t1.apply(p, tb)
+    for k in o0:
+        np.testing.assert_array_equal(np.asarray(o0[k]), np.asarray(o1[k]))
+
+
+def test_partial_motif_falls_back():
+    """A net where a motif intermediate feeds a non-absorbable layer: the
+    symbol must materialize there with unfused-identical values."""
+    txt = """
+name: "partial"
+input: "data"
+layers { name: "sl" type: SLICE bottom: "data" top: "a" top: "b"
+         slice_param { slice_dim: 0 } }
+layers { name: "na" type: NORMALIZATION bottom: "a" top: "an" }
+layers { name: "nb" type: NORMALIZATION bottom: "b" top: "bn" }
+layers { name: "pw" type: POWER bottom: "an" top: "an2"
+         power_param { power: 2.0 } }
+layers { name: "pr" type: ELTWISE bottom: "an" bottom: "bn" top: "p"
+         eltwise_param { operation: PROD } }
+layers { name: "sm" type: SUM bottom: "p" top: "s" }
+layers { name: "el" type: EUCLIDEAN_LOSS bottom: "an2" bottom: "bn"
+         top: "l" }
+"""
+    msg = parse(txt)
+    rng = np.random.RandomState(2)
+    batch = {"data": jnp.asarray(rng.randn(12, 6), jnp.float32)}
+    n0 = Net(msg, "TRAIN", fuse_scoring=False)
+    n1 = Net(msg, "TRAIN", fuse_scoring=True)
+    p, meta = n0.init(jax.random.PRNGKey(0), batch)
+    n1.param_meta = meta
+    l0, o0 = n0.apply(p, batch)
+    l1, o1 = n1.apply(p, batch)
+    assert float(l0) == float(l1)
+    assert sorted(o0) == sorted(o1)       # 's' is a net output both ways
+    for k in o0:
+        np.testing.assert_array_equal(np.asarray(o0[k]), np.asarray(o1[k]))
+
+
+def test_disable_env(monkeypatch):
+    monkeypatch.setenv("VVTPU_DISABLE_FUSION", "1")
+    msg = _generated_net(negatives=3)
+    n1 = Net(msg, "TRAIN", fuse_scoring=True)
+    assert not n1.fuse_scoring

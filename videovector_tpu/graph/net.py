@@ -92,13 +92,18 @@ class Net:
 
     def __init__(self, net_msg: Message, phase: str = "TRAIN", *,
                  level: int = 0, stages: tuple = (), side: dict | None = None,
-                 compute_dtype=None):
+                 compute_dtype=None, fuse_scoring: bool = True):
         # compute_dtype: None = f32 (reference numerics). "bfloat16" casts
         # GEMM/conv operands (f32 accumulation stays) — the TPU throughput
         # extension, wired from the solver prototxt's `compute_dtype` field
         import jax.numpy as _jnp
         self.compute_dtype = (_jnp.dtype(compute_dtype)
                               if compute_dtype is not None else None)
+        # scoring-head fusion (graph/fuse.py): batch the post-tower
+        # SLICE/NORMALIZATION/PROD/SUM score motif into role-major ops —
+        # same math, native-model HLO structure (PERF.md r4)
+        from videovector_tpu.graph.fuse import fusion_enabled
+        self.fuse_scoring = bool(fuse_scoring) and fusion_enabled()
         # int8 PTQ side-table (tools/quantize.py), set by the serving
         # exporter after calibration; None = f32/bf16 math
         self.quant = None
@@ -426,6 +431,15 @@ class Net:
         loss = jnp.float32(0.0)
         consumed: set[str] = set()
 
+        # scoring-head fusion (graph/fuse.py): absorbable motif layers run
+        # symbolically; their blobs materialize batched on first real use.
+        # Disabled for layer-prefix runs (`vvtpu time` marginals must see
+        # the per-layer graph).
+        fz = None
+        if self.fuse_scoring and max_layers is None:
+            from videovector_tpu.graph.fuse import ScoringFusion
+            fz = ScoringFusion()
+
         applied = 0
         for layer in self.layers:
             ltype = layer.get("type")
@@ -435,9 +449,17 @@ class Net:
             if max_layers is not None and applied >= max_layers:
                 break
             applied += 1
-            ldef = LAYERS[ltype]
             bottoms = [str(b) for b in layer.get_list("bottom")]
             consumed.update(bottoms)
+            if fz is not None and fz.try_absorb(
+                    layer, blobs,
+                    self.loss_weights.get(lname, [])) is not None:
+                continue
+            if fz is not None:
+                for b in bottoms:
+                    if b not in blobs and b in fz.syms:
+                        blobs[b] = fz.materialize(b)
+            ldef = LAYERS[ltype]
             lparams = self._resolve_params(params, self.param_meta, lname) \
                 if hasattr(self, "param_meta") else params.get(lname, {})
             outs = ldef.apply(lparams, [blobs[b] for b in bottoms], layer, ctx)
@@ -445,9 +467,20 @@ class Net:
             weights = self.loss_weights.get(lname, [])
             for i, (t, o) in enumerate(zip(tops, outs)):
                 blobs[t] = o
+                if fz is not None:
+                    fz.syms.pop(t, None)   # real rebinding kills the symbol
                 w = weights[i] if i < len(weights) else 0.0
                 if w != 0.0:
                     loss = loss + w * jnp.sum(o)
+
+        if fz is not None:
+            # any live symbol that nothing consumed is a net output (or,
+            # with return_blobs, part of the requested full blob map)
+            for name in list(fz.syms):
+                if name not in blobs and (return_blobs or name not in consumed):
+                    blobs[name] = fz.materialize(name)
+        # introspection (tests/logs): how many layers ran symbolically
+        self._last_absorbed = fz.absorbed_layers if fz is not None else 0
 
         if return_state:
             if return_blobs:
