@@ -40,23 +40,28 @@ def main():
     import numpy as np
 
     def bench(fn, *xs, k=args.k):
-        r = jax.jit(fn)
-        float(jnp.sum(r(*xs).astype(jnp.float32)))  # compile+warm (fence)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            y = r(*xs)
-        float(jnp.sum(y.astype(jnp.float32)))
-        # scan k reps inside one program to amortize tunnel RTT
-        def loop(x0args):
-            def body(c, _):
-                out = fn(*x0args)
+        # scan k reps inside one program to amortize tunnel RTT. The LHS is
+        # dynamically re-sliced from a doubled buffer each iteration so the
+        # dot DEPENDS on the loop counter — without this, XLA hoists the
+        # loop-invariant GEMM out of the scan and the "measurement" is an
+        # empty loop (first version of this script reported 479 "TF/s" f32).
+        a, rest = xs[0], xs[1:]
+        m = a.shape[0]
+        a2 = jnp.concatenate([a, a], axis=0)
+
+        def loop(a2, rest):
+            def body(c, t):
+                lhs = jax.lax.dynamic_slice(
+                    a2, (t % m, 0), (m, a2.shape[1]))
+                out = fn(lhs, *rest)
                 return c + jnp.sum(out.astype(jnp.float32)), None
-            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
+            s, _ = jax.lax.scan(body, jnp.float32(0.0),
+                                jnp.arange(k, dtype=jnp.int32))
             return s
         lj = jax.jit(loop)
-        float(lj(xs))
+        float(lj(a2, rest))
         t0 = time.perf_counter()
-        float(lj(xs))
+        float(lj(a2, rest))
         return (time.perf_counter() - t0) / k
 
     rng = np.random.RandomState(0)
