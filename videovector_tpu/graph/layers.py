@@ -203,6 +203,20 @@ def _convolution():
         _, stride, pad = _kernel_geometry(p)
         x, w = inputs[0], params["w"]
         q = (ctx.quant or {}).get(cfg.get("name"))
+        if q is not None and q.get("mode", "int8") == "weight_only":
+            # int8 STORAGE, bf16 MATH: XLA:TPU int8 convs measured at or
+            # below bf16 speed (PERF.md r4), so the artifact keeps the 4×
+            # weight shrink and dequantizes to bf16 at call time (the
+            # convert+scale constant-folds to a bf16 weight at compile)
+            w_deq = (jnp.asarray(q["w_q"]).astype(jnp.float32)
+                     * jnp.asarray(q["s_w"])[:, None, None, None])
+            y = conv_ops.conv2d(x.astype(jnp.bfloat16),
+                                w_deq.astype(jnp.bfloat16), None,
+                                stride=stride, pad=pad,
+                                groups=int(p.get("group", 1)),
+                                preferred_dtype=jnp.float32)
+            b = params.get("b")
+            return [y + b[None, :, None, None] if b is not None else y]
         if q is not None:
             # int8 PTQ: quantize the input per-tensor, convolve int8×int8
             # with int32 accumulation, dequantize per output channel

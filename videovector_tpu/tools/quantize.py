@@ -109,6 +109,13 @@ def quantize_weights(params: dict, net, input_scales: dict) -> dict:
         else:
             w_q = np.clip(np.rint(w / s_w[:, None, None, None]),
                           -127, 127).astype(np.int8)
+        # Mode choice is a chip measurement (PERF.md r4 "int8 serving"):
+        # XLA:TPU lowers int8 DOTs to the fast MXU path (199 vs 132 TF/s
+        # bf16 at 4096³) but int8 CONVs run at or below bf16 speed
+        # (grouped conv 37% slower) — so convs keep int8 STORAGE (4×
+        # smaller artifact) with weights dequantized to bf16 at call time
+        # ("weight_only"), and only the fc layers run true int8 MXU math.
+        mode = "int8" if ltype == "INNER_PRODUCT" else "weight_only"
         quant[name] = {"w_q": w_q, "s_w": s_w.astype(np.float32),
-                       "s_x": np.float32(s_x)}
+                       "s_x": np.float32(s_x), "mode": mode}
     return quant
