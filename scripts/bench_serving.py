@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--quantize", default="", choices=["", "int8"],
                     help="also export+measure the int8 PTQ artifact and "
                          "report the feature divergence vs f32")
+    ap.add_argument("--compute", default="", choices=["", "bfloat16"],
+                    help="freeze bf16 operand math into BOTH artifacts "
+                         "(the live pipeline's throughput mode)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +63,8 @@ def main():
         art = os.path.join(td, "extract.vvserve")
         t0 = time.perf_counter()
         export_serving(net, [], ["ip2"], art,
-                       input_shapes={"data": (b, 3, 227, 227)})
+                       input_shapes={"data": (b, 3, 227, 227)},
+                       compute_dtype=args.compute or None)
         t_export = time.perf_counter() - t0
         size_mb = os.path.getsize(art) / 1e6
         call, meta = load_serving(art)
@@ -98,7 +102,8 @@ def main():
             t0 = time.perf_counter()
             export_serving(net, [], ["ip2"], art_q,
                            input_shapes={"data": (b, 3, 227, 227)},
-                           quantize=args.quantize, calib_data=calib)
+                           quantize=args.quantize, calib_data=calib,
+                           compute_dtype=args.compute or None)
             t_export_q = time.perf_counter() - t0
             size_q = os.path.getsize(art_q) / 1e6
             call_q, meta_q = load_serving(art_q)

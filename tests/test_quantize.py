@@ -126,3 +126,61 @@ layers { name: "fc2" type: INNER_PRODUCT bottom: "h" top: "out"
     assert np.linalg.norm(yf - yq) / (np.linalg.norm(yf) + 1e-9) < 0.05
     # int8 constants: the quantized artifact is well under half the size
     assert os.path.getsize(art_q) < 0.6 * os.path.getsize(art_f32)
+
+
+def test_conv_mode_is_weight_only(rng):
+    """Per-layer math modes (chip ledger, PERF.md r4): convs carry int8
+    storage but dequantize to bf16 operands at call time — the weight_only
+    output must equal a bf16 conv over the dequantized weights, NOT the
+    full int8 path (which also quantizes activations)."""
+    batch = {"x": rng.randn(4, 3, 10, 10).astype(np.float32)}
+    net, f32_b, q_b = _quantized_pair(CONV_NET, batch)
+    assert all(net.quant[n]["mode"] == "weight_only" for n in net.quant)
+    # oracle: bf16 conv with dequantized weights
+    from videovector_tpu.ops import conv as conv_ops
+    q = net.quant["c1"]
+    params, _ = Net(parse(CONV_NET), phase="TEST").init(
+        jax.random.PRNGKey(0), {"x": jax.ShapeDtypeStruct((4, 3, 10, 10),
+                                                          jnp.float32)})
+    w_deq = (jnp.asarray(q["w_q"]).astype(jnp.float32)
+             * jnp.asarray(q["s_w"])[:, None, None, None])
+    y = conv_ops.conv2d(jnp.asarray(batch["x"]).astype(jnp.bfloat16),
+                        w_deq.astype(jnp.bfloat16), None, stride=(1, 1),
+                        pad=(0, 0), preferred_dtype=jnp.float32)
+    y = y + params["c1"]["b"][None, :, None, None]
+    y = jnp.maximum(y, 0.0)   # blob "h" is post-ReLU (in-place rebinding)
+    got = np.asarray(q_b["h"])
+    np.testing.assert_allclose(got, np.asarray(y), rtol=0, atol=1e-5)
+
+
+def test_ip_mode_is_int8(rng):
+    batch = {"x": rng.randn(16, 24).astype(np.float32)}
+    net, _, _ = _quantized_pair(IP_NET, batch)
+    assert all(net.quant[n]["mode"] == "int8" for n in net.quant)
+
+
+def test_bf16_compute_artifact_roundtrip(tmp_path, rng):
+    """export_serving(compute_dtype="bfloat16") — the throughput artifact:
+    loads with jax alone, meta records the dtype, features track f32
+    within bf16 tolerance."""
+    from videovector_tpu.tools.serving import export_serving, load_serving
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text("""
+input: "x"
+input_dim: 8 input_dim: 64 input_dim: 1 input_dim: 1
+layers { name: "fc" type: INNER_PRODUCT bottom: "x" top: "out"
+  inner_product_param { num_output: 32 weight_filler { type: "xavier" } } }
+""")
+    a32 = str(tmp_path / "f32.vvserve")
+    a16 = str(tmp_path / "bf16.vvserve")
+    export_serving(str(net_path), [], ["out"], a32)
+    export_serving(str(net_path), [], ["out"], a16,
+                   compute_dtype="bfloat16")
+    call32, m32 = load_serving(a32)
+    call16, m16 = load_serving(a16)
+    assert m16["compute_dtype"] == "bfloat16"
+    assert m32["compute_dtype"] == "float32"
+    x = {"x": rng.randn(8, 64, 1, 1).astype(np.float32)}
+    y32 = np.asarray(call32(x)["out"])
+    y16 = np.asarray(call16(x)["out"])
+    assert np.linalg.norm(y32 - y16) / (np.linalg.norm(y32) + 1e-9) < 0.02

@@ -37,7 +37,8 @@ def export_serving(model_path: str, weight_paths: list[str],
                    input_shapes: dict | None = None,
                    quantize: str | None = None,
                    calib_batches: int = 4,
-                   calib_data: list | None = None) -> dict:
+                   calib_data: list | None = None,
+                   compute_dtype: str | None = None) -> dict:
     """Freeze phase=TEST forward(params, batch) → {blob: activation} with
     params as constants; write a self-contained artifact. Returns the
     input spec {name: (shape, dtype)}.
@@ -61,7 +62,11 @@ def export_serving(model_path: str, weight_paths: list[str],
     from videovector_tpu.tools.cli import _load_weights
 
     net_msg = parse_file(model_path)
-    net = Net(net_msg, phase="TEST")
+    # compute_dtype="bfloat16" freezes the throughput math the live
+    # extraction pipeline uses (GEMM/conv operands bf16, f32 accumulation);
+    # the default f32 artifact keeps reference numerics. Calibration for
+    # --quantize runs on the same net, so scales match the served math.
+    net = Net(net_msg, phase="TEST", compute_dtype=compute_dtype)
 
     # example shapes: data layers (batch 0), deploy input declarations, or
     # explicit input_shapes (required for push-fed layers like MEMORY_DATA,
@@ -171,6 +176,7 @@ def export_serving(model_path: str, weight_paths: list[str],
         "platforms": list(exp.platforms),
         "model": model_path,
         "quantize": quantize or "none",
+        "compute_dtype": compute_dtype or "float32",
     }
     meta_bytes = json.dumps(meta).encode()
     with open(out_path, "wb") as f:
@@ -222,6 +228,10 @@ def main(argv=None) -> int:
                         "4x smaller artifact")
     p.add_argument("--calib_batches", type=int, default=4,
                    help="calibration batches for --quantize")
+    p.add_argument("--compute", default="", choices=["", "bfloat16"],
+                   help="freeze bf16 GEMM/conv operands (f32 accumulation)"
+                        " — the live pipeline's throughput math; default "
+                        "keeps f32 reference numerics")
 
     p = sub.add_parser("run", help="smoke-run an artifact on random inputs")
     p.add_argument("artifact")
@@ -238,7 +248,8 @@ def main(argv=None) -> int:
                        symbolic_batch=args.symbolic_batch,
                        input_shapes=shapes or None,
                        quantize=args.quantize or None,
-                       calib_batches=args.calib_batches)
+                       calib_batches=args.calib_batches,
+                       compute_dtype=args.compute or None)
     elif args.command == "run":
         call, meta = load_serving(args.artifact)
         rng = np.random.RandomState(0)
