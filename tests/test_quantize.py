@@ -144,10 +144,13 @@ def test_conv_mode_is_weight_only(rng):
                                                           jnp.float32)})
     w_deq = (jnp.asarray(q["w_q"]).astype(jnp.float32)
              * jnp.asarray(q["s_w"])[:, None, None, None])
+    # bias rides the f32 accumulator inside conv2d, THEN the output casts
+    # to bf16 (same discipline as the compute_dtype path — a post-cast f32
+    # bias add would promote the whole downstream chain back to f32)
     y = conv_ops.conv2d(jnp.asarray(batch["x"]).astype(jnp.bfloat16),
-                        w_deq.astype(jnp.bfloat16), None, stride=(1, 1),
-                        pad=(0, 0), preferred_dtype=jnp.float32)
-    y = y + params["c1"]["b"][None, :, None, None]
+                        w_deq.astype(jnp.bfloat16), params["c1"]["b"],
+                        stride=(1, 1), pad=(0, 0),
+                        preferred_dtype=jnp.float32)
     y = jnp.maximum(y, 0.0)   # blob "h" is post-ReLU (in-place rebinding)
     got = np.asarray(q_b["h"])
     np.testing.assert_allclose(got, np.asarray(y), rtol=0, atol=1e-5)

@@ -210,13 +210,16 @@ def _convolution():
             # convert+scale constant-folds to a bf16 weight at compile)
             w_deq = (jnp.asarray(q["w_q"]).astype(jnp.float32)
                      * jnp.asarray(q["s_w"])[:, None, None, None])
+            # bias goes through conv2d so it adds into the f32 accumulator
+            # BEFORE the cast back to bf16 — adding it afterwards promotes
+            # the output (and the whole downstream pool/LRN chain) to f32,
+            # which cost the int8 artifact 27% at batch 512 (PERF.md r4)
             y = conv_ops.conv2d(x.astype(jnp.bfloat16),
-                                w_deq.astype(jnp.bfloat16), None,
+                                w_deq.astype(jnp.bfloat16), params.get("b"),
                                 stride=stride, pad=pad,
                                 groups=int(p.get("group", 1)),
                                 preferred_dtype=jnp.float32)
-            b = params.get("b")
-            return [y + b[None, :, None, None] if b is not None else y]
+            return [y]
         if q is not None:
             # int8 PTQ: quantize the input per-tensor, convolve int8×int8
             # with int32 accumulation, dequantize per output channel
