@@ -37,6 +37,9 @@ def main():
                    help="engine/model compute dtype (bfloat16 | f32)")
     p.add_argument("--workdir", default="/tmp/vvtpu_engine_bench")
     p.add_argument("--skip-native", action="store_true")
+    p.add_argument("--role-major", action="store_true", dest="role_major",
+                   help="also measure the engine with a role-major "
+                        "(R, B, D, 1) device batch (no in-step relayout)")
     args = p.parse_args()
 
     import jax
@@ -125,6 +128,26 @@ def main():
             dt = run_scan(fbody, params, state, batch, args.iters)
             row[f"engine_{label}_ms"] = round(dt * 1e3, 3)
             row[f"engine_{label}_triplets_s"] = round(bsz * 10 / dt, 0)
+
+        if args.role_major:
+            # role-major feed: (R, B, D, 1) batch, the leading SLICE/CONCAT
+            # absorbs to a reshape (graph/fuse.py drole symbols) — measures
+            # the engine without the (B, R, D) -> (R, B, D) relayout
+            net.role_major_inputs = ("data",)
+            rm_batch = {"data": jax.jit(lambda k: jax.random.normal(
+                k, (15, bsz, args.feat, 1), jnp.float32))(
+                    jax.random.PRNGKey(0))}
+            fbody = build_fused_step(grad_fn, cfg, 1, gm,
+                                     lr_mults=driver.lr_mults,
+                                     decay_mults=driver.decay_mults,
+                                     batch_axes={"data": 1}, jit=False)
+            params = jax.tree.map(jnp.array, driver.params)
+            from videovector_tpu.solver import init_solver_state
+            state = init_solver_state(cfg, params)
+            dt = run_scan(fbody, params, state, rm_batch, args.iters)
+            net.role_major_inputs = ()
+            row["engine_rm_ms"] = round(dt * 1e3, 3)
+            row["engine_rm_triplets_s"] = round(bsz * 10 / dt, 0)
 
         if not args.skip_native:
             from videovector_tpu.models import (

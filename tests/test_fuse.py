@@ -155,6 +155,49 @@ layers { name: "el" type: EUCLIDEAN_LOSS bottom: "an2" bottom: "bn"
         np.testing.assert_array_equal(np.asarray(o0[k]), np.asarray(o1[k]))
 
 
+def test_role_major_feed_bit_equal():
+    """Feeding the data blob role-major ((R, B, D, 1)) with
+    net.role_major_inputs set must be bit-equal to the normal feed — the
+    leading SLICE(dim1)/CONCAT(dim0) absorbs to drole symbols and the
+    tower input materializes as a reshape, so dropout masks, loss, and
+    grads all match exactly."""
+    msg = _generated_net()
+    rng = np.random.RandomState(0)
+    data = rng.randn(16, 10, 48, 1).astype(np.float32)
+    batch = {"data": jnp.asarray(data)}
+    rm = {"data": jnp.asarray(np.ascontiguousarray(
+        data.transpose(1, 0, 2, 3)))}
+    n0, n1, p = _pair(msg, "TRAIN", batch)
+    key = jax.random.PRNGKey(7)
+    l0, g0 = jax.value_and_grad(lambda p: n1.apply(p, batch, rng=key)[0])(p)
+    base_absorbed = n1._last_absorbed
+    n1.role_major_inputs = ("data",)
+    l1, g1 = jax.value_and_grad(lambda p: n1.apply(p, rm, rng=key)[0])(p)
+    assert float(l0) == float(l1)
+    gmax = max(jtu.tree_leaves(jtu.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)))
+    assert gmax == 0.0, gmax
+    # the leading SLICE + CONCAT absorbed on top of the scoring motif
+    assert n1._last_absorbed >= base_absorbed + 2
+    # unfused fallback: the moveaxis view keeps plain interpretation exact
+    n0.role_major_inputs = ("data",)
+    l2, _ = n0.apply(p, rm, rng=key)
+    assert float(l2) == float(l0)
+
+
+def test_role_major_candidates_and_driver_detection():
+    msg = _generated_net()
+    n = Net(msg, "TRAIN")
+    batch = {"data": np.zeros((4, 10, 48, 1), np.float32)}
+    assert n.role_major_candidates(batch) == ["data"]
+    # wrong role count -> not eligible
+    assert n.role_major_candidates(
+        {"data": np.zeros((4, 9, 48, 1), np.float32)}) == []
+    # fusion disabled -> never eligible
+    n2 = Net(msg, "TRAIN", fuse_scoring=False)
+    assert n2.role_major_candidates(batch) == []
+
+
 def test_disable_env(monkeypatch):
     monkeypatch.setenv("VVTPU_DISABLE_FUSION", "1")
     msg = _generated_net(negatives=3)

@@ -185,6 +185,57 @@ def test_engine_driver_fused_matches_host_loop(tmp_path, rng):
         np.asarray(res_host.params["fc7"]["w"]), rtol=1e-4, atol=1e-6)
 
 
+def test_engine_driver_role_major_matches_plain(tmp_path, rng):
+    """Solver `role_major_data: true` — the engine feeds the data blob
+    (R, B, D, 1) and the leading SLICE/CONCAT absorbs to a reshape
+    (graph/fuse.py drole): trajectory must be BIT-equal to the normal
+    feed (same dropout masks — the tower input tensor is identical)."""
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(
+        _os.path.abspath(__file__))), "projects", "videovec_embedding"))
+    from generate_net import emit
+    from videovector_tpu.config.textformat import Message, parse
+    from videovector_tpu.data.shots import ShotDataset, ShotVideo
+    from videovector_tpu.solver.driver import SolverDriver
+
+    src = str(tmp_path / "train.vvr")
+    videos = [ShotVideo(v + 1, np.arange(12, dtype=np.int32),
+                        np.abs(rng.randn(12, 32)).astype(np.float32))
+              for v in range(10)]
+    ShotDataset(videos).to_records(src)
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text(emit(src, src, batch=8, test_batch=4, negatives=5,
+                             embed=32, buffer_size=48, weight_std=0.01,
+                             dropout=0.9))
+
+    def run(flag):
+        msg = Message()
+        msg.add("net", str(net_path))
+        for k, v in (("base_lr", 0.01), ("momentum", 0.9),
+                     ("weight_decay", 5e-4), ("lr_policy", "fixed"),
+                     ("max_iter", 6), ("random_seed", 3), ("display", 1)):
+            msg.add(k, v)
+        if flag:
+            msg.add("role_major_data", True)
+        d = SolverDriver(msg).build()
+        if flag:
+            assert d.role_major_keys == ("data",)
+            assert d.train_net.role_major_inputs == ("data",)
+        return d.train()
+
+    r0, r1 = run(False), run(True)
+    l0 = [m[1]["loss"] for m in r0.metrics_history]
+    l1 = [m[1]["loss"] for m in r1.metrics_history]
+    assert len(l0) == len(l1) > 0
+    assert l0 == l1                       # bit-equal trajectory
+    for lname in r0.params:
+        for pname in r0.params[lname]:
+            np.testing.assert_array_equal(
+                np.asarray(r0.params[lname][pname]),
+                np.asarray(r1.params[lname][pname]))
+
+
 def test_engine_compute_dtype_bf16(tmp_path, rng):
     """Solver `compute_dtype: "bfloat16"` runs the TRAIN net on bf16 GEMM
     operands: training still converges and stays near the f32 trajectory;

@@ -54,6 +54,7 @@ def fusion_enabled() -> bool:
 
 # Symbols are nested tuples (hashable → materialization cache keys):
 #   ("role", root_name, i)
+#   ("drole", root_name, i)               axis-1 slice of a role-major input
 #   ("ctx", ((coeff, sym), ...))          linear combination, listed order
 #   ("norm", sym)
 #   ("stack", (sym, ...))                 dim0-concat of equal-width vectors
@@ -63,11 +64,20 @@ def fusion_enabled() -> bool:
 
 
 class ScoringFusion:
-    """Per-apply symbolic state. Lives for one Net.apply call."""
+    """Per-apply symbolic state. Lives for one Net.apply call.
 
-    def __init__(self):
+    `role_major` maps input blob names to their RAW (R, B, feat...) arrays
+    when the caller feeds that blob role-major (Net.apply role_major
+    inputs): the leading SLICE(dim1) of the flagship graph then absorbs to
+    `drole` symbols over axis 0 of the raw array, and the CONCAT(dim0)
+    stack that feeds the tower materializes as a free reshape instead of
+    the (B, R, D) → (R, B, D) relayout — which was the engine's residual
+    gap vs the native model (PERF.md r4)."""
+
+    def __init__(self, role_major: dict | None = None):
         self.syms: dict[str, tuple] = {}      # blob name -> symbol
         self.roots: dict[str, tuple] = {}     # root name -> (arr3, b, feat)
+        self.rm: dict[str, object] = dict(role_major or {})
         self._cache: dict[tuple, object] = {}
         self.absorbed_layers = 0              # introspection for tests/logs
 
@@ -103,6 +113,21 @@ class ScoringFusion:
 
         if ltype == "SLICE":
             p = layer.get_msg("slice_param")
+            if int(p.get("slice_dim", 1)) == 1:
+                # role-major-fed root: axis-1 slices of the logical
+                # (B, R, feat...) blob are axis-0 slices of the raw array
+                src = bottoms[0]
+                if bsyms[0] is not None or src not in self.rm:
+                    return None
+                arr = self.rm[src]
+                n = len(tops)
+                if not hasattr(arr, "shape") or arr.ndim < 2 \
+                        or arr.shape[0] != n:
+                    return None   # only all-width-1 slices
+                points = [int(v) for v in p.get_list("slice_point")]
+                if points and points != list(range(1, n)):
+                    return None
+                return [("drole", src, i) for i in range(n)]
             if int(p.get("slice_dim", 1)) != 0:
                 return None
             points = [int(v) for v in p.get_list("slice_point")]
@@ -163,11 +188,13 @@ class ScoringFusion:
                     or [1.0] * len(bsyms)
                 if len(coeffs) != len(bsyms):
                     return None
-                if not all(s[0] in ("role", "ctx", "norm") for s in bsyms):
+                if not all(s[0] in ("role", "drole", "ctx", "norm")
+                           for s in bsyms):
                     return None
                 return [("ctx", tuple((c, s) for c, s in zip(coeffs, bsyms)))]
             if op == "PROD" and len(bsyms) == 2 \
-                    and all(s[0] in ("role", "ctx", "norm") for s in bsyms):
+                    and all(s[0] in ("role", "drole", "ctx", "norm")
+                            for s in bsyms):
                 return [("prod", bsyms[0], bsyms[1])]
             return None
 
@@ -177,7 +204,7 @@ class ScoringFusion:
                 return None
             if s[0] == "stack":
                 return [("stack", tuple(("norm", e) for e in s[1]))]
-            if s[0] in ("role", "ctx", "norm"):
+            if s[0] in ("role", "drole", "ctx", "norm"):
                 return [("norm", s)]
             return None
 
@@ -194,6 +221,8 @@ class ScoringFusion:
         """Row count of a vector symbol, if statically known."""
         if sym[0] == "role":
             return self.roots[sym[1]][1]
+        if sym[0] == "drole":
+            return self.rm[sym[1]].shape[1]
         if sym[0] == "ctx":
             return self._sym_width(sym[1][0][1])
         if sym[0] == "norm":
@@ -214,6 +243,10 @@ class ScoringFusion:
         kind = sym[0]
         if kind == "role":
             out = self.roots[sym[1]][0][sym[2]]
+        elif kind == "drole":
+            # logical (B, 1, feat...) slice of the role-major (R, B, feat...)
+            arr = self.rm[sym[1]]
+            out = arr[sym[2]][:, None]
         elif kind == "ctx":
             # fold in listed order — ops.eltwise_sum's exact accumulation
             terms = sym[1]
@@ -223,7 +256,7 @@ class ScoringFusion:
         elif kind == "norm":
             out = _l2n_feat(self._mat(sym[1]))
         elif kind == "stack":
-            out = jnp.concatenate([self._mat(e) for e in sym[1]], axis=0)
+            out = self._mat_stack(sym[1])
         elif kind == "prod":
             out = self._mat(sym[1]) * self._mat(sym[2])
         elif kind == "score":
@@ -234,6 +267,20 @@ class ScoringFusion:
             raise AssertionError(f"unknown symbol {sym!r}")
         self._cache[sym] = out
         return out
+
+    def _mat_stack(self, elems):
+        """dim0-concat of the element symbols. Fast path: a full in-order
+        drole cover of one role-major root is just a reshape of the raw
+        (R, B, feat...) array — concat of its axis-0 slices IS that array
+        laid out role-major, so no data moves (the whole point of the
+        role-major feed)."""
+        if all(e[0] == "drole" for e in elems) \
+                and len({e[1] for e in elems}) == 1:
+            arr = self.rm[elems[0][1]]
+            if [e[2] for e in elems] == list(range(arr.shape[0])):
+                r, b = arr.shape[0], arr.shape[1]
+                return arr.reshape((r * b, 1) + tuple(arr.shape[2:]))
+        return jnp.concatenate([self._mat(e) for e in elems], axis=0)
 
     def _mat_score(self, sym):
         _, a, b, m = sym

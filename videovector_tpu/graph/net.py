@@ -107,6 +107,14 @@ class Net:
         # int8 PTQ side-table (tools/quantize.py), set by the serving
         # exporter after calibration; None = f32/bf16 math
         self.quant = None
+        # input blobs the caller feeds role-major: the batch carries
+        # (R, B, feat...) for a blob whose logical shape is (B, R, feat...).
+        # apply() binds the logical view (moveaxis — correct for any
+        # consumer) and hands the raw array to the scoring fusion, which
+        # absorbs the leading SLICE(dim1)/CONCAT(dim0) into a free reshape
+        # (XLA DCEs the unused moveaxis). Set by SolverDriver
+        # (role_major_data) or directly by benchmarks.
+        self.role_major_inputs: tuple = ()
         # legacy V0 auto-upgrade on load (ref ReadNetParamsFromTextFileOrDie →
         # UpgradeV0Net, util/upgrade_proto.cpp)
         from videovector_tpu.config.upgrade import net_needs_upgrade, upgrade_net
@@ -420,10 +428,18 @@ class Net:
         analogue of Net::ForwardFromTo, ref:src/caffe/net.cpp:502-514) —
         used by the segmented `vvtpu time` benchmark."""
         blobs: dict[str, Any] = {}
+        rm_raw: dict[str, Any] = {}
         for name in self.input_names:
             if name not in batch:
                 raise ValueError(f"batch missing graph input {name!r}")
-            blobs[name] = batch[name]
+            arr = batch[name]
+            if name in self.role_major_inputs and hasattr(arr, "ndim") \
+                    and arr.ndim >= 2:
+                # fed (R, B, feat...): bind the logical (B, R, feat...)
+                # view; the fusion gets the raw array (see __init__ note)
+                rm_raw[name] = arr
+                arr = jnp.moveaxis(arr, 0, 1)
+            blobs[name] = arr
 
         ctx = ApplyContext(phase=self.phase, rng=rng, side=self.side,
                            state_in=state, compute_dtype=self.compute_dtype,
@@ -438,7 +454,7 @@ class Net:
         fz = None
         if self.fuse_scoring and max_layers is None:
             from videovector_tpu.graph.fuse import ScoringFusion
-            fz = ScoringFusion()
+            fz = ScoringFusion(role_major=rm_raw)
 
         applied = 0
         for layer in self.layers:
@@ -491,6 +507,33 @@ class Net:
             return loss, blobs
         outputs = {k: v for k, v in blobs.items() if k not in consumed}
         return loss, outputs
+
+    def role_major_candidates(self, batch) -> list[str]:
+        """Input blobs eligible for the role-major feed: consumed by a
+        SLICE(dim1) into all-width-1 slices that the scoring fusion can
+        absorb (graph/fuse.py drole symbols). Used by SolverDriver's
+        `role_major_data` option to pick which batch keys to transpose."""
+        if not self.fuse_scoring:
+            return []
+        out = []
+        for layer in self.layers:
+            if layer.get("type") != "SLICE":
+                continue
+            p = layer.get_msg("slice_param")
+            if int(p.get("slice_dim", 1)) != 1:
+                continue
+            src = str(layer.get_list("bottom")[0])
+            tops = [str(t) for t in layer.get_list("top")]
+            arr = batch.get(src)
+            if src not in self.input_names or arr is None \
+                    or getattr(arr, "ndim", 0) < 2 \
+                    or arr.shape[1] != len(tops):
+                continue
+            points = [int(v) for v in p.get_list("slice_point")]
+            if points and points != list(range(1, len(tops))):
+                continue
+            out.append(src)
+        return out
 
     @property
     def stateful_layer_names(self) -> list:

@@ -105,6 +105,24 @@ class SolverDriver:
             jax.random.PRNGKey(seed), _spec_from_batch(batch0))
         self.params = params
 
+        # extension: solver `role_major_data: true` feeds eligible data
+        # blobs role-major ((R, B, feat...) instead of (B, R, feat...)) so
+        # the leading SLICE/CONCAT absorbs to a reshape instead of a
+        # per-step relayout (graph/fuse.py drole symbols) — the engine's
+        # residual gap vs the native model (PERF.md r4). The host-side
+        # transpose runs in the prefetch thread; loss/grads are bit-equal
+        # (tested: tests/test_fuse.py role-major rows).
+        self.role_major_keys: tuple = ()
+        if self._solver_msg.get("role_major_data"):
+            cands = self.train_net.role_major_candidates(batch0)
+            if cands:
+                self.train_net.role_major_inputs = tuple(cands)
+                self.role_major_keys = tuple(cands)
+                self._first_batch = self._transpose_role_major(batch0)
+            else:
+                log.warning("role_major_data: no eligible SLICE(dim1) "
+                            "data blob in the TRAIN net; feeding normally")
+
         self.test_nets = []
         self.test_sources = []
         if self.has_test:
@@ -141,7 +159,13 @@ class SolverDriver:
         return MergedSource(sources)
 
     # ------------------------------------------------------------------
-    def _data_iter(self, source, sharding=None, validators=None):
+    def _transpose_role_major(self, batch):
+        return {k: (np.ascontiguousarray(np.moveaxis(v, 1, 0))
+                    if k in self.role_major_keys else v)
+                for k, v in batch.items()}
+
+    def _data_iter(self, source, sharding=None, validators=None,
+                   transform=None):
         # background host batching + async H2D (double buffered), the
         # reference's prefetch-thread overlap at the jit boundary.
         # `validators`: host-side batch checks (Net.batch_validators) that
@@ -156,17 +180,22 @@ class SolverDriver:
                         v(b)
                     yield b
             it = _checked(it)
+        if transform:
+            # after validators (they see the logical layout), before H2D —
+            # runs in the prefetcher's background thread
+            def _mapped(inner):
+                for b in inner:
+                    yield transform(b)
+            it = _mapped(it)
         return iter(DevicePrefetcher(it, depth=2, sharding=sharding))
 
     @staticmethod
-    def _batch_shardings(probe_batch, source, mesh):
-        """Per-top NamedShardings honoring the source's batch axes.
+    def _batch_shardings(probe_batch, axes, mesh):
+        """Per-top NamedShardings honoring the batch axes dict.
         `probe_batch` supplies shapes (the first batch saved at build —
         consuming a fresh one here would desync the training stream)."""
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
-        axes = (source.batch_axes()
-                if hasattr(source, "batch_axes") else {})
 
         def spec(v, k):
             dims = [None] * np.asarray(v).ndim
@@ -265,8 +294,18 @@ class SolverDriver:
                           lambda p, it: net.debug_info(
                               p, self._first_batch_jnp())))
 
+        # batch-axis map for microbatch splitting + mesh sharding; the
+        # role-major feed moves those keys' batch dim from 0 to 1
+        src_axes = dict(self.train_source.batch_axes()
+                        if hasattr(self.train_source, "batch_axes") else {})
+        for k in self.role_major_keys:
+            src_axes[k] = 1
+        rm_transform = (self._transpose_role_major
+                        if self.role_major_keys else None)
+
         if mesh is None:
-            data_iter = self._data_iter(self.train_source)
+            data_iter = self._data_iter(self.train_source,
+                                        transform=rm_transform)
         else:
             from videovector_tpu.parallel.train import shard_params
             params = shard_params(params, mesh,
@@ -274,8 +313,9 @@ class SolverDriver:
             # the prefetcher places batches DIRECTLY with the mesh sharding
             # — one async H2D per shard, no defaul-device detour
             data_iter = self._data_iter(
-                self.train_source, sharding=self._batch_shardings(
-                    self._first_batch, self.train_source, mesh))
+                self.train_source, transform=rm_transform,
+                sharding=self._batch_shardings(
+                    self._first_batch, src_axes, mesh))
 
         # param-carrying layers in NET order — the .solverstate history
         # blob order (ref net_->params(); src/caffe/solver.cpp:578-596)
@@ -293,8 +333,6 @@ class SolverDriver:
         # fused iter_size/grad_microbatch accumulation (ONE scanned XLA
         # program per step) for stateless nets; stateful nets must thread
         # the LSTM carry between sub-batches on the host
-        src_axes = (self.train_source.batch_axes()
-                    if hasattr(self.train_source, "batch_axes") else {})
         return train(loss_fn, params, data_iter, cfg,
                      lr_mults=self.lr_mults, decay_mults=self.decay_mults,
                      eval_fn=eval_fn, test_data=test_iter, hooks=hooks,

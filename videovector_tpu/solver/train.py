@@ -65,26 +65,60 @@ def build_fused_step(grad_fn, cfg: "SolverConfig", n_accum: int, gm: int, *,
                          + leaf.shape[axis + 1:]), axis, 0)
 
     def fstep(p, s, batches, key):
-        parts = [{k: split(v, axes.get(k, 0)) for k, v in b.items()}
-                 for b in batches]
-        stacked = {k: jnp.concatenate([pb[k] for pb in parts], axis=0)
-                   for k in parts[0]}
         keys = jax.random.split(key, n_total)
 
-        def micro(carry, xs):
-            g_acc, loss_acc = carry
-            mb, kk = xs
-            (loss, aux), g = grad_fn(p, mb, kk)
+        def check_aux(aux):
             if "__carry__" in aux:  # structure known at trace time
                 raise ValueError(
                     "fused accumulation cannot thread cross-batch LSTM "
                     "state — pass fused_accum=False for stateful nets")
-            return (jax.tree.map(jnp.add, g_acc, g),
-                    loss_acc + loss), aux
 
-        g0 = jax.tree.map(jnp.zeros_like, p)
-        (grads, loss_sum), aux_all = lax.scan(
-            micro, (g0, jnp.float32(0.0)), (stacked, keys))
+        if any(axes.get(k, 0) != 0 for k in batches[0]):
+            # non-leading batch axis (role-major feed): reshape+moveaxis
+            # would materialize a full transposed copy of the batch —
+            # exactly the relayout the role-major feed exists to avoid
+            # (measured 2% at B=1024, PERF.md r4). Scan over microbatch
+            # INDICES and dynamic-slice the original tensors instead:
+            # each slice is gm strided-contiguous chunks, no transpose.
+            full = {k: (jnp.concatenate([b[k] for b in batches],
+                                        axis=axes.get(k, 0))
+                        if n_accum > 1 else batches[0][k])
+                    for k in batches[0]}
+            sizes = {k: v.shape[axes.get(k, 0)] // n_total
+                     for k, v in full.items()}
+
+            def micro(carry, xs):
+                g_acc, loss_acc = carry
+                i, kk = xs
+                mb = {k: lax.dynamic_slice_in_dim(
+                    v, i * sizes[k], sizes[k], axis=axes.get(k, 0))
+                    for k, v in full.items()}
+                (loss, aux), g = grad_fn(p, mb, kk)
+                check_aux(aux)
+                return (jax.tree.map(jnp.add, g_acc, g),
+                        loss_acc + loss), aux
+
+            g0 = jax.tree.map(jnp.zeros_like, p)
+            (grads, loss_sum), aux_all = lax.scan(
+                micro, (g0, jnp.float32(0.0)),
+                (jnp.arange(n_total, dtype=jnp.int32), keys))
+        else:
+            parts = [{k: split(v, axes.get(k, 0)) for k, v in b.items()}
+                     for b in batches]
+            stacked = {k: jnp.concatenate([pb[k] for pb in parts], axis=0)
+                       for k in parts[0]}
+
+            def micro(carry, xs):
+                g_acc, loss_acc = carry
+                mb, kk = xs
+                (loss, aux), g = grad_fn(p, mb, kk)
+                check_aux(aux)
+                return (jax.tree.map(jnp.add, g_acc, g),
+                        loss_acc + loss), aux
+
+            g0 = jax.tree.map(jnp.zeros_like, p)
+            (grads, loss_sum), aux_all = lax.scan(
+                micro, (g0, jnp.float32(0.0)), (stacked, keys))
         grads = jax.tree.map(lambda g: g / n_total, grads)
         p2, s2 = solver_update(cfg, p, grads, s,
                                lr_mults=lr_mults, decay_mults=decay_mults)
