@@ -303,12 +303,19 @@ struct Sampler {
         memcpy(row + size_t(cidx) * D, &v.features[size_t(perm[i]) * D], D * 4);
         ++cidx;
       }
-      // same-video negatives: remaining ids outside [perm[half-1], perm[half+1]]
+      // same-video negatives: remaining ids outside [perm[half-1], perm[half+1]].
+      // Cap by num_negatives too: the reference's loop bound is
+      // max_same_video_negs alone (video_sampled_shots_data_layer.cpp:485)
+      // and silently overruns the item's negative slots when
+      // max_same_video_negs > num_negative_samples — here that would be
+      // heap corruption, so the cap is the sane reading of the intent.
       int added = 0;
-      if (cfg.num_negatives > 0 && S > cs && cfg.max_same_video_negs > 0) {
+      const int same_cap = std::min(cfg.max_same_video_negs,
+                                    cfg.num_negatives);
+      if (cfg.num_negatives > 0 && S > cs && same_cap > 0) {
         std::shuffle(perm.begin() + cs, perm.end(), rng);
         int lo = perm[half - 1], hi = perm[half + 1];
-        for (int i = cs; i < S && added < cfg.max_same_video_negs; ++i) {
+        for (int i = cs; i < S && added < same_cap; ++i) {
           if (perm[i] < lo || perm[i] > hi) {
             memcpy(row + size_t(cs + added) * D,
                    &v.features[size_t(perm[i]) * D], D * 4);

@@ -211,6 +211,24 @@ def test_sampled_window_source_layout(rng):
             assert dists.min() < 1e-6, f"row {b} ch {c} not from video {vid}"
 
 
+def test_sampled_same_video_cap_exceeds_negatives(rng):
+    """max_same_video_negs > num_negative_samples must not overflow the
+    negative slots (the reference's loop bound is max_same_video_negs
+    alone and scribbles past the item block,
+    ref:video_sampled_shots_data_layer.cpp:485 — we cap at the slot
+    count)."""
+    ds = _make_dataset(rng, dim=16)
+    cfg = SampledShotsConfig(batch_size=8, num_negative_samples=3,
+                             max_buffer_size=30, negative_swap_percentage=50,
+                             max_same_video_negs=6, context_type="WINDOW",
+                             context_size=5)
+    src = VideoSampledShotsSource(ds, cfg)
+    for _ in range(3):
+        batch = src.next_batch()
+        assert batch["data"].shape == (8, 5 + 3, 16)
+        assert np.isfinite(batch["data"]).all()
+
+
 def test_sampled_window_contexts_sorted_around_target(rng):
     """WINDOW: target is the middle of 5 sorted sampled indices; contexts are
     the other 4 (ref AddSamplesToTop WINDOW branch)."""

@@ -103,6 +103,27 @@ def test_native_writer_byte_identical(tmp_path, rng):
     assert open(p1, "rb").read() == open(p2, "rb").read()
 
 
+def test_native_sampler_same_video_cap_exceeds_negatives(tmp_path, rng):
+    """max_same_video_negs > num_negative_samples: the C++ sampler must cap
+    at the slot count (un-capped this memcpy'd past the row — heap
+    corruption; the reference has the same latent overrun,
+    ref:video_sampled_shots_data_layer.cpp:485)."""
+    _ensure_lib()
+    ds = _make_dataset(rng)
+    path = str(tmp_path / "shots.vvr")
+    ds.to_records(path)
+    src = native.NativeSampledShotsSource(
+        path, batch_size=6, context_size=5, num_negative_samples=3,
+        max_buffer_size=20, negative_swap_percentage=50,
+        max_same_video_negs=6, seed=7)
+    assert src.channels == 8
+    for _ in range(4):
+        batch = src.next_batch()
+        assert batch["data"].shape == (6, 8, 16)
+        assert np.isfinite(batch["data"]).all()
+    src.close()
+
+
 def test_native_sampler_skips_short_videos(tmp_path, rng):
     _ensure_lib()
     videos = [ShotVideo(1, np.arange(2, dtype=np.int32),

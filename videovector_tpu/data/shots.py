@@ -245,7 +245,12 @@ class VideoSampledShotsSource:
         feats = video.features
         rng = self.rng
         negs: list[np.ndarray] = []
-        max_negs = cfg.max_same_video_negs if cfg.num_negative_samples > 0 else 0
+        # capped by the negative slot count: the reference's loop bound is
+        # max_same_video_negs alone (ref:src/caffe/layers/
+        # video_sampled_shots_data_layer.cpp:485) and overruns the item's
+        # negative channels when max_same_video_negs > num_negative_samples
+        max_negs = (min(cfg.max_same_video_negs, cfg.num_negative_samples)
+                    if cfg.num_negative_samples > 0 else 0)
 
         if cfg.context_type == "PAIRWISE":
             i, j = rng.choice(S, size=2, replace=False)
@@ -420,10 +425,13 @@ class VideoShotsSource:
         if cfg.num_negative_samples <= 0:
             return
         added = 0
-        if cfg.max_same_video_negs > 0:
+        # same num_negative_samples cap as the sampled source (the
+        # reference overruns its negative slots here, see _sample_item)
+        same_cap = min(cfg.max_same_video_negs, cfg.num_negative_samples)
+        if same_cap > 0:
             order = self.rng.permutation(video.num_shots)
             for nid in order:
-                if added >= cfg.max_same_video_negs:
+                if added >= same_cap:
                     break
                 if nid == exclude_idx:
                     continue
