@@ -131,6 +131,58 @@ def test_stateful_loss_fn_rejected_in_fused_mode(rng):
         train(loss_fn, {"w": jnp.zeros(2)}, data(), cfg, fused_accum=True)
 
 
+def test_fused_step_axis1_matches_axis0(rng):
+    """The non-leading-axis split (dynamic-slice scan, used by the
+    role-major feed) must produce the same update as the axis-0
+    reshape split on the same logical microbatches — including composed
+    iter_size × grad_microbatch (the n_accum>1 concat path)."""
+    import jax
+
+    from videovector_tpu.solver.train import build_fused_step
+
+    w0 = {"m": {"w": jnp.asarray(rng.randn(6).astype(np.float32))}}
+    cfg = SolverConfig(base_lr=0.1, momentum=0.9, max_iter=1)
+
+    def loss_rows(p, rows, key):
+        pred = rows @ jnp.ones((6,)) * p["m"]["w"].sum()
+        return jnp.mean((pred - 1.0) ** 2), {"n": jnp.float32(rows.shape[0])}
+
+    def loss0(p, b, key):
+        return loss_rows(p, b["x"], key)
+
+    def loss1(p, b, key):
+        return loss_rows(p, b["x"].T, key)    # (6, B) role-major-style
+
+    x = rng.randn(8, 6).astype(np.float32)    # batch axis 8
+    batches0 = ({"x": jnp.asarray(x[:4])}, {"x": jnp.asarray(x[4:])})
+    batches1 = tuple({"x": b["x"].T} for b in batches0)
+
+    key = jax.random.PRNGKey(0)
+    from videovector_tpu.solver import init_solver_state
+    for n_accum, gm in ((1, 2), (2, 2)):
+        f0 = build_fused_step(jax.value_and_grad(loss0, has_aux=True), cfg,
+                              n_accum, gm, batch_axes={"x": 0}, jit=False)
+        f1 = build_fused_step(jax.value_and_grad(loss1, has_aux=True), cfg,
+                              n_accum, gm, batch_axes={"x": 1}, jit=False)
+        p0, _, m0 = f0(jax.tree.map(jnp.array, w0),
+                       init_solver_state(cfg, w0), batches0[:n_accum], key)
+        p1, _, m1 = f1(jax.tree.map(jnp.array, w0),
+                       init_solver_state(cfg, w0), batches1[:n_accum], key)
+        np.testing.assert_allclose(np.asarray(p0["m"]["w"]),
+                                   np.asarray(p1["m"]["w"]),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=1e-6)
+
+    # non-divisible batch axis must raise, not silently clamp
+    import pytest as _pytest
+    f1 = build_fused_step(jax.value_and_grad(loss1, has_aux=True), cfg,
+                          1, 3, batch_axes={"x": 1}, jit=False)
+    with _pytest.raises(ValueError, match="does not divide"):
+        f1(jax.tree.map(jnp.array, w0), init_solver_state(cfg, w0),
+           ({"x": jnp.asarray(x.T)},), key)
+
+
 def test_engine_driver_fused_matches_host_loop(tmp_path, rng):
     """The PRODUCT surface: SolverDriver with iter_size through the fused
     scan equals the host-loop schedule on the flagship-style prototxt

@@ -84,6 +84,14 @@ def build_fused_step(grad_fn, cfg: "SolverConfig", n_accum: int, gm: int, *,
                                         axis=axes.get(k, 0))
                         if n_accum > 1 else batches[0][k])
                     for k in batches[0]}
+            for k, v in full.items():
+                if v.shape[axes.get(k, 0)] % n_total:
+                    # must raise like the reshape-split does — dynamic_slice
+                    # would silently CLAMP an out-of-range last microbatch
+                    raise ValueError(
+                        f"grad_microbatch×iter_size={n_total} does not "
+                        f"divide batch axis {v.shape[axes.get(k, 0)]} "
+                        f"of {k!r}")
             sizes = {k: v.shape[axes.get(k, 0)] // n_total
                      for k, v in full.items()}
 
