@@ -175,7 +175,8 @@ def main():
             dt = run_scan(fnative, nparams, nstate, nbatch, args.iters)
             row["native_ms"] = round(dt * 1e3, 3)
             row["native_triplets_s"] = round(bsz * 10 / dt, 0)
-            eng = row.get(f"engine_gm{gm}_ms") or row["engine_gm1_ms"]
+            eng = (row.get("engine_rm_ms")
+                   or row.get(f"engine_gm{gm}_ms") or row["engine_gm1_ms"])
             row["engine_vs_native"] = round(row["native_ms"] / eng, 3)
         results.append(row)
         print(json.dumps(row), flush=True)

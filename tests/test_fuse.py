@@ -107,6 +107,19 @@ def test_reference_prototxt_fused_matches_unfused():
     assert gmax <= 1e-7, gmax
     assert n1._last_absorbed >= 29   # slice+stack+norms + 11 chains + concat
 
+    # role-major feed on the UNMODIFIED reference config (its leading
+    # SLICE dim1 → CONCAT dim0 → FLATTEN motif): bit-equal to normal feed
+    assert n1.role_major_candidates(
+        {"data": np.asarray(batch["data"])}) == ["data"]
+    n1.role_major_inputs = ("data",)
+    rm = {"data": jnp.moveaxis(batch["data"], 1, 0)}
+    l2, g2 = jax.value_and_grad(lambda p: n1.apply(p, rm, rng=key)[0])(p)
+    n1.role_major_inputs = ()
+    assert float(l2) == float(l1)
+    gmax2 = max(jtu.tree_leaves(jtu.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g1, g2)))
+    assert gmax2 == 0.0, gmax2
+
     from videovector_tpu.metrics.retrieval import IdToClassMap
     side = {"retrieval_stats": IdToClassMap(np.arange(50), np.arange(50) % 5)}
     t0 = Net(msg, "TEST", fuse_scoring=False, side=dict(side))

@@ -485,6 +485,11 @@ class Net:
                 blobs[t] = o
                 if fz is not None:
                     fz.syms.pop(t, None)   # real rebinding kills the symbol
+                    # ...and invalidates a raw role-major input of the same
+                    # name: an in-place layer before the SLICE(dim1) must
+                    # make the slice run on ITS output (the moveaxis view
+                    # fallback), not absorb the stale pre-transform array
+                    fz.rm.pop(t, None)
                 w = weights[i] if i < len(weights) else 0.0
                 if w != 0.0:
                     loss = loss + w * jnp.sum(o)

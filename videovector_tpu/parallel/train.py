@@ -94,66 +94,16 @@ def make_train_step(loss_fn: Callable, solver_cfg: SolverConfig, mesh: Mesh, *,
                     "for batch-leading or {'data': 1} for role-major "
                     "layouts): the split axis must be declared, not guessed")
 
-            def check_div(b):
-                if b % n_micro:
-                    raise ValueError(
-                        f"grad_microbatch={n_micro} does not divide "
-                        f"batch axis {b}")
-                return b // n_micro
-
+            # shared accumulation core (solver.train): reshape-stack split
+            # for leading batch axes, index + dynamic-slice for role-major
+            # layouts (no transposed batch copy) — see its docstring for
+            # the GSPMD-mesh caveat on sliced sharded axes
+            from videovector_tpu.solver.train import accumulate_microbatches
             keys = jax.random.split(rng, n_micro)
-            axes = batch_axes if (isinstance(batch, dict) and batch_axes) \
-                else None
-            g0 = jax.tree.map(jnp.zeros_like, params)
-
-            if axes and any(axes.get(k, 0) != 0 for k in batch):
-                # non-leading batch axis (role-major layouts): a
-                # reshape+moveaxis split materializes a transposed copy of
-                # the whole batch — the relayout this layout avoids. Scan
-                # microbatch INDICES and dynamic-slice the original
-                # tensors (strided-contiguous DMA, no transpose); measured
-                # 8.11 -> 7.55 ms on the B=1024 engine step (PERF.md r4).
-                sizes = {k: check_div(v.shape[axes.get(k, 0)])
-                         for k, v in batch.items()}
-
-                def micro(carry, xs):
-                    g_acc, loss_acc = carry
-                    i, key = xs
-                    mb = {k: jax.lax.dynamic_slice_in_dim(
-                        v, i * sizes[k], sizes[k], axis=axes.get(k, 0))
-                        for k, v in batch.items()}
-                    (loss, aux), g = jax.value_and_grad(
-                        loss_fn, has_aux=True)(params, mb, key)
-                    return (jax.tree.map(jnp.add, g_acc, g),
-                            loss_acc + loss), aux
-
-                (grads, loss_sum), aux_all = jax.lax.scan(
-                    micro, (g0, jnp.float32(0.0)),
-                    (jnp.arange(n_micro, dtype=jnp.int32), keys))
-            else:
-                def split(leaf, axis):
-                    b = leaf.shape[axis]
-                    check_div(b)
-                    return jnp.moveaxis(
-                        leaf.reshape(leaf.shape[:axis]
-                                     + (n_micro, b // n_micro)
-                                     + leaf.shape[axis + 1:]), axis, 0)
-                if axes:
-                    stacked = {k: split(v, axes.get(k, 0))
-                               for k, v in batch.items()}
-                else:
-                    stacked = jax.tree.map(lambda l: split(l, 0), batch)
-
-                def micro(carry, xs):
-                    g_acc, loss_acc = carry
-                    mb, key = xs
-                    (loss, aux), g = jax.value_and_grad(
-                        loss_fn, has_aux=True)(params, mb, key)
-                    return (jax.tree.map(jnp.add, g_acc, g),
-                            loss_acc + loss), aux
-
-                (grads, loss_sum), aux_all = jax.lax.scan(
-                    micro, (g0, jnp.float32(0.0)), (stacked, keys))
+            grads, loss_sum, aux_all = accumulate_microbatches(
+                jax.value_and_grad(loss_fn, has_aux=True), params, batch,
+                (batch_axes or {}) if isinstance(batch, dict) else {},
+                n_micro, keys)
             grads = jax.tree.map(lambda g: g / n_micro, grads)
             # displayed loss averages over microbatches (== the big-batch
             # mean for equal micro sizes); other net outputs report the

@@ -36,6 +36,87 @@ class TrainResult:
     test_history: list = field(default_factory=list)
 
 
+def accumulate_microbatches(vg_fn, params, batch, axes, n_micro, keys):
+    """lax.scan `vg_fn(params, mb, key) -> ((loss, aux), grads)` over
+    `n_micro` equal microbatches of `batch`, accumulating grads and loss —
+    the shared core of build_fused_step and parallel.train.make_train_step
+    (the reference's iter_size accumulation, ref:src/caffe/solver.cpp).
+
+    `batch` is a dict of arrays (or any pytree, then split on axis 0);
+    `axes` maps dict keys to their batch axis (default 0). When any axis
+    is non-leading (role-major layouts) the scan runs over microbatch
+    INDICES and dynamic-slices the original tensors: a reshape+moveaxis
+    split would materialize a full transposed copy of the batch — the
+    relayout the role-major feed exists to avoid (8.11 → 7.55 ms on the
+    B=1024 engine step, PERF.md r4). Caveat: under a GSPMD mesh that
+    shards the batch axis, the traced-index dynamic-slice (like the
+    reshape split) cuts the GLOBAL batch, which the partitioner may
+    implement with gathers/resharding — for real multi-chip microbatching
+    prefer the shard_map DP step (parallel/shard_map_dp.py), which slices
+    local shards; the GSPMD composition is numerics-certified in the
+    driver dryrun but its collective layout is unmeasured on real
+    hardware.
+
+    Raises on non-divisible batch axes (dynamic_slice would silently
+    CLAMP the last microbatch). Returns (grads_sum, loss_sum, aux_all) —
+    divide by n_micro for means.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    def check_div(b, k=None):
+        if b % n_micro:
+            where = f" of {k!r}" if k is not None else ""
+            raise ValueError(f"microbatch count {n_micro} does not divide "
+                             f"batch axis {b}{where}")
+        return b // n_micro
+
+    g0 = jax.tree.map(jnp.zeros_like, params)
+    is_dict = isinstance(batch, dict)
+    if is_dict and any(axes.get(k, 0) != 0 for k in batch):
+        sizes = {k: check_div(v.shape[axes.get(k, 0)], k)
+                 for k, v in batch.items()}
+
+        def micro(carry, xs):
+            g_acc, loss_acc = carry
+            i, kk = xs
+            mb = {k: lax.dynamic_slice_in_dim(
+                v, i * sizes[k], sizes[k], axis=axes.get(k, 0))
+                for k, v in batch.items()}
+            (loss, aux), g = vg_fn(params, mb, kk)
+            return (jax.tree.map(jnp.add, g_acc, g),
+                    loss_acc + loss), aux
+
+        (grads, loss_sum), aux_all = lax.scan(
+            micro, (g0, jnp.float32(0.0)),
+            (jnp.arange(n_micro, dtype=jnp.int32), keys))
+        return grads, loss_sum, aux_all
+
+    def split(leaf, axis):
+        if n_micro == 1:
+            return leaf[None]
+        b = check_div(leaf.shape[axis])
+        return jnp.moveaxis(
+            leaf.reshape(leaf.shape[:axis] + (n_micro, b)
+                         + leaf.shape[axis + 1:]), axis, 0)
+
+    if is_dict:
+        stacked = {k: split(v, axes.get(k, 0)) for k, v in batch.items()}
+    else:
+        stacked = jax.tree.map(lambda l: split(l, 0), batch)
+
+    def micro(carry, xs):
+        g_acc, loss_acc = carry
+        mb, kk = xs
+        (loss, aux), g = vg_fn(params, mb, kk)
+        return (jax.tree.map(jnp.add, g_acc, g),
+                loss_acc + loss), aux
+
+    (grads, loss_sum), aux_all = lax.scan(
+        micro, (g0, jnp.float32(0.0)), (stacked, keys))
+    return grads, loss_sum, aux_all
+
+
 def build_fused_step(grad_fn, cfg: "SolverConfig", n_accum: int, gm: int, *,
                      lr_mults=None, decay_mults=None,
                      batch_axes: dict | None = None, jit: bool = True):
@@ -52,81 +133,29 @@ def build_fused_step(grad_fn, cfg: "SolverConfig", n_accum: int, gm: int, *,
     fstep(params, state, batches_tuple, key) -> (params, state, metrics)
     where batches_tuple holds n_accum batch dicts."""
     import jax.numpy as jnp
-    from jax import lax
     n_total = n_accum * gm
     axes = batch_axes or {}
 
-    def split(leaf, axis):
-        if gm == 1:
-            return leaf[None]
-        b = leaf.shape[axis]
-        return jnp.moveaxis(
-            leaf.reshape(leaf.shape[:axis] + (gm, b // gm)
-                         + leaf.shape[axis + 1:]), axis, 0)
+    def vg_checked(p, mb, kk):
+        (loss, aux), g = grad_fn(p, mb, kk)
+        if "__carry__" in aux:  # structure known at trace time
+            raise ValueError(
+                "fused accumulation cannot thread cross-batch LSTM "
+                "state — pass fused_accum=False for stateful nets")
+        return (loss, aux), g
 
     def fstep(p, s, batches, key):
         keys = jax.random.split(key, n_total)
-
-        def check_aux(aux):
-            if "__carry__" in aux:  # structure known at trace time
-                raise ValueError(
-                    "fused accumulation cannot thread cross-batch LSTM "
-                    "state — pass fused_accum=False for stateful nets")
-
-        if any(axes.get(k, 0) != 0 for k in batches[0]):
-            # non-leading batch axis (role-major feed): reshape+moveaxis
-            # would materialize a full transposed copy of the batch —
-            # exactly the relayout the role-major feed exists to avoid
-            # (measured 2% at B=1024, PERF.md r4). Scan over microbatch
-            # INDICES and dynamic-slice the original tensors instead:
-            # each slice is gm strided-contiguous chunks, no transpose.
-            full = {k: (jnp.concatenate([b[k] for b in batches],
-                                        axis=axes.get(k, 0))
-                        if n_accum > 1 else batches[0][k])
-                    for k in batches[0]}
-            for k, v in full.items():
-                if v.shape[axes.get(k, 0)] % n_total:
-                    # must raise like the reshape-split does — dynamic_slice
-                    # would silently CLAMP an out-of-range last microbatch
-                    raise ValueError(
-                        f"grad_microbatch×iter_size={n_total} does not "
-                        f"divide batch axis {v.shape[axes.get(k, 0)]} "
-                        f"of {k!r}")
-            sizes = {k: v.shape[axes.get(k, 0)] // n_total
-                     for k, v in full.items()}
-
-            def micro(carry, xs):
-                g_acc, loss_acc = carry
-                i, kk = xs
-                mb = {k: lax.dynamic_slice_in_dim(
-                    v, i * sizes[k], sizes[k], axis=axes.get(k, 0))
-                    for k, v in full.items()}
-                (loss, aux), g = grad_fn(p, mb, kk)
-                check_aux(aux)
-                return (jax.tree.map(jnp.add, g_acc, g),
-                        loss_acc + loss), aux
-
-            g0 = jax.tree.map(jnp.zeros_like, p)
-            (grads, loss_sum), aux_all = lax.scan(
-                micro, (g0, jnp.float32(0.0)),
-                (jnp.arange(n_total, dtype=jnp.int32), keys))
-        else:
-            parts = [{k: split(v, axes.get(k, 0)) for k, v in b.items()}
-                     for b in batches]
-            stacked = {k: jnp.concatenate([pb[k] for pb in parts], axis=0)
-                       for k in parts[0]}
-
-            def micro(carry, xs):
-                g_acc, loss_acc = carry
-                mb, kk = xs
-                (loss, aux), g = grad_fn(p, mb, kk)
-                check_aux(aux)
-                return (jax.tree.map(jnp.add, g_acc, g),
-                        loss_acc + loss), aux
-
-            g0 = jax.tree.map(jnp.zeros_like, p)
-            (grads, loss_sum), aux_all = lax.scan(
-                micro, (g0, jnp.float32(0.0)), (stacked, keys))
+        # the n_accum step batches concatenate along each key's batch axis
+        # (same shapes — one source), then split into n_total microbatches:
+        # order is [step0 micro0..gm-1, step1 micro0..], the old per-batch
+        # split order
+        full = {k: (jnp.concatenate([b[k] for b in batches],
+                                    axis=axes.get(k, 0))
+                    if n_accum > 1 else batches[0][k])
+                for k in batches[0]}
+        grads, loss_sum, aux_all = accumulate_microbatches(
+            vg_checked, p, full, axes, n_total, keys)
         grads = jax.tree.map(lambda g: g / n_total, grads)
         p2, s2 = solver_update(cfg, p, grads, s,
                                lr_mults=lr_mults, decay_mults=decay_mults)
