@@ -42,8 +42,8 @@ def main():
 
     q, m, n = args.q, args.m, args.n
 
-    @partial(jax.jit, static_argnums=(4, 5, 6))
-    def cube(gm_all, gi_all, mr, ri, kc, acc, form):
+    @partial(jax.jit, static_argnums=(4, 5, 6, 7))
+    def cube(gm_all, gi_all, mr, ri, kc, acc, form, layout):
         nk = gm_all.shape[1] // kc
         gm_ch = gm_all.reshape(q, nk, kc).transpose(1, 0, 2)
         gi_ch = gi_all.reshape(q, nk, kc).transpose(1, 0, 2)
@@ -51,15 +51,22 @@ def main():
 
         def body(cnt, xs):
             gm, gi = xs
-            if form == "select":
-                less = jnp.where(gm[:, None, :] == mr[:, :, None],
-                                 gi[:, None, :] < ri[:, :, None],
-                                 gm[:, None, :] < mr[:, :, None])
+            if layout == "nm":
+                # cube (Q, kc, M): reduce over the SUBLANE axis, member
+                # keys ride the lanes
+                a = (gm[:, :, None], gi[:, :, None])
+                b = (mr[:, None, :], ri[:, None, :])
+                axis = 1
             else:
-                less = ((gm[:, None, :] < mr[:, :, None])
-                        | ((gm[:, None, :] == mr[:, :, None])
-                           & (gi[:, None, :] < ri[:, :, None])))
-            return cnt + jnp.sum(less.astype(cnt.dtype), axis=2), None
+                # shipped layout (Q, M, kc): reduce over the lane axis
+                a = (gm[:, None, :], gi[:, None, :])
+                b = (mr[:, :, None], ri[:, :, None])
+                axis = 2
+            if form == "select":
+                less = jnp.where(a[0] == b[0], a[1] < b[1], a[0] < b[0])
+            else:
+                less = (a[0] < b[0]) | ((a[0] == b[0]) & (a[1] < b[1]))
+            return cnt + jnp.sum(less.astype(cnt.dtype), axis=axis), None
 
         out, _ = jax.lax.scan(body, zero, (gm_ch, gi_ch))
         return out.astype(jnp.int32)
@@ -71,25 +78,26 @@ def main():
     ri = jnp.asarray(rng.randint(0, n, (q, m)).astype(np.int32))
 
     ref = None
-    for kc in (512, 1024, 2048, 4096):
+    for kc in (512, 2048):
         if n % kc:
             continue
-        for acc in ("i32", "f32"):
-            for form in ("orand", "select"):
-                out = cube(gm, gi, mr, ri, kc, acc, form)
-                s = int(jnp.sum(out))   # fence + compile
-                t0 = time.perf_counter()
-                for _ in range(args.k):
-                    out = cube(gm, gi, mr, ri, kc, acc, form)
-                s2 = int(jnp.sum(out))
-                dt = (time.perf_counter() - t0) / args.k
-                if ref is None:
-                    ref = s
-                ok = "OK" if s == ref and s2 == ref else "MISMATCH"
-                gops = q * m * n / dt / 1e9
-                print(f"kc={kc:5d} acc={acc} form={form:6s}: "
-                      f"{dt*1e3:8.2f} ms/chunk  {gops:7.1f} Gcmp/s  {ok}",
-                      flush=True)
+        for layout in ("mn", "nm"):
+            for acc in ("i32", "f32"):
+                for form in ("orand", "select"):
+                    out = cube(gm, gi, mr, ri, kc, acc, form, layout)
+                    s = int(jnp.sum(out))   # fence + compile
+                    t0 = time.perf_counter()
+                    for _ in range(args.k):
+                        out = cube(gm, gi, mr, ri, kc, acc, form, layout)
+                    s2 = int(jnp.sum(out))
+                    dt = (time.perf_counter() - t0) / args.k
+                    if ref is None:
+                        ref = s
+                    ok = "OK" if s == ref and s2 == ref else "MISMATCH"
+                    gops = q * m * n / dt / 1e9
+                    print(f"kc={kc:5d} layout={layout} acc={acc} "
+                          f"form={form:6s}: {dt*1e3:8.2f} ms/chunk  "
+                          f"{gops:7.1f} Gcmp/s  {ok}", flush=True)
 
 
 if __name__ == "__main__":

@@ -412,6 +412,38 @@ def _class_member_table(cls_np: np.ndarray):
     return table, row_of_query
 
 
+@partial(jax.jit, static_argnums=(7, 8))
+def _scan_retrieval_partials(feats, vids, cls, table_j, qpos, qcls, qrows,
+                             method, exclude):
+    """All query chunks of retrieval_stats_chunked in ONE program:
+    lax.scan over (nk, q_chunk) query-position/class/member-row arrays,
+    each step running the selected chunk engine and emitting its 4-way
+    partial sums. Returns (nk, 4) f32 in chunk order — the caller reduces
+    in f64 host-side, preserving the host-loop accumulation order."""
+
+    def body(_, xs):
+        qp, qc, qr = xs
+        q_feats = feats[qp]
+        q_vid = vids[qp]
+        if method == "search":
+            ap, acc1, acc5, inc = _chunk_retrieval_search(
+                feats, vids, cls, q_feats, q_vid, qc, qp, table_j[qr],
+                exclude)
+        elif method == "count":
+            ap, acc1, acc5, inc = _chunk_retrieval_counts(
+                feats, vids, cls, q_feats, q_vid, qc, qp, table_j[qr],
+                exclude)
+        else:
+            ap, acc1, acc5, inc = _chunk_retrieval_stats(
+                feats, vids, cls, q_feats, q_vid, qc, qp, exclude)
+        part = jnp.stack([jnp.sum(ap * inc), jnp.sum(acc1 * inc),
+                          jnp.sum(acc5 * inc), jnp.sum(inc)])
+        return None, part
+
+    _, parts = jax.lax.scan(body, None, (qpos, qcls, qrows))
+    return parts
+
+
 def retrieval_stats_chunked(features, video_ids, class_ids, *,
                             exclude_same_video_shots: bool = False,
                             query_chunk: int = 256, method: str = "auto"):
@@ -476,43 +508,34 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     if method in ("count", "search"):
         table_j = jnp.asarray(table)
 
+    # one device-pure program: lax.scan over query chunks inside ONE jit,
+    # returning per-chunk partial sums in chunk order. Per-chunk math is
+    # identical to a host loop of chunk calls, and the host still reduces
+    # the f32 partials in f64 in the same order — results are bit-equal.
+    # What this removes is pure tunnel overhead: at 20k×4096 the host loop
+    # paid ~40 dispatches + 160 scalar fetches of round-trip latency
+    # around ~0.9 s of actual cube/GEMM device time (PERF.md r4).
+    nk = (n + q_chunk - 1) // q_chunk
+    npad = nk * q_chunk - n
+    qpos_np = np.concatenate([np.arange(n, dtype=np.int32),
+                              np.full(npad, n - 1, np.int32)])
+    qcls_np = np.concatenate([cls_np, np.full(npad, -1, np.int32)])
+    if method in ("count", "search"):
+        rows_np = np.concatenate([row_of_query,
+                                  np.full(npad, table.shape[0] - 1,
+                                          np.int32)])
+    else:
+        table_j = jnp.zeros((1, 1), jnp.int32)
+        rows_np = np.zeros(n + npad, np.int32)
+    parts = _scan_retrieval_partials(
+        feats, vids, cls, table_j,
+        jnp.asarray(qpos_np.reshape(nk, q_chunk)),
+        jnp.asarray(qcls_np.reshape(nk, q_chunk)),
+        jnp.asarray(rows_np.reshape(nk, q_chunk)),
+        method, exclude_same_video_shots)
     sums = np.zeros(4, np.float64)
-    for start in range(0, n, q_chunk):
-        idx = np.arange(start, min(start + q_chunk, n))
-        if len(idx) < q_chunk:  # pad; pads carry class −1 ⇒ include 0
-            pad = np.full(q_chunk - len(idx), idx[-1])
-            q_cls = jnp.concatenate([cls[idx],
-                                     jnp.full(len(pad), -1, jnp.int32)])
-            idx_np = np.concatenate([idx, pad])
-            rows = np.concatenate([row_of_query[idx],
-                                   np.full(len(pad), table.shape[0] - 1,
-                                           np.int32)]) \
-                if method in ("count", "search") else None
-        else:
-            q_cls = cls[idx]
-            idx_np = idx
-            rows = row_of_query[idx] if method in ("count", "search") \
-                else None
-        # gallery passed as ARGUMENTS (not closed over): one compiled
-        # program reused across chunks and calls, nothing inlined as HLO
-        # constants
-        if method == "search":
-            ap, acc1, acc5, inc = _chunk_retrieval_search(
-                feats, vids, cls, feats[idx_np], vids[idx_np], q_cls,
-                jnp.asarray(idx_np), table_j[jnp.asarray(rows)],
-                exclude_same_video_shots)
-        elif method == "count":
-            ap, acc1, acc5, inc = _chunk_retrieval_counts(
-                feats, vids, cls, feats[idx_np], vids[idx_np], q_cls,
-                jnp.asarray(idx_np), table_j[jnp.asarray(rows)],
-                exclude_same_video_shots)
-        else:
-            ap, acc1, acc5, inc = _chunk_retrieval_stats(
-                feats, vids, cls, feats[idx_np], vids[idx_np], q_cls,
-                jnp.asarray(idx_np), exclude_same_video_shots)
-        part = (jnp.sum(ap * inc), jnp.sum(acc1 * inc),
-                jnp.sum(acc5 * inc), jnp.sum(inc))
-        sums += np.asarray([float(v) for v in part])
+    for row in np.asarray(parts):
+        sums += row.astype(np.float64)
     denom = max(sums[3], 1.0)
     return {
         "mean_ap": jnp.float32(sums[0] / denom),
