@@ -27,6 +27,9 @@ def main():
     ap.add_argument("--big_n", type=int, default=100000,
                     help="second run at this gallery size (count engine "
                          "only; 0 to skip)")
+    ap.add_argument("--report", action="store_true",
+                    help="time retrieval_stats_report (csv dump) at --n "
+                         "instead of the aggregate engines")
     args = ap.parse_args()
 
     import jax
@@ -72,6 +75,27 @@ def main():
                     assert abs(vals_list[0][k] - other[k]) < 1e-5, \
                         (k, vals_list[0][k], other[k])
             print(f"{' == '.join(results)} on chip: OK", flush=True)
+
+    if args.report:
+        import tempfile
+        from videovector_tpu.metrics.retrieval import retrieval_stats_report
+        rng = np.random.RandomState(0)
+        n, d = args.n, args.d
+        cls = rng.randint(0, args.classes, size=(n,)).astype(np.int32)
+        vids = rng.randint(0, n // 10, size=(n,)).astype(np.int32)
+        feats = jax.jit(lambda k: jax.random.normal(
+            k, (n, d), jnp.float32))(jax.random.PRNGKey(0))
+        float(jnp.sum(feats))  # fence: features device-resident
+        for trial in range(2):
+            with tempfile.NamedTemporaryFile(suffix=".csv") as f:
+                t0 = time.perf_counter()
+                agg = retrieval_stats_report(feats, vids, cls, f.name)
+                dt = time.perf_counter() - t0
+                rows = sum(1 for _ in open(f.name)) - 1
+            print(f"report N={n} D={d}: {dt:.2f}s ({rows} rows)  "
+                  f"{ {k: round(v, 4) for k, v in agg.items()} }",
+                  flush=True)
+        return
 
     run(args.n, args.d, args.classes, args.engines.split(","))
     if args.big_n:

@@ -44,6 +44,40 @@ def test_driver_trains_over_mesh(tmp_path, rng):
     assert np.isfinite(res.metrics_history[-1][1]["loss"])
 
 
+def test_retrieval_eval_sharded_over_mesh(tmp_path, rng):
+    """Mesh-sharded gallery eval: the query-chunk axis of the scanned
+    engines shards over the mesh "data" axis via shard_map; per-chunk
+    partials and per-query rows must be BIT-equal to the single-device
+    scan (no collectives — the host reduction sees the same f32 partials
+    in the same chunk order), for both engines, a non-divisible chunk
+    count, and the csv report (byte-identical file)."""
+    import jax.numpy as jnp
+    from videovector_tpu.metrics.retrieval import (
+        retrieval_stats_chunked, retrieval_stats_report,
+    )
+    n, d = 531, 12   # q_chunk=64 → 9 chunks, not divisible by 4 shards
+    feats = rng.randn(n, d).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    vids = rng.randint(0, 60, size=(n,))
+    cls = vids % 5
+    mesh = make_mesh(data=4, model=2)   # model axis must be ignored
+    for method in ("count", "sort"):
+        single = retrieval_stats_chunked(
+            jnp.asarray(feats), vids, cls, query_chunk=64, method=method,
+            exclude_same_video_shots=True)
+        sharded = retrieval_stats_chunked(
+            jnp.asarray(feats), vids, cls, query_chunk=64, method=method,
+            exclude_same_video_shots=True, mesh=mesh)
+        for k in single:
+            assert float(single[k]) == float(sharded[k]), (method, k)
+    p1 = str(tmp_path / "single.csv")
+    p2 = str(tmp_path / "sharded.csv")
+    agg1 = retrieval_stats_report(feats, vids, cls, p1)
+    agg2 = retrieval_stats_report(feats, vids, cls, p2, mesh=mesh)
+    assert agg1 == agg2
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
 def test_retrieval_stats_report(tmp_path, rng):
     from videovector_tpu.metrics.retrieval import (
         retrieval_stats, retrieval_stats_report,

@@ -412,9 +412,8 @@ def _class_member_table(cls_np: np.ndarray):
     return table, row_of_query
 
 
-@partial(jax.jit, static_argnums=(7, 8))
-def _scan_retrieval_partials(feats, vids, cls, table_j, qpos, qcls, qrows,
-                             method, exclude):
+def _scan_partials_impl(feats, vids, cls, table_j, qpos, qcls, qrows,
+                        method, exclude):
     """All query chunks of retrieval_stats_chunked in ONE program:
     lax.scan over (nk, q_chunk) query-position/class/member-row arrays,
     each step running the selected chunk engine and emitting its 4-way
@@ -444,9 +443,93 @@ def _scan_retrieval_partials(feats, vids, cls, table_j, qpos, qcls, qrows,
     return parts
 
 
+_scan_retrieval_partials = partial(jax.jit, static_argnums=(7, 8))(
+    _scan_partials_impl)
+
+
+def _scan_report_impl(feats, vids, cls, table_j, qpos, qcls, qrows,
+                      use_count, exclude):
+    """All per-query rows of retrieval_stats_report in ONE program:
+    lax.scan over query chunks stacking per-query (ap, acc@1, acc@5,
+    include) from the chunk engines plus the stable top-5 retrieved from
+    OTHER videos (ref:src/caffe/layers/retrieval_stats_layer.cpp:315-321)
+    — `lax.top_k` on −distance, whose lower-index tie rule reproduces the
+    stable ascending (distance, index) order bit-for-bit."""
+    k5 = min(5, feats.shape[0])
+
+    def body(_, xs):
+        qp, qc, qr = xs
+        q_feats = feats[qp]
+        q_vid = vids[qp]
+        if use_count:
+            ap, acc1, acc5, inc = _chunk_retrieval_counts(
+                feats, vids, cls, q_feats, q_vid, qc, qp, table_j[qr],
+                exclude)
+        else:
+            ap, acc1, acc5, inc = _chunk_retrieval_stats(
+                feats, vids, cls, q_feats, q_vid, qc, qp, exclude)
+        d = -2.0 * jnp.dot(q_feats, feats.T,
+                           preferred_element_type=jnp.float32)
+        d = jnp.where(vids[None, :] == q_vid[:, None], jnp.inf, d)
+        # k=5 iterated argmin+mask instead of lax.top_k: XLA:TPU top_k
+        # rides the (slow) sort lanes — ~95 ms per (256, 20k) chunk
+        # measured, vs ~10 VPU passes here. argmin's first-occurrence
+        # tie rule IS the stable ascending (distance, index) order.
+        gidx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        tops, valids = [], []
+        for _ in range(k5):
+            i = jnp.argmin(d, axis=1).astype(jnp.int32)
+            v = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
+            tops.append(i)
+            valids.append(jnp.isfinite(v))
+            d = jnp.where(gidx == i[:, None], jnp.inf, d)
+        top = jnp.stack(tops, axis=1)
+        valid = jnp.stack(valids, axis=1)
+        return None, (ap, acc1, acc5, inc, top, valid)
+
+    _, rows = jax.lax.scan(body, None, (qpos, qcls, qrows))
+    return rows
+
+
+_scan_report_rows = partial(jax.jit, static_argnums=(7, 8))(
+    _scan_report_impl)
+
+
+_MESH_SCAN_CACHE: dict = {}
+
+
+def _mesh_scan(mesh, impl, static_arg, exclude, n_out: int):
+    """jit(shard_map(...)) of a scanned chunk engine over the mesh's
+    "data" axis: the (nk, q_chunk) query-chunk arrays shard on the chunk
+    axis, gallery/table replicate, and each device runs its OWN
+    sequential scan over nk/ndev chunks (sharding a lax.scan's input
+    under GSPMD would not parallelize the sequential loop — shard_map
+    does). No collectives: outputs are per-chunk rows assembled back on
+    the chunk axis, so results are the same per-chunk f32 partials in
+    the same chunk order as single-device — bit-equal after the caller's
+    host f64 reduction."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    key = (mesh, impl, static_arg, exclude)
+    fn = _MESH_SCAN_CACHE.get(key)
+    if fn is None:
+        body = partial(impl, method=static_arg, exclude=exclude) \
+            if impl is _scan_partials_impl else \
+            partial(impl, use_count=static_arg, exclude=exclude)
+        fn = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P("data"), P("data"), P("data")),
+            out_specs=P("data") if n_out == 1 else tuple(
+                P("data") for _ in range(n_out)),
+            check_vma=False))
+        _MESH_SCAN_CACHE[key] = fn
+    return fn
+
+
 def retrieval_stats_chunked(features, video_ids, class_ids, *,
                             exclude_same_video_shots: bool = False,
-                            query_chunk: int = 256, method: str = "auto"):
+                            query_chunk: int = 256, method: str = "auto",
+                            mesh=None):
     """Gallery-scale retrieval_stats: EXACT same results as retrieval_stats
     (mAP, hit@1, hit@5, stable tie-breaking included) with O(Q·N) device
     memory instead of O(N²).
@@ -471,6 +554,12 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
       7× SLOWER than "count" on chip at 20k×4096 (48.5s vs 6.7s: XLA:TPU
       sort lanes and gather-based bisection are both slow paths); kept
       as a tested engine for exactness cross-checks, never auto-chosen.
+
+    With `mesh=` (a (data, model) Mesh from parallel.make_mesh), the
+    query-chunk axis shards over the mesh's "data" axis via shard_map —
+    each device scans its own chunk subset against the replicated
+    gallery, with no collectives (see _mesh_scan) — and results stay
+    bit-equal to the single-device scan.
 
     Returns dict(mean_ap, hit_at_1, hit_at_5) of f32 scalars.
     """
@@ -516,6 +605,9 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     # paid ~40 dispatches + 160 scalar fetches of round-trip latency
     # around ~0.9 s of actual cube/GEMM device time (PERF.md r4).
     nk = (n + q_chunk - 1) // q_chunk
+    if mesh is not None:  # whole pad chunks land on the last shards;
+        ndev = mesh.shape["data"]  # class −1 ⇒ include 0, zero partials
+        nk = ((nk + ndev - 1) // ndev) * ndev
     npad = nk * q_chunk - n
     qpos_np = np.concatenate([np.arange(n, dtype=np.int32),
                               np.full(npad, n - 1, np.int32)])
@@ -527,12 +619,16 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     else:
         table_j = jnp.zeros((1, 1), jnp.int32)
         rows_np = np.zeros(n + npad, np.int32)
-    parts = _scan_retrieval_partials(
-        feats, vids, cls, table_j,
-        jnp.asarray(qpos_np.reshape(nk, q_chunk)),
-        jnp.asarray(qcls_np.reshape(nk, q_chunk)),
-        jnp.asarray(rows_np.reshape(nk, q_chunk)),
-        method, exclude_same_video_shots)
+    chunk_args = (feats, vids, cls, table_j,
+                  jnp.asarray(qpos_np.reshape(nk, q_chunk)),
+                  jnp.asarray(qcls_np.reshape(nk, q_chunk)),
+                  jnp.asarray(rows_np.reshape(nk, q_chunk)))
+    if mesh is not None:
+        parts = _mesh_scan(mesh, _scan_partials_impl, method,
+                           exclude_same_video_shots, 1)(*chunk_args)
+    else:
+        parts = _scan_retrieval_partials(
+            *chunk_args, method, exclude_same_video_shots)
     sums = np.zeros(4, np.float64)
     for row in np.asarray(parts):
         sums += row.astype(np.float64)
@@ -545,25 +641,32 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
 
 
 def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
-                           exclude_same_video_shots: bool = False) -> dict:
+                           exclude_same_video_shots: bool = False,
+                           mesh=None) -> dict:
     """Host-side per-query csv dump matching the reference's
     `stats_output_file` (ref:src/caffe/layers/retrieval_stats_layer.cpp:
     148-155, 310-340): header `#video_id,class_id,ap,acc@1,acc@5,` + top-5
     retrieved (from OTHER videos, ref :315-321) indices and their classes.
     Returns the aggregate stats dict.
 
-    Fully vectorized: per-query ap/acc come from the chunked device
-    engines (rank-by-counting on TPU, sort on CPU — same backend-aware
-    choice as retrieval_stats_chunked); the top-5 picks
-    ride the device too — `lax.top_k` on the negated distances, whose
-    lower-index tie rule IS the stable (distance, index) order — no
-    per-row Python ranking loops and no host GEMM, so a 100k-row dump
-    takes seconds, not hours. Float fields print with %g (6 significant
-    digits), the reference's ostream formatting."""
-    feats = np.asarray(features, np.float32)
+    Fully vectorized: ONE scanned device program (the same dispatch
+    collapse as retrieval_stats_chunked) computes per-query ap/acc via
+    the chunked engines (rank-by-counting on TPU, sort on CPU — same
+    backend-aware choice as retrieval_stats_chunked) and the stable
+    top-5 picks (k iterated argmin+mask passes; argmin's
+    first-occurrence tie rule IS the stable (distance, index) order) —
+    no per-row Python ranking loops, no host GEMM, and device features
+    stay on device (no D2H roundtrip), so a 100k-row dump takes seconds,
+    not hours. Float fields print with %g (6 significant digits), the
+    reference's ostream formatting. `mesh=` shards the query-chunk axis
+    over the mesh's "data" axis (same bit-equal shard_map driver as
+    retrieval_stats_chunked)."""
+    feats_j = jnp.asarray(features)
+    if feats_j.dtype != jnp.float32:
+        feats_j = feats_j.astype(jnp.float32)
     vids64 = np.asarray(video_ids).astype(np.int64).reshape(-1)
     cls64 = np.asarray(class_ids).astype(np.int64).reshape(-1)
-    n = feats.shape[0]
+    n = feats_j.shape[0]
     for name, a in (("video_ids", vids64), ("class_ids", cls64)):
         if a.size and (a.max() > np.iinfo(np.int32).max
                        or a.min() < np.iinfo(np.int32).min):
@@ -571,7 +674,6 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
                              f"before retrieval eval")
     vids_np = vids64.astype(np.int32)
     cls_np = cls64.astype(np.int32)
-    feats_j = jnp.asarray(feats)
     vids_j = jnp.asarray(vids_np)
     cls_j = jnp.asarray(cls_np)
     table, row_of_query = _class_member_table(cls_np)
@@ -579,72 +681,68 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     use_count = (jax.default_backend() not in ("cpu",)
                  and table.shape[1] <= max(256, n // 8))
 
-    @jax.jit
-    def _top5_chunk(q_feats, q_vid):
-        # exact stable top-5 from OTHER videos (ref :315-321): lax.top_k
-        # on −distance — its lower-index tie rule reproduces the stable
-        # ascending (distance, index) order bit-for-bit
-        d = -2.0 * jnp.dot(q_feats, feats_j.T,
-                           preferred_element_type=jnp.float32)
-        d = jnp.where(vids_j[None, :] == q_vid[:, None], jnp.inf, d)
-        negd, top = jax.lax.top_k(-d, min(5, n))
-        return top, jnp.isfinite(negd)
-
+    # one scanned device program for ALL per-query rows (same dispatch
+    # collapse as retrieval_stats_chunked — the host loop paid one relay
+    # round-trip per chunk); only csv string formatting stays host-side
     q_chunk = max(1, min(256, (1 << 25) // max(n, 1)))
+    nk = (n + q_chunk - 1) // q_chunk
+    if mesh is not None:  # pad chunks → include 0 rows, skipped in the csv
+        ndev = mesh.shape["data"]
+        nk = ((nk + ndev - 1) // ndev) * ndev
+    npad = nk * q_chunk - n
+    qpos_np = np.concatenate([np.arange(n, dtype=np.int32),
+                              np.full(npad, n - 1, np.int32)])
+    qcls_np = np.concatenate([cls_np, np.full(npad, -1, np.int32)])
+    rows_np = np.concatenate([row_of_query,
+                              np.full(npad, table.shape[0] - 1, np.int32)])
+    chunk_args = (feats_j, vids_j, cls_j, table_j,
+                  jnp.asarray(qpos_np.reshape(nk, q_chunk)),
+                  jnp.asarray(qcls_np.reshape(nk, q_chunk)),
+                  jnp.asarray(rows_np.reshape(nk, q_chunk)))
+    if mesh is not None:
+        ap_c, acc1_c, acc5_c, inc_c, top5_c, valid5_c = _mesh_scan(
+            mesh, _scan_report_impl, use_count,
+            exclude_same_video_shots, 6)(*chunk_args)
+    else:
+        ap_c, acc1_c, acc5_c, inc_c, top5_c, valid5_c = _scan_report_rows(
+            *chunk_args, use_count, exclude_same_video_shots)
+    # per-chunk f32 partials accumulated in f64 in chunk order (the
+    # host-loop accumulation semantics, preserved)
+    ap_c, acc1_c, acc5_c, inc_c = (np.asarray(ap_c), np.asarray(acc1_c),
+                                   np.asarray(acc5_c), np.asarray(inc_c))
     sums = np.zeros(4, np.float64)
+    for ci in range(nk):
+        sums += [float(np.sum(ap_c[ci] * inc_c[ci])),
+                 float(np.sum(acc1_c[ci] * inc_c[ci])),
+                 float(np.sum(acc5_c[ci] * inc_c[ci])),
+                 float(np.sum(inc_c[ci]))]
+
+    ap = ap_c.reshape(-1)[:n]
+    acc1 = acc1_c.reshape(-1)[:n]
+    acc5 = acc5_c.reshape(-1)[:n]
+    k5 = top5_c.shape[-1]
+    top5 = np.asarray(top5_c).reshape(-1, k5)[:n]
+    valid5 = np.asarray(valid5_c).reshape(-1, k5)[:n]
+    top5 = np.where(valid5, top5, 0)
+    if k5 < 5:
+        top5 = np.pad(top5, ((0, 0), (0, 5 - k5)))
+        valid5 = np.pad(valid5, ((0, 0), (0, 5 - k5)))
+    top5_cls = np.where(valid5, cls64[top5], 0)
+
     with open(path, "w") as f:
         f.write("#video_id,class_id,ap,acc@1,acc@5"
                 ",ret_id_1,ret_id_2,ret_id_3,ret_id_4,ret_id_5"
                 ",class_id_1,class_id_2,class_id_3,class_id_4,class_id_5\n")
-        for start in range(0, n, q_chunk):
-            idx = np.arange(start, min(start + q_chunk, n))
-            if len(idx) < q_chunk:  # pad to the compiled chunk shape
-                pad = np.full(q_chunk - len(idx), idx[-1])
-                idx_np = np.concatenate([idx, pad])
-                q_cls = np.concatenate([cls_np[idx],
-                                        np.full(len(pad), -1, np.int32)])
-                rows = np.concatenate([row_of_query[idx],
-                                       np.full(len(pad), table.shape[0] - 1,
-                                               np.int32)])
-            else:
-                idx_np, q_cls, rows = idx, cls_np[idx], row_of_query[idx]
-            if use_count:
-                ap, acc1, acc5, inc = _chunk_retrieval_counts(
-                    feats_j, vids_j, cls_j, feats_j[idx_np], vids_j[idx_np],
-                    jnp.asarray(q_cls), jnp.asarray(idx_np),
-                    table_j[jnp.asarray(rows)], exclude_same_video_shots)
-            else:
-                ap, acc1, acc5, inc = _chunk_retrieval_stats(
-                    feats_j, vids_j, cls_j, feats_j[idx_np], vids_j[idx_np],
-                    jnp.asarray(q_cls), jnp.asarray(idx_np),
-                    exclude_same_video_shots)
-            ap, acc1, acc5, inc = (np.asarray(ap), np.asarray(acc1),
-                                   np.asarray(acc5), np.asarray(inc))
-            sums += [float(np.sum(ap * inc)), float(np.sum(acc1 * inc)),
-                     float(np.sum(acc5 * inc)), float(np.sum(inc))]
-
-            # top-5 retrieved from other videos — device top_k (exact
-            # stable order, see docstring); only 5 ints/row come host-side
-            k5 = min(5, n)
-            top5_j, valid5_j = _top5_chunk(feats_j[idx_np], vids_j[idx_np])
-            top5 = np.asarray(top5_j)
-            valid5 = np.asarray(valid5_j)
-            top5 = np.where(valid5, top5, 0)
-            if k5 < 5:
-                top5 = np.pad(top5, ((0, 0), (0, 5 - k5)))
-                valid5 = np.pad(valid5, ((0, 0), (0, 5 - k5)))
-            top5_cls = np.where(valid5, cls64[top5], 0)
-
-            lines = []
-            for r, i in enumerate(idx):  # formatting only — no ranking math
-                if cls_np[i] < 0:
-                    continue
-                lines.append(
-                    f"{vids64[i]},{cls64[i]},{ap[r]:g},{acc1[r]:g},"
-                    f"{acc5[r]:g},"
-                    + ",".join(str(j) for j in top5[r]) + ","
-                    + ",".join(str(c) for c in top5_cls[r]) + "\n")
-            f.write("".join(lines))
+        lines = []
+        for i in range(n):  # formatting only — no ranking math
+            if cls_np[i] < 0:
+                continue
+            lines.append(
+                f"{vids64[i]},{cls64[i]},{ap[i]:g},{acc1[i]:g},"
+                f"{acc5[i]:g},"
+                + ",".join(str(j) for j in top5[i]) + ","
+                + ",".join(str(c) for c in top5_cls[i]) + "\n")
+        f.write("".join(lines))
 
     denom = max(sums[3], 1.0)
     return {"mean_ap": sums[0] / denom, "hit_at_1": sums[1] / denom,
