@@ -327,6 +327,58 @@ def test_cli_train_and_test(mini_project, capsys):
     assert main(["device_query"]) == 0
 
 
+def test_sink_files_written_during_test_phase(mini_project, tmp_path):
+    """Reference sink layers write their files during TEST forwards
+    (ref write_to_file_layer.cpp:36-64, retrieval_stats_layer.cpp:148-155):
+    both the driver's test-interval eval and `vvtpu test` must produce
+    them — a prototxt with stats_output_file / WRITE_TO_FILE silently
+    writing nothing would be a parity break."""
+    from videovector_tpu.config.textformat import parse_file
+    from videovector_tpu.solver.driver import SolverDriver
+    from videovector_tpu.tools.cli import main
+
+    stats_csv = tmp_path / "stats_out.csv"
+    acts_csv = tmp_path / "acts_out.csv"
+    net_text = open(mini_project["net"]).read()
+    assert "exclude_same_video_shots: false }" in net_text
+    net_text = net_text.replace(
+        "retrieval_stats_param { exclude_same_video_shots: false }",
+        'retrieval_stats_param { exclude_same_video_shots: false\n'
+        f'    stats_output_file: "{stats_csv}" }}')
+    net_text += f'''
+layers {{ name: "dump_ctx" type: WRITE_TO_FILE bottom: "ctxn"
+  write_to_file_param {{ output_file: "{acts_csv}" }}
+  include: {{ phase: TEST }} }}
+'''
+    net_path = tmp_path / "net_sinks.prototxt"
+    net_path.write_text(net_text)
+    solver_msg = parse_file(mini_project["solver"])
+    solver_msg.fields["net"] = [str(net_path)]
+    solver_msg.fields["max_iter"] = [4]
+    solver_msg.fields["test_interval"] = [2]
+    solver_msg.fields["display"] = [0]
+    driver = SolverDriver(solver_msg).build()
+    res = driver.train()
+    assert res.test_history
+    lines = stats_csv.read_text().strip().split("\n")
+    assert lines[0].startswith("#video_id,class_id,ap,acc@1,acc@5")
+    assert len(lines) > 1
+    acts = acts_csv.read_text().strip().split("\n")
+    assert acts[0].startswith("#batch_id,channel_id,features(1..")
+    assert len(acts) > 1
+
+    # the `vvtpu test` surface truncates + rewrites per forward (reference
+    # ofstream semantics) — files reflect the LAST eval batch
+    stats_csv.unlink()
+    acts_csv.unlink()
+    from videovector_tpu.solver.checkpoint import snapshot
+    snap = snapshot(str(tmp_path / "sink_snap"), 0, res.params)[0]
+    assert main(["test", "--model", str(net_path),
+                 "--weights", snap, "--iterations", "2"]) == 0
+    assert stats_csv.exists() and acts_csv.exists()
+    assert acts_csv.read_text().startswith("#batch_id,channel_id,")
+
+
 def test_cli_finetune_from_caffemodel(mini_project, tmp_path):
     """--weights finetune: .caffemodel weights land in the train net
     (ref tools/caffe.cpp:110-117 CopyTrainedLayersFrom)."""

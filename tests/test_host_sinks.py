@@ -27,11 +27,19 @@ def test_write_to_file_and_hdf5_sinks(tmp_path, rng):
     _, blobs = net.apply(params, {"x": x}, return_blobs=True)
     net.process_host_sinks(blobs, append=False)
 
+    # reference csv layout (write_to_file_layer.cpp:42-53): header, then
+    # channel-major "c,b,features" rows — a (N, F) blob is the caffe
+    # (N, F, 1, 1), so feat_size = 1 and there are F*N rows
     rows = open(csv_path).read().strip().split("\n")
-    assert len(rows) == 4
-    np.testing.assert_allclose(
-        [float(v) for v in rows[0].split(",")],
-        np.asarray(blobs["y"])[0], atol=1e-5)
+    y = np.asarray(blobs["y"])
+    assert rows[0] == "#batch_id,channel_id,features(1..1)"
+    assert len(rows) == 1 + y.shape[0] * y.shape[1]
+    c0, b0, v0 = rows[1].split(",")
+    assert (int(c0), int(b0)) == (0, 0)
+    np.testing.assert_allclose(float(v0), y[0, 0], atol=1e-5)
+    cl, bl, vl = rows[-1].split(",")
+    assert (int(cl), int(bl)) == (y.shape[1] - 1, y.shape[0] - 1)
+    np.testing.assert_allclose(float(vl), y[-1, -1], atol=1e-5)
 
     import h5py
     with h5py.File(h5_path) as f:

@@ -413,7 +413,8 @@ class Net:
     # ------------------------------------------------------------------
     def apply(self, params, batch: dict[str, Any], *, rng=None,
               return_blobs: bool = False, state=None,
-              return_state: bool = False, max_layers: int | None = None):
+              return_state: bool = False, max_layers: int | None = None,
+              return_sink_blobs: bool = False):
         """Forward pass. Returns (loss, outputs) where outputs maps every
         blob name that is not consumed downstream (net outputs,
         ref:src/caffe/net.cpp:206-212) — or all blobs if return_blobs.
@@ -426,7 +427,11 @@ class Net:
 
         `max_layers` stops after the first N compute layers (the engine
         analogue of Net::ForwardFromTo, ref:src/caffe/net.cpp:502-514) —
-        used by the segmented `vvtpu time` benchmark."""
+        used by the segmented `vvtpu time` benchmark.
+
+        `return_sink_blobs` appends one more element: the host-sink
+        bottom blobs ({name: array}), for feeding process_host_sinks
+        from a jitted eval step."""
         blobs: dict[str, Any] = {}
         rm_raw: dict[str, Any] = {}
         for name in self.input_names:
@@ -503,15 +508,23 @@ class Net:
         # introspection (tests/logs): how many layers ran symbolically
         self._last_absorbed = fz.absorbed_layers if fz is not None else 0
 
+        # host-sink bottoms (e.g. RETRIEVAL_STATS consumes its features
+        # in-graph, so they are absent from `outputs`): appended as a
+        # final {blob: array} element so eval loops can run
+        # process_host_sinks without fetching every intermediate blob
+        tail = ()
+        if return_sink_blobs:
+            tail = ({b: blobs[b] for s in self.host_sinks
+                     for b in s["bottoms"]},)
         if return_state:
             if return_blobs:
-                return loss, blobs, dict(ctx.state_out)
+                return (loss, blobs, dict(ctx.state_out)) + tail
             outputs = {k: v for k, v in blobs.items() if k not in consumed}
-            return loss, outputs, dict(ctx.state_out)
+            return (loss, outputs, dict(ctx.state_out)) + tail
         if return_blobs:
-            return loss, blobs
+            return (loss, blobs) + tail
         outputs = {k: v for k, v in blobs.items() if k not in consumed}
-        return loss, outputs
+        return (loss, outputs) + tail
 
     def role_major_candidates(self, batch) -> list[str]:
         """Input blobs eligible for the role-major feed: consumed by a
@@ -566,22 +579,58 @@ class Net:
             log.info("    [debug_info] %s: mean abs = %g", name, value)
         return stats
 
-    def process_host_sinks(self, blobs: dict, *, append: bool = True):
+    def process_host_sinks(self, blobs: dict, *, append: bool = False,
+                           mesh=None):
         """Dump sink-layer bottoms (call with `return_blobs=True` outputs).
         WRITE_TO_FILE → csv (ref write_to_file_layer.cpp:36-64);
-        HDF5_OUTPUT → .h5 (ref hdf5_output_layer.cpp)."""
+        HDF5_OUTPUT → .h5 (ref hdf5_output_layer.cpp);
+        RETRIEVAL_STATS stats_output_file → per-query report csv.
+
+        The reference truncates each sink file on every Forward
+        (default-mode ofstream::open, write_to_file_layer.cpp:42,
+        retrieval_stats_layer.cpp:150) — so does append=False (the
+        default); append=True accumulates WRITE_TO_FILE rows across
+        calls instead (an extension for multi-batch eval loops).
+        `mesh` shards the RETRIEVAL_STATS report's query chunks over the
+        mesh's "data" axis (see metrics.retrieval._mesh_scan)."""
+        import os
         import numpy as np
         for sink in self.host_sinks:
             cfg = sink["cfg"]
             if sink["type"] == "WRITE_TO_FILE":
-                path = cfg.get_msg("write_to_file_param").get(
-                    "output_file", f"{sink['name']}.csv")
+                wp = cfg.get_msg("write_to_file_param")
+                path = wp.get("output_file", f"{sink['name']}.csv")
                 mode = "a" if append else "w"
+                header = (not append or not os.path.exists(path)
+                          or os.path.getsize(path) == 0)
                 with open(path, mode) as f:
                     for bname in sink["bottoms"]:
                         arr = np.asarray(blobs[bname])
-                        for row in arr.reshape(arr.shape[0], -1):
-                            f.write(",".join(f"{v:.6f}" for v in row) + "\n")
+                        # reference blob view (N, C, H, W): a 2-D (N, F)
+                        # blob is (N, F, 1, 1); feat = H·W unless the
+                        # feat_size param caps it (write_to_file_layer.
+                        # cpp:21-25)
+                        n_ = arr.shape[0]
+                        c_ = arr.shape[1] if arr.ndim > 1 else 1
+                        flat = arr.reshape(n_, c_, -1)
+                        feat = int(wp.get("feat_size", -1))
+                        if feat <= 0:
+                            feat = flat.shape[2]
+                        if header:
+                            f.write(f"#batch_id,channel_id,"
+                                    f"features(1..{feat})\n")
+                        lines = []
+                        # channel-major rows starting "c,b" — yes, the
+                        # reference's header names batch_id first but its
+                        # loop writes channel first (:49-52); preserved
+                        # byte-for-byte
+                        for c in range(c_):
+                            for b in range(n_):
+                                lines.append(
+                                    f"{c},{b}," + ",".join(
+                                        f"{float(v):g}"
+                                        for v in flat[b, c, :feat]) + "\n")
+                        f.write("".join(lines))
             elif sink["type"] == "HDF5_OUTPUT":
                 from videovector_tpu.data.generic import hdf5_output
                 path = cfg.get_msg("hdf5_output_param").get(
@@ -593,7 +642,9 @@ class Net:
                     retrieval_stats_report,
                 )
                 p = cfg.get_msg("retrieval_stats_param")
-                feats = np.asarray(blobs[sink["bottoms"][0]])
+                # features stay ON DEVICE — the report's engines are
+                # device programs; only ids come host-side
+                feats = jnp.asarray(blobs[sink["bottoms"][0]])
                 feats = feats.reshape(feats.shape[0], -1)
                 vids = np.asarray(blobs[sink["bottoms"][1]]).reshape(-1)
                 if bool(p.get("video_level_retrieval", False)):
@@ -605,7 +656,7 @@ class Net:
                     # (retrieval_stats_layer.cpp:188)
                     check_num_videos(vids, nv)
                     vf, vv = video_level_average(feats, vids, nv)
-                    feats = np.asarray(vf)
+                    feats = jnp.asarray(vf)
                     vids = np.asarray(vv).reshape(-1)
                 id_map = self.side.get(sink["name"])
                 classes = (np.asarray(id_map.lookup(
@@ -614,7 +665,8 @@ class Net:
                 retrieval_stats_report(
                     feats, vids, classes, p.get("stats_output_file"),
                     exclude_same_video_shots=bool(
-                        p.get("exclude_same_video_shots", True)))
+                        p.get("exclude_same_video_shots", True)),
+                    mesh=mesh)
 
     # ------------------------------------------------------------------
     def flat_param_list(self, params):

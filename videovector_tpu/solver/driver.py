@@ -253,22 +253,27 @@ class SolverDriver:
 
             def make_eval(test_net):
                 stateful = bool(test_net.stateful_layer_names)
+                sinks = bool(test_net.host_sinks)
 
                 def eval_fn(p, batch):
                     carry_in = batch.get("__carry__")
                     feed = {k: v for k, v in batch.items()
                             if k != "__carry__"}
                     if stateful:
-                        loss, outputs, carry = test_net.apply(
-                            p, feed, state=carry_in, return_state=True)
+                        loss, outputs, carry, *tail = test_net.apply(
+                            p, feed, state=carry_in, return_state=True,
+                            return_sink_blobs=sinks)
                     else:
-                        loss, outputs = test_net.apply(p, feed)
+                        loss, outputs, *tail = test_net.apply(
+                            p, feed, return_sink_blobs=sinks)
                     out = {k: jnp.sum(v) for k, v in outputs.items()
                            if getattr(v, "size", 2) == 1}
                     if include_loss:  # ref test_compute_loss, caffe.proto:116
                         out["loss"] = loss
                     if stateful:
                         out["__carry__"] = carry
+                    if sinks:  # sink-layer bottoms for process_host_sinks
+                        out["__sinks__"] = tail[0]
                     return out
                 return eval_fn
 
@@ -335,7 +340,11 @@ class SolverDriver:
         # the LSTM carry between sub-batches on the host
         return train(loss_fn, params, data_iter, cfg,
                      lr_mults=self.lr_mults, decay_mults=self.decay_mults,
-                     eval_fn=eval_fn, test_data=test_iter, hooks=hooks,
+                     eval_fn=eval_fn, test_data=test_iter,
+                     sink_fn=[(lambda blobs, n=tn: n.process_host_sinks(
+                         blobs, mesh=mesh)) if tn.host_sinks else None
+                         for tn in self.test_nets],
+                     hooks=hooks,
                      resume_state_path=resume_state_path,
                      param_layer_order=layer_order,
                      caffe_export=caffe_export,

@@ -196,6 +196,7 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
           lr_mults=None, decay_mults=None,
           eval_fn: Callable | None = None,
           test_data: Iterator[dict] | None = None,
+          sink_fn: Callable | None = None,
           resume_state_path: str | None = None,
           hooks: list | None = None,
           param_layer_order: list | None = None,
@@ -206,6 +207,11 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
     """loss_fn(params, batch, rng) -> (loss, aux_dict).
     eval_fn(params, batch) -> dict of scalars; averaged over cfg.test_iter[0]
     batches every cfg.test_interval iterations.
+    sink_fn (or a per-test-net list): called with the "__sinks__" entry an
+    eval_fn may return (host-sink bottom blobs) after every test batch —
+    the engine's file-writing layers (WRITE_TO_FILE / HDF5_OUTPUT /
+    RETRIEVAL_STATS stats_output_file) run during TEST forwards in the
+    reference (write_to_file_layer.cpp:36-64).
     hooks: [(interval, fn(params, it))] — called every `interval` iterations
     (the mechanism behind snapshot_vis / debug_info, ref solver.cpp:183-193).
     param_layer_order: param-carrying layer names in NET order — required to
@@ -290,6 +296,8 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         ([eval_fn] if eval_fn is not None else [])
     test_datas = test_data if isinstance(test_data, (list, tuple)) else \
         ([test_data] if test_data is not None else [])
+    sink_fns = sink_fn if isinstance(sink_fn, (list, tuple)) else \
+        ([sink_fn] * len(eval_fns))
     eval_steps = [jax.jit(f) if jit else f for f in eval_fns]
 
     def run_test(p, it):
@@ -306,6 +314,9 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                     batch = {**batch, "__carry__": t_carry}
                 out = dict(estep(p, batch))
                 t_carry = out.pop("__carry__", None)
+                sblobs = out.pop("__sinks__", None)
+                if sblobs is not None and sink_fns[net_id] is not None:
+                    sink_fns[net_id](sblobs)
                 for k, v in out.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
             avg = {k: v / n for k, v in sums.items()}

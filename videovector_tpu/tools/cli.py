@@ -165,7 +165,9 @@ def cmd_test(args) -> int:
         place_batch = lambda b: shard_batch(b, mesh, axes=axes)  # noqa: E731
         batch0 = place_batch(batch0)
 
-    apply_fn = jax.jit(lambda p, b: net.apply(p, b))
+    sinks = bool(net.host_sinks)
+    apply_fn = jax.jit(lambda p, b: net.apply(p, b,
+                                              return_sink_blobs=sinks))
     validators = net.batch_validators()  # host-side twins of jit-opaque
     # CHECKs (video_level_retrieval id-count, retrieval_stats_layer.cpp:188)
     sums: dict[str, float] = {}
@@ -175,7 +177,14 @@ def cmd_test(args) -> int:
             k: jnp.asarray(v) for k, v in source.next_batch().items()})
         for v in validators:
             v(batch)
-        loss, outputs = apply_fn(params, batch)
+        if sinks:
+            loss, outputs, sink_blobs = apply_fn(params, batch)
+            # reference sink layers truncate + rewrite their files on
+            # every TEST forward (write_to_file_layer.cpp:42,
+            # retrieval_stats_layer.cpp:150)
+            net.process_host_sinks(sink_blobs, mesh=mesh)
+        else:
+            loss, outputs = apply_fn(params, batch)
         loss_sum += float(loss)
         for k, v in outputs.items():
             if getattr(v, "size", 2) == 1:
