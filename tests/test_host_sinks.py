@@ -77,3 +77,95 @@ def test_retrieval_stats_output_file(tmp_path, rng):
     lines = out.read_text().strip().split("\n")
     assert lines[0].startswith("#video_id,class_id,ap,acc@1,acc@5")
     assert len(lines) == 7  # header + 6 queries
+
+
+def test_rank_stats_report_csv(tmp_path, rng):
+    """RETRIEVAL_RANK_STATS stats_output_file: the reference per-item csv
+    (ref retrieval_rank_stats_layer.cpp:188-268) — header names only
+    item/rank/rec/ids, rows add 5 unnamed distance columns; rank prints
+    as an integer; checked against a numpy oracle."""
+    from videovector_tpu.metrics.retrieval import (
+        retrieval_rank_stats, retrieval_rank_stats_report,
+    )
+    b = 8
+    ctx = rng.randn(b, 6).astype(np.float32)
+    tgt = rng.randn(b, 6).astype(np.float32)
+    path = tmp_path / "rank.csv"
+    agg = retrieval_rank_stats_report(ctx, tgt, str(path))
+    ref = retrieval_rank_stats(jnp.asarray(ctx), jnp.asarray(tgt))
+    for k in ref:
+        np.testing.assert_allclose(float(agg[k]), float(ref[k]), rtol=1e-6)
+    lines = path.read_text().strip().split("\n")
+    assert lines[0] == ("#item_id,rank,rec@1,rec@5"
+                       ",ret_id_1,ret_id_2,ret_id_3,ret_id_4,ret_id_5")
+    assert len(lines) == b + 1
+    dist = -2.0 * ctx @ tgt.T
+    for i, line in enumerate(lines[1:]):
+        cols = line.split(",")
+        assert len(cols) == 14  # i,rank,rec1,rec5 + 5 ids + 5 distances
+        order = np.argsort(dist[i], kind="stable")
+        assert int(cols[0]) == i
+        assert int(cols[1]) == int(np.where(order == i)[0][0]) + 1
+        assert [int(c) for c in cols[4:9]] == [int(v) for v in order[:5]]
+        np.testing.assert_allclose(
+            [float(c) for c in cols[9:14]],
+            dist[i, order[:5]], rtol=1e-4)
+
+
+def test_rank_stats_report_small_batch_zero_slots(tmp_path, rng):
+    """batch < 5: the reference caps the top-5 copy at num_samples
+    (= batch size), so trailing id slots keep their initial 0 — quirk
+    preserved."""
+    from videovector_tpu.metrics.retrieval import retrieval_rank_stats_report
+    ctx = rng.randn(3, 4).astype(np.float32)
+    tgt = rng.randn(3, 4).astype(np.float32)
+    path = tmp_path / "rank3.csv"
+    retrieval_rank_stats_report(ctx, tgt, str(path))
+    rows = [l.split(",") for l in path.read_text().strip().split("\n")[1:]]
+    for r in rows:
+        assert r[7] == "0" and r[8] == "0"  # slots 4-5 never written
+
+
+def test_fixed_ref_rank_stats_report_and_sink(tmp_path, rng):
+    """FIXED_REF report rows carry the extra video_id column, and the
+    engine runs both rank-stats sinks from process_host_sinks."""
+    from videovector_tpu.config.textformat import parse
+    from videovector_tpu.graph.net import Net
+    from videovector_tpu.metrics.retrieval import (
+        retrieval_rank_stats_fixed_ref, retrieval_rank_stats_fixed_ref_report,
+    )
+    b, f = 6, 9
+    feats = rng.randn(b, 5).astype(np.float32)
+    refs = rng.randn(f, 5).astype(np.float32)
+    vids = rng.randint(0, 3, size=(b,))
+    rvids = rng.randint(0, 3, size=(f,))
+    path = tmp_path / "fr.csv"
+    agg = retrieval_rank_stats_fixed_ref_report(feats, vids, refs, rvids,
+                                                str(path))
+    ref = retrieval_rank_stats_fixed_ref(
+        jnp.asarray(feats), jnp.asarray(vids), jnp.asarray(refs),
+        jnp.asarray(rvids))
+    for k in ref:
+        np.testing.assert_allclose(float(agg[k]), float(ref[k]), rtol=1e-6)
+    rows = [l.split(",") for l in path.read_text().strip().split("\n")[1:]]
+    assert len(rows) == b
+    for i, r in enumerate(rows):
+        assert len(r) == 15  # i,video_id,rank,rec1,rec5 + 5 ids + 5 dists
+        assert int(r[0]) == i and int(r[1]) == int(vids[i])
+
+    out = tmp_path / "rank_sink.csv"
+    net = Net(parse(f"""
+    input: "c" input: "t"
+    layers {{ name: "rr" type: RETRIEVAL_RANK_STATS bottom: "c" bottom: "t"
+      top: "mr" top: "r1" top: "r5" top: "r10" top: "ap"
+      retrieval_rank_stats_param {{ stats_output_file: "{out}" }} }}
+    """), phase="TEST")
+    assert any(s["type"] == "RETRIEVAL_RANK_STATS" for s in net.host_sinks)
+    spec = {"c": jax.ShapeDtypeStruct((b, 5), jnp.float32),
+            "t": jax.ShapeDtypeStruct((b, 5), jnp.float32)}
+    params, _ = net.init(jax.random.PRNGKey(0), spec)
+    _, blobs, sinks = net.apply(
+        params, {"c": jnp.asarray(feats), "t": jnp.asarray(feats)},
+        return_blobs=True, return_sink_blobs=True)
+    net.process_host_sinks(sinks)
+    assert out.read_text().startswith("#item_id,rank,rec@1,rec@5")

@@ -145,14 +145,22 @@ class Net:
              "bottoms": [str(b) for b in l.get_list("bottom")], "cfg": l}
             for l in self.layers if l.get("type") in SINK_LAYER_TYPES
         ]
-        # RETRIEVAL_STATS with stats_output_file also dumps a per-query csv
-        # (ref:src/caffe/layers/retrieval_stats_layer.cpp:148-155,310-340)
+        # stats layers with stats_output_file also dump a per-item csv
+        # (ref:src/caffe/layers/retrieval_stats_layer.cpp:148-155,310-340,
+        # retrieval_rank_stats_layer.cpp:188-268,
+        # retrieval_rank_stats_fixed_ref_layer.cpp:120-221)
+        _stats_param = {
+            "RETRIEVAL_STATS": "retrieval_stats_param",
+            "RETRIEVAL_RANK_STATS": "retrieval_rank_stats_param",
+            "RETRIEVAL_RANK_STATS_FIXED_REF":
+                "retrieval_rank_stats_fixed_ref_param",
+        }
         self.host_sinks += [
-            {"name": l.get("name"), "type": "RETRIEVAL_STATS",
+            {"name": l.get("name"), "type": l.get("type"),
              "bottoms": [str(b) for b in l.get_list("bottom")], "cfg": l}
             for l in self.layers
-            if l.get("type") == "RETRIEVAL_STATS"
-            and l.get_msg("retrieval_stats_param").get("stats_output_file")
+            if l.get("type") in _stats_param
+            and l.get_msg(_stats_param[l.get("type")]).get("stats_output_file")
         ]
 
         # AutoTopBlobs (ref:include/caffe/layer.hpp:258 + net.cpp AppendTop):
@@ -667,6 +675,33 @@ class Net:
                     exclude_same_video_shots=bool(
                         p.get("exclude_same_video_shots", True)),
                     mesh=mesh)
+            elif sink["type"] == "RETRIEVAL_RANK_STATS":
+                from videovector_tpu.metrics.retrieval import (
+                    retrieval_rank_stats_report,
+                )
+                p = cfg.get_msg("retrieval_rank_stats_param")
+                ctxf = jnp.asarray(blobs[sink["bottoms"][0]])
+                tgtf = jnp.asarray(blobs[sink["bottoms"][1]])
+                retrieval_rank_stats_report(
+                    ctxf.reshape(ctxf.shape[0], -1),
+                    tgtf.reshape(tgtf.shape[0], -1),
+                    p.get("stats_output_file"),
+                    compute_ap=bool(p.get("compute_ap", False)),
+                    positive_size=int(p.get("positive_size", 0)),
+                    negative_size=int(p.get("negative_size", 0)))
+            elif sink["type"] == "RETRIEVAL_RANK_STATS_FIXED_REF":
+                from videovector_tpu.metrics.retrieval import (
+                    retrieval_rank_stats_fixed_ref_report,
+                )
+                p = cfg.get_msg("retrieval_rank_stats_fixed_ref_param")
+                feats = jnp.asarray(blobs[sink["bottoms"][0]])
+                reff = jnp.asarray(blobs[sink["bottoms"][2]])
+                retrieval_rank_stats_fixed_ref_report(
+                    feats.reshape(feats.shape[0], -1),
+                    np.asarray(blobs[sink["bottoms"][1]]).reshape(-1),
+                    reff.reshape(reff.shape[0], -1),
+                    np.asarray(blobs[sink["bottoms"][3]]).reshape(-1),
+                    p.get("stats_output_file"))
 
     # ------------------------------------------------------------------
     def flat_param_list(self, params):

@@ -777,6 +777,23 @@ def retrieval_rank_stats(context, targets, *, compute_ap: bool = False,
 
     Returns dict(median_rank, recall_at_1, recall_at_5, recall_at_10, mean_ap).
     """
+    (dist, order, ranks_f, rec1, rec5, rec10,
+     mean_ap) = _rank_stats_peritem(context, targets, compute_ap,
+                                    positive_size, negative_size)
+    return {
+        "median_rank": _median_rank(ranks_f),
+        "recall_at_1": jnp.mean(rec1),
+        "recall_at_5": jnp.mean(rec5),
+        "recall_at_10": jnp.mean(rec10),
+        "mean_ap": mean_ap,
+    }
+
+
+def _rank_stats_peritem(context, targets, compute_ap, positive_size,
+                        negative_size):
+    """Per-item pieces shared by retrieval_rank_stats and its csv report:
+    (dist (B, F), stable ascending order (B, F), rank, rec@1/5/10 arrays
+    (B,), mean_ap scalar)."""
     b = context.shape[0]
     f = targets.shape[0]
     dist = -2.0 * jnp.dot(context, targets.T, preferred_element_type=jnp.float32)
@@ -813,14 +830,67 @@ def retrieval_rank_stats(context, targets, *, compute_ap: bool = False,
                          rec5_cnt / jnp.minimum(jnp.maximum(ret_total, 1.0), 5.0), 0.0)
         rec10 = jnp.where(ret_total > 0,
                           rec10_cnt / jnp.minimum(jnp.maximum(ret_total, 1.0), 10.0), 0.0)
+    return dist, order, ranks_f, rec1, rec5, rec10, mean_ap
 
+
+def _median_rank(ranks_f):
+    """ref median: sort, exact middle (mean of the two central elements
+    for even counts), retrieval_rank_stats_layer.cpp:287-295."""
+    b = ranks_f.shape[0]
     sorted_ranks = jnp.sort(ranks_f)
     if b % 2 == 0:
-        median = (sorted_ranks[b // 2 - 1] + sorted_ranks[b // 2]) / 2.0
-    else:
-        median = sorted_ranks[b // 2]
+        return (sorted_ranks[b // 2 - 1] + sorted_ranks[b // 2]) / 2.0
+    return sorted_ranks[b // 2]
+
+
+def _write_rank_stats_csv(path, dist, order, ranks_f, rec1, rec5,
+                          video_ids=None):
+    """The reference rank-stats csv (retrieval_rank_stats_layer.cpp:
+    188-268, retrieval_rank_stats_fixed_ref_layer.cpp:120-221): header
+    `#item_id,rank,rec@1,rec@5,ret_id_1..5`, rows
+    `i[,video_id],rank,rec1,rec5,id1..id5,d1..d5` — the header names
+    neither the fixed-ref video_id column nor the five distance columns,
+    and the top-5 id slots beyond min(batch, 5) keep their initial 0
+    (the reference's `jj < num_samples` cap with num_samples = batch
+    size) — all preserved byte-for-byte. Truncates per call (default
+    ofstream::open)."""
+    dist = np.asarray(dist)
+    order = np.asarray(order)
+    b = order.shape[0]
+    k = min(b, 5, order.shape[1])
+    top5 = np.zeros((b, 5), np.int64)
+    top5[:, :k] = order[:, :k]
+    d5 = np.take_along_axis(dist, top5, axis=1)
+    ranks = np.asarray(ranks_f)
+    rec1 = np.asarray(rec1)
+    rec5 = np.asarray(rec5)
+    with open(path, "w") as f:
+        f.write("#item_id,rank,rec@1,rec@5"
+                ",ret_id_1,ret_id_2,ret_id_3,ret_id_4,ret_id_5\n")
+        lines = []
+        for i in range(b):
+            vid = f"{int(video_ids[i])}," if video_ids is not None else ""
+            lines.append(
+                f"{i},{vid}{int(ranks[i])},{rec1[i]:g},{rec5[i]:g},"
+                + ",".join(str(int(j)) for j in top5[i]) + ","
+                + ",".join(f"{float(v):g}" for v in d5[i]) + "\n")
+        f.write("".join(lines))
+
+
+def retrieval_rank_stats_report(context, targets, path: str, *,
+                                compute_ap: bool = False,
+                                positive_size: int = 0,
+                                negative_size: int = 0) -> dict:
+    """retrieval_rank_stats + the reference's per-item csv dump
+    (ref:src/caffe/layers/retrieval_rank_stats_layer.cpp:188-268).
+    Returns the same aggregate dict."""
+    (dist, order, ranks_f, rec1, rec5, rec10,
+     mean_ap) = _rank_stats_peritem(jnp.asarray(context),
+                                    jnp.asarray(targets), compute_ap,
+                                    positive_size, negative_size)
+    _write_rank_stats_csv(path, dist, order, ranks_f, rec1, rec5)
     return {
-        "median_rank": median,
+        "median_rank": _median_rank(ranks_f),
         "recall_at_1": jnp.mean(rec1),
         "recall_at_5": jnp.mean(rec5),
         "recall_at_10": jnp.mean(rec10),
@@ -836,6 +906,19 @@ def retrieval_rank_stats_fixed_ref(features, video_ids, ref_features, ref_video_
 
     Returns dict(median_rank, recall_at_1, recall_at_5, recall_at_10, mean_ap).
     """
+    (dist, order, first, rec1, rec5, rec10,
+     ap) = _fixed_ref_peritem(features, video_ids, ref_features,
+                              ref_video_ids)
+    return {
+        "median_rank": _median_rank(first),
+        "recall_at_1": jnp.mean(rec1),
+        "recall_at_5": jnp.mean(rec5),
+        "recall_at_10": jnp.mean(rec10),
+        "mean_ap": jnp.mean(ap),
+    }
+
+
+def _fixed_ref_peritem(features, video_ids, ref_features, ref_video_ids):
     b = features.shape[0]
     f = ref_features.shape[0]
     dist = -2.0 * jnp.dot(features, ref_features.T, preferred_element_type=jnp.float32)
@@ -855,13 +938,26 @@ def retrieval_rank_stats_fixed_ref(features, video_ids, ref_features, ref_video_
     rec10 = jnp.where(ret_total > 0,
                       jnp.sum(match * (val <= 10.0), axis=1)
                       / jnp.minimum(jnp.maximum(ret_total, 1.0), 10.0), 0.0)
-    sorted_ranks = jnp.sort(first)
-    if b % 2 == 0:
-        median = (sorted_ranks[b // 2 - 1] + sorted_ranks[b // 2]) / 2.0
-    else:
-        median = sorted_ranks[b // 2]
+    return dist, order, first, rec1, rec5, rec10, ap
+
+
+def retrieval_rank_stats_fixed_ref_report(features, video_ids, ref_features,
+                                          ref_video_ids, path: str) -> dict:
+    """retrieval_rank_stats_fixed_ref + the reference's per-item csv
+    (ref:src/caffe/layers/retrieval_rank_stats_fixed_ref_layer.cpp:
+    120-221; rows carry an extra video_id column the header does not
+    name). Returns the same aggregate dict."""
+    features = jnp.asarray(features)
+    video_ids = jnp.asarray(video_ids).reshape(-1).astype(jnp.int32)
+    ref_features = jnp.asarray(ref_features)
+    ref_video_ids = jnp.asarray(ref_video_ids).reshape(-1).astype(jnp.int32)
+    (dist, order, first, rec1, rec5, rec10,
+     ap) = _fixed_ref_peritem(features, video_ids, ref_features,
+                              ref_video_ids)
+    _write_rank_stats_csv(path, dist, order, first, rec1, rec5,
+                          video_ids=np.asarray(video_ids))
     return {
-        "median_rank": median,
+        "median_rank": _median_rank(first),
         "recall_at_1": jnp.mean(rec1),
         "recall_at_5": jnp.mean(rec5),
         "recall_at_10": jnp.mean(rec10),
