@@ -327,6 +327,80 @@ def test_cli_train_and_test(mini_project, capsys):
     assert main(["device_query"]) == 0
 
 
+STATEFUL_TEST_NET = """
+name: "carry_cli"
+layers { name: "d" type: DUMMY_DATA top: "x" top: "cont" top: "y"
+  dummy_data_param {
+    num: 4 num: 4 num: 4
+    channels: 3 channels: 3 channels: 3
+    height: 5 height: 1 height: 8
+    width: 1 width: 1 width: 1
+    data_filler { type: "uniform" min: -1 max: 1 }
+    data_filler { type: "constant" value: 1 }
+    data_filler { type: "constant" value: 0.5 }
+  } }
+layers { name: "rnn" type: LSTM bottom: "x" bottom: "cont" top: "h"
+  inner_product_param { num_output: 8
+    weight_filler { type: "gaussian" std: 0.3 } } }
+layers { name: "fb" type: FLATTEN_BATCH bottom: "h" top: "hf" }
+layers { name: "yf" type: FLATTEN_BATCH bottom: "y" top: "yf" }
+layers { name: "loss" type: EUCLIDEAN_LOSS bottom: "hf" bottom: "yf"
+  top: "l" }
+"""
+
+
+def test_cli_test_threads_lstm_state(tmp_path):
+    """`vvtpu test` must carry LSTM cross-batch state between its forward
+    iterations, exactly like the reference's `caffe test` which reuses one
+    net whose prev_cell_/prev_out_ persist across Forward calls
+    (ref lstm_layer.cpp:171-173,261-264). Regression: cmd_test used to
+    rebuild state=None every batch, silently resetting the recurrence."""
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+
+    from videovector_tpu.graph.net import Net
+    from videovector_tpu.tools.cli import main
+
+    model = tmp_path / "carry_cli.prototxt"
+    model.write_text(STATEFUL_TEST_NET)
+
+    class _Collect(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.lines = []
+
+        def emit(self, record):
+            self.lines.append(record.getMessage())
+
+    handler = _Collect()
+    logger = logging.getLogger("videovector_tpu")
+    logger.addHandler(handler)
+    try:
+        assert main(["test", "--model", str(model),
+                     "--iterations", "2"]) == 0
+    finally:
+        logger.removeHandler(handler)
+    losses = [float(m.split("loss = ")[1]) for m in handler.lines
+              if m.startswith("Batch ")]
+    assert len(losses) == 2
+
+    # expected: hand-thread the carry through Net.apply with the same
+    # PRNGKey(0) init cmd_test uses (DUMMY_DATA fills are rng-free in
+    # eval, so batches are reproducible)
+    net = Net(parse(STATEFUL_TEST_NET), phase="TEST")
+    params, _ = net.init(jax.random.PRNGKey(0), {})
+    loss0, _, st = net.apply(params, {}, return_state=True)
+    loss1, _, _ = net.apply(params, {}, state=st, return_state=True)
+    np.testing.assert_allclose(losses[0], float(loss0), rtol=1e-5)
+    np.testing.assert_allclose(losses[1], float(loss1), rtol=1e-5)
+    # and the carry must matter: a reset second forward differs
+    loss1_reset, _ = net.apply(params, {})
+    assert abs(float(loss1_reset) - float(loss1)) > 1e-6
+    assert jnp is not None
+
+
 def test_sink_files_written_during_test_phase(mini_project, tmp_path):
     """Reference sink layers write their files during TEST forwards
     (ref write_to_file_layer.cpp:36-64, retrieval_stats_layer.cpp:148-155):

@@ -166,25 +166,31 @@ def cmd_test(args) -> int:
         batch0 = place_batch(batch0)
 
     sinks = bool(net.host_sinks)
-    apply_fn = jax.jit(lambda p, b: net.apply(p, b,
-                                              return_sink_blobs=sinks))
+    stateful = bool(net.stateful_layer_names)
+    apply_fn = jax.jit(lambda p, b, st: net.apply(
+        p, b, state=st, return_state=stateful, return_sink_blobs=sinks))
     validators = net.batch_validators()  # host-side twins of jit-opaque
     # CHECKs (video_level_retrieval id-count, retrieval_stats_layer.cpp:188)
     sums: dict[str, float] = {}
     loss_sum = 0.0
+    carry = None  # LSTM cross-batch state carries across test forwards
+    # exactly as in the reference (ref lstm_layer.cpp:171-173,261-264 —
+    # `caffe test` reuses one net, so prev_cell_ persists between batches)
     for i in range(args.iterations):
         batch = batch0 if i == 0 else place_batch({
             k: jnp.asarray(v) for k, v in source.next_batch().items()})
         for v in validators:
             v(batch)
+        res = apply_fn(params, batch, carry)
+        loss, outputs = res[0], res[1]
+        rest = list(res[2:])
+        if stateful:
+            carry = rest.pop(0)
         if sinks:
-            loss, outputs, sink_blobs = apply_fn(params, batch)
             # reference sink layers truncate + rewrite their files on
             # every TEST forward (write_to_file_layer.cpp:42,
             # retrieval_stats_layer.cpp:150)
-            net.process_host_sinks(sink_blobs, mesh=mesh)
-        else:
-            loss, outputs = apply_fn(params, batch)
+            net.process_host_sinks(rest.pop(0), mesh=mesh)
         loss_sum += float(loss)
         for k, v in outputs.items():
             if getattr(v, "size", 2) == 1:
