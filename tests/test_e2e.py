@@ -453,6 +453,47 @@ layers {{ name: "dump_ctx" type: WRITE_TO_FILE bottom: "ctxn"
     assert acts_csv.read_text().startswith("#batch_id,channel_id,")
 
 
+def test_sink_files_written_during_train_phase(mini_project, tmp_path):
+    """A WRITE_TO_FILE layer in the TRAIN net writes its csv on every
+    training Forward in the reference (write_to_file_layer.cpp:36-64 runs
+    in whatever phase holds the layer); the driver's fused train step must
+    feed it too — previously TRAIN-phase sinks silently wrote nothing
+    (STATUS.md known gap, now closed)."""
+    from videovector_tpu.config.textformat import parse_file
+    from videovector_tpu.solver.driver import SolverDriver
+
+    train_csv = tmp_path / "train_acts.csv"
+    net_text = open(mini_project["net"]).read()
+    net_text += f'''
+layers {{ name: "dump_train" type: WRITE_TO_FILE bottom: "ctxn"
+  write_to_file_param {{ output_file: "{train_csv}" }}
+  include: {{ phase: TRAIN }} }}
+'''
+    net_path = tmp_path / "net_train_sink.prototxt"
+    net_path.write_text(net_text)
+    def run(max_iter):
+        solver_msg = parse_file(mini_project["solver"])
+        solver_msg.fields["net"] = [str(net_path)]
+        solver_msg.fields["max_iter"] = [max_iter]
+        solver_msg.fields["test_interval"] = [0]
+        solver_msg.fields["display"] = [1]
+        return SolverDriver(solver_msg).build().train()
+
+    res = run(1)
+    acts1 = train_csv.read_text().strip().split("\n")
+    assert acts1[0].startswith("#batch_id,channel_id,features(1..")
+    assert len(acts1) > 1
+
+    res = run(3)
+    assert res.metrics_history  # training ran and displayed
+    # "__sinks__" never leaks into the displayed metrics
+    assert all("__sinks__" not in m[1] for m in res.metrics_history)
+    acts3 = train_csv.read_text().strip().split("\n")
+    # truncate-per-forward: the file holds ONE forward's rows, not 3
+    # iterations' accumulation
+    assert len(acts3) == len(acts1)
+
+
 def test_cli_finetune_from_caffemodel(mini_project, tmp_path):
     """--weights finetune: .caffemodel weights land in the train net
     (ref tools/caffe.cpp:110-117 CopyTrainedLayersFrom)."""

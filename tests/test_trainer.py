@@ -236,3 +236,48 @@ def test_async_snapshotter_atomic_and_error_surfacing(tmp_path):
     import pytest
     with pytest.raises(Exception):
         snap.wait()
+
+
+def test_train_sink_fn_fires_every_iteration():
+    """TRAIN-phase host sinks: the reference's sink layers write on EVERY
+    Forward, train included (write_to_file_layer.cpp:36-64). train() must
+    feed "__sinks__" aux entries to train_sink_fn each iteration — and
+    under iter_size accumulation the surviving write is the LAST
+    sub-batch's (truncate-per-Forward ofstream semantics)."""
+    params = {"w": jnp.zeros((3,))}
+
+    def loss_fn(p, batch, key):
+        x = batch["x"]
+        loss = jnp.sum((p["w"] - jnp.mean(x)) ** 2)
+        return loss, {"__sinks__": {"xblob": x}}
+
+    def data():
+        i = 0
+        while True:
+            yield {"x": np.full((4, 3), float(i), np.float32)}
+            i += 1
+
+    # plain steps: one sink call per iteration, carrying that step's batch
+    seen = []
+    train(loss_fn, params, data(),
+          SolverConfig(base_lr=0.1, max_iter=3),
+          train_sink_fn=lambda blobs: seen.append(
+              float(np.asarray(blobs["xblob"])[0, 0])))
+    assert seen == [0.0, 1.0, 2.0]
+
+    # fused iter_size=2: one call per step, LAST sub-batch's blobs
+    seen_fused = []
+    train(loss_fn, params, data(),
+          SolverConfig(base_lr=0.1, max_iter=2, iter_size=2),
+          train_sink_fn=lambda blobs: seen_fused.append(
+              float(np.asarray(blobs["xblob"])[0, 0])))
+    assert seen_fused == [1.0, 3.0]
+
+    # host-loop accumulation (the stateful-net path): per-Forward calls
+    seen_host = []
+    train(loss_fn, params, data(),
+          SolverConfig(base_lr=0.1, max_iter=2, iter_size=2),
+          fused_accum=False,
+          train_sink_fn=lambda blobs: seen_host.append(
+              float(np.asarray(blobs["xblob"])[0, 0])))
+    assert seen_host == [0.0, 1.0, 2.0, 3.0]

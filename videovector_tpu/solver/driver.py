@@ -228,6 +228,12 @@ class SolverDriver:
 
         net = self.train_net
 
+        # sink layers in a TRAIN net write their files on every training
+        # Forward in the reference (write_to_file_layer.cpp:36-64 runs in
+        # whatever phase the net holds it) — feed their bottoms out of the
+        # jitted step through the "__sinks__" aux channel
+        train_sinks = bool(net.host_sinks)
+
         if net.stateful_layer_names:
             # cross-batch LSTM state carry (ref lstm_layer.cpp:171-173):
             # carry rides the aux channel under a reserved key; train()
@@ -235,16 +241,19 @@ class SolverDriver:
             def loss_fn(p, batch, key):
                 carry_in = batch.get("__carry__")
                 feed = {k: v for k, v in batch.items() if k != "__carry__"}
-                loss, outputs, carry = net.apply(p, feed, rng=key,
-                                                 state=carry_in,
-                                                 return_state=True)
+                loss, outputs, carry, *tail = net.apply(
+                    p, feed, rng=key, state=carry_in, return_state=True,
+                    return_sink_blobs=train_sinks)
                 aux = {k: jnp.sum(v) for k, v in outputs.items()
                        if getattr(v, "size", 2) == 1}
                 aux["__carry__"] = carry
+                if train_sinks:
+                    aux["__sinks__"] = tail[0]
                 return loss, aux
         else:
             def loss_fn(p, batch, key):
-                return self._loss_with_outputs(net, p, batch, key)
+                return self._loss_with_outputs(net, p, batch, key,
+                                               sinks=train_sinks)
 
         eval_fn = None
         test_iter = None
@@ -344,6 +353,9 @@ class SolverDriver:
                      sink_fn=[(lambda blobs, n=tn: n.process_host_sinks(
                          blobs, mesh=mesh)) if tn.host_sinks else None
                          for tn in self.test_nets],
+                     train_sink_fn=(
+                         (lambda blobs: net.process_host_sinks(
+                             blobs, mesh=mesh)) if train_sinks else None),
                      hooks=hooks,
                      resume_state_path=resume_state_path,
                      param_layer_order=layer_order,
@@ -355,8 +367,11 @@ class SolverDriver:
         return {k: jnp.asarray(v) for k, v in self._first_batch.items()}
 
     @staticmethod
-    def _loss_with_outputs(net, p, batch, key):
-        loss, outputs = net.apply(p, batch, rng=key)
+    def _loss_with_outputs(net, p, batch, key, sinks: bool = False):
+        loss, outputs, *tail = net.apply(p, batch, rng=key,
+                                         return_sink_blobs=sinks)
         aux = {k: jnp.sum(v) for k, v in outputs.items()
                if getattr(v, "size", 2) == 1}
+        if sinks:
+            aux["__sinks__"] = tail[0]
         return loss, aux

@@ -161,9 +161,15 @@ def build_fused_step(grad_fn, cfg: "SolverConfig", n_accum: int, gm: int, *,
                                lr_mults=lr_mults, decay_mults=decay_mults)
         # displayed loss averages over microbatches (== the big-batch
         # mean for equal micro sizes); other net outputs report the
-        # LAST microbatch (counts like `violations` must not average)
+        # LAST microbatch (counts like `violations` must not average).
+        # Dict-valued aux entries (the "__sinks__" blob map) take each
+        # leaf's last microbatch — the reference's sink files truncate
+        # per Forward, so the last sub-batch's write is the one that
+        # survives an iter_size step (write_to_file_layer.cpp:42)
         metrics = {"loss": loss_sum / n_total,
-                   **{k: v[-1] for k, v in aux_all.items()}}
+                   **{k: (jax.tree.map(lambda a: a[-1], v)
+                          if isinstance(v, dict) else v[-1])
+                      for k, v in aux_all.items()}}
         if cfg.snapshot_diff:
             metrics["__diff__"] = grads
         return p2, s2, metrics
@@ -197,6 +203,7 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
           eval_fn: Callable | None = None,
           test_data: Iterator[dict] | None = None,
           sink_fn: Callable | None = None,
+          train_sink_fn: Callable | None = None,
           resume_state_path: str | None = None,
           hooks: list | None = None,
           param_layer_order: list | None = None,
@@ -212,6 +219,12 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
     the engine's file-writing layers (WRITE_TO_FILE / HDF5_OUTPUT /
     RETRIEVAL_STATS stats_output_file) run during TEST forwards in the
     reference (write_to_file_layer.cpp:36-64).
+    train_sink_fn: same for the TRAIN net — the reference writes sink
+    files on EVERY Forward, train included; the loss_fn signals sink
+    bottoms via a "__sinks__" aux entry. Under the fused accumulation
+    schedule only the last microbatch's blobs reach it (= the file state
+    the reference's truncate-per-Forward writes leave after an iter_size
+    step); the host-loop (stateful) path fires per sub-batch.
     hooks: [(interval, fn(params, it))] — called every `interval` iterations
     (the mechanism behind snapshot_vis / debug_info, ref solver.cpp:183-193).
     param_layer_order: param-carrying layer names in NET order — required to
@@ -376,6 +389,9 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                         params, grads_acc, batch,
                         jax.random.fold_in(key, sub))
                     carry = metrics.pop("__carry__", None)
+                    sblobs = metrics.pop("__sinks__", None)
+                    if sblobs is not None and train_sink_fn is not None:
+                        train_sink_fn(sblobs)  # per sub-batch Forward
                 if cfg.snapshot_diff:
                     # host copy: apply_update donates the grads_acc buffers
                     last_grads = jax.device_get(grads_acc)
@@ -407,6 +423,9 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                 # stateful nets return the updated carry through aux
                 carry = metrics.pop("__carry__", None)
                 last_grads = metrics.pop("__diff__", last_grads)
+                sblobs = metrics.pop("__sinks__", None)
+                if sblobs is not None and train_sink_fn is not None:
+                    train_sink_fn(sblobs)
 
             if cfg.display and it % cfg.display == 0:
                 loss = float(metrics["loss"])
