@@ -379,6 +379,7 @@ def test_cli_test_threads_lstm_state(tmp_path):
     logger.addHandler(handler)
     try:
         assert main(["test", "--model", str(model),
+                     "--allow_random_weights",
                      "--iterations", "2"]) == 0
     finally:
         logger.removeHandler(handler)
@@ -602,6 +603,7 @@ def test_extract_features_mesh_matches_single_device(mini_project, tmp_path):
 def test_cli_test_mesh(mini_project):
     from videovector_tpu.tools.cli import main
     assert main(["test", "--model", mini_project["net"],
+                 "--allow_random_weights",
                  "--iterations", "2", "--mesh", "4"]) == 0
 
 
@@ -843,3 +845,19 @@ def test_train_with_restarts_recovers_from_fault(mini_project, tmp_path):
             _train_with_restarts(driver.rebuild(), snapshot=None,
                                  weights=None, mesh=None, max_restarts=2)
     assert calls["n"] == 3  # initial + 2 restarts
+
+
+def test_cli_strictness_checks(mini_project, tmp_path):
+    """Reference CLI CHECKs: `caffe test` without --weights aborts
+    (tools/caffe.cpp:129); `caffe train` with BOTH --snapshot and
+    --weights aborts (tools/caffe.cpp:82-84)."""
+    import pytest as _pytest
+
+    from videovector_tpu.tools.cli import main
+
+    with _pytest.raises(SystemExit, match="Need model weights"):
+        main(["test", "--model", mini_project["net"], "--iterations", "1"])
+    with _pytest.raises(SystemExit, match="not both"):
+        main(["train", "--solver", mini_project["solver"],
+              "--snapshot", str(tmp_path / "x.vvstate"),
+              "--weights", str(tmp_path / "y.caffemodel")])

@@ -63,6 +63,11 @@ def _apply_device_mode(args, solver_msg=None) -> None:
 def cmd_train(args) -> int:
     from videovector_tpu.config.textformat import parse_file
     from videovector_tpu.solver.driver import SolverDriver
+    if args.snapshot and args.weights:
+        # ref CHECK(!FLAGS_snapshot.size() || !FLAGS_weights.size()),
+        # tools/caffe.cpp:82-84 — a snapshot already carries the weights
+        raise SystemExit("Give a snapshot to resume training or weights "
+                         "to finetune but not both.")
     _apply_device_mode(args, parse_file(args.solver))
     driver = SolverDriver.from_prototxt(args.solver).build()
     snapshot = args.snapshot or None
@@ -134,6 +139,12 @@ def _latest_snapshot(prefix: str):
 
 def cmd_test(args) -> int:
     """Average net outputs over N forward iterations (ref caffe.cpp:127-190)."""
+    if not args.weights and not getattr(args, "allow_random_weights", False):
+        # ref CHECK_GT(FLAGS_weights.size(), 0) "Need model weights to
+        # score." (tools/caffe.cpp:129) — scoring a randomly initialized
+        # net is almost always a mistake; opt out explicitly for smoke runs
+        raise SystemExit("Need model weights to score "
+                         "(or pass --allow_random_weights).")
     _apply_device_mode(args)
     import jax
     import jax.numpy as jnp
@@ -500,6 +511,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("test", help="score a model")
     p.add_argument("--model", required=True)
     p.add_argument("--weights", default="")
+    p.add_argument("--allow_random_weights", action="store_true",
+                   help="score with random init (the reference CHECK-fails "
+                        "without --weights; this is the explicit opt-out)")
     p.add_argument("--iterations", type=int, default=50)
     p.add_argument("--cpu", action="store_true",
                    help="run on the XLA CPU backend")
