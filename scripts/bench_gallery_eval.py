@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--report", action="store_true",
                     help="time retrieval_stats_report (csv dump) at --n "
                          "instead of the aggregate engines")
+    ap.add_argument("--shard_gallery", action="store_true",
+                    help="also run the GALLERY-sharded count engine over "
+                         "all devices (per-device memory N*D/ndev) and "
+                         "check it equals the single-device result")
     args = ap.parse_args()
 
     import jax
@@ -68,6 +72,26 @@ def main():
             print(f"N={n} D={d} C={n_cls} engine={engine}: "
                   f"{hot:.2f}s warm ({warm:.2f}s incl. compile)  {vals}",
                   flush=True)
+        if args.shard_gallery:
+            from videovector_tpu.parallel import make_mesh
+            mesh = make_mesh()
+            t0 = time.perf_counter()
+            out = retrieval_stats_chunked(feats, vids, cls,
+                                          query_chunk=512, mesh=mesh,
+                                          shard_gallery=True)
+            vals = {k: float(v) for k, v in out.items()}
+            warm = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = retrieval_stats_chunked(feats, vids, cls,
+                                          query_chunk=512, mesh=mesh,
+                                          shard_gallery=True)
+            hot = time.perf_counter() - t0
+            assert vals == {k: float(v) for k, v in out.items()}
+            results["gshard"] = (hot, warm, vals)
+            ndev = mesh.shape["data"]
+            print(f"N={n} D={d} C={n_cls} engine=count/gallery-sharded "
+                  f"x{ndev}dev: {hot:.2f}s warm ({warm:.2f}s incl. "
+                  f"compile)  {vals}", flush=True)
         if len(results) > 1:
             vals_list = [results[e][2] for e in results]
             for other in vals_list[1:]:

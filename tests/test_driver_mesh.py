@@ -78,6 +78,54 @@ def test_retrieval_eval_sharded_over_mesh(tmp_path, rng):
     assert open(p1, "rb").read() == open(p2, "rb").read()
 
 
+def test_retrieval_eval_gallery_sharded(tmp_path, rng):
+    """GALLERY-sharded eval: gallery rows shard over the mesh "data" axis
+    (per-device memory N·D/ndev — galleries beyond one chip's HBM) and
+    rank counts combine via exact integer psums. Must equal the
+    single-device count engine bit-for-bit — aggregates AND the csv
+    report (distributed top-5 merge) — across non-divisible gallery
+    sizes (pad rows), duplicate features (distance ties), negative
+    classes, and both exclude settings."""
+    import jax.numpy as jnp
+    from videovector_tpu.metrics.retrieval import (
+        retrieval_stats_chunked, retrieval_stats_report,
+    )
+    mesh = make_mesh(data=4, model=2)   # model axis must be ignored
+    n, d = 531, 12   # 531 % 4 != 0 → padded gallery shards
+    feats = rng.randn(n, d).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    feats[17] = feats[3]     # exact ties exercise the (dist, idx) rule
+    feats[404] = feats[3]
+    vids = rng.randint(0, 60, size=(n,))
+    cls = (vids % 5) - 1     # class −1 rows excluded from means
+    for excl in (False, True):
+        single = retrieval_stats_chunked(
+            jnp.asarray(feats), vids, cls, query_chunk=64, method="count",
+            exclude_same_video_shots=excl)
+        sharded = retrieval_stats_chunked(
+            jnp.asarray(feats), vids, cls, query_chunk=64,
+            exclude_same_video_shots=excl, mesh=mesh, shard_gallery=True)
+        for k in single:
+            assert float(single[k]) == float(sharded[k]), (excl, k)
+    p1 = str(tmp_path / "single.csv")
+    p2 = str(tmp_path / "gshard.csv")
+    agg1 = retrieval_stats_report(feats, vids, cls, p1, method="count")
+    agg2 = retrieval_stats_report(feats, vids, cls, p2, mesh=mesh,
+                                  shard_gallery=True)
+    assert agg1 == agg2
+    assert open(p1, "rb").read() == open(p2, "rb").read()
+    # contract errors: mesh required; sorts don't decompose over shards
+    import pytest
+    with pytest.raises(ValueError, match="requires mesh"):
+        retrieval_stats_chunked(feats, vids, cls, shard_gallery=True)
+    with pytest.raises(ValueError, match="count"):
+        retrieval_stats_chunked(feats, vids, cls, mesh=mesh,
+                                shard_gallery=True, method="sort")
+    with pytest.raises(ValueError, match="count"):
+        retrieval_stats_report(feats, vids, cls, p2, mesh=mesh,
+                               shard_gallery=True, method="sort")
+
+
 def test_retrieval_stats_report(tmp_path, rng):
     from videovector_tpu.metrics.retrieval import (
         retrieval_stats, retrieval_stats_report,

@@ -79,6 +79,45 @@ def test_retrieval_stats_output_file(tmp_path, rng):
     assert len(lines) == 7  # header + 6 queries
 
 
+def test_retrieval_stats_sink_gallery_sharded(tmp_path, rng):
+    """The RETRIEVAL_STATS host sink with shard_gallery=True (the
+    `vvtpu test --shard_gallery` path) writes the same csv bytes as a
+    direct count-engine report — gallery rows sharded over the mesh's
+    data axis."""
+    import jax
+    import jax.numpy as jnp
+    from videovector_tpu.config.textformat import parse
+    from videovector_tpu.graph.net import Net
+    from videovector_tpu.metrics.retrieval import retrieval_stats_report
+    from videovector_tpu.parallel import make_mesh
+
+    out = tmp_path / "stats.csv"
+    net = Net(parse(f"""
+    input: "feats" input: "vids"
+    layers {{ name: "r" type: RETRIEVAL_STATS bottom: "feats" bottom: "vids"
+      top: "map" top: "h1" top: "h5"
+      retrieval_stats_param {{ stats_output_file: "{out}"
+        exclude_same_video_shots: false }} }}
+    """), phase="TEST")
+    n = 22   # not divisible by 8 devices → padded gallery shards
+    feats = rng.randn(n, 4).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    vids = (np.arange(n) % 5).astype(np.float32)
+    spec = {"feats": jax.ShapeDtypeStruct((n, 4), jnp.float32),
+            "vids": jax.ShapeDtypeStruct((n,), jnp.float32)}
+    params, _ = net.init(jax.random.PRNGKey(0), spec)
+    _, blobs = net.apply(params, {"feats": jnp.asarray(feats),
+                                  "vids": jnp.asarray(vids)},
+                         return_blobs=True)
+    net.process_host_sinks(blobs, mesh=make_mesh(data=8),
+                           shard_gallery=True)
+    ref = tmp_path / "ref.csv"
+    retrieval_stats_report(feats, vids.astype(np.int64),
+                           vids.astype(np.int64), str(ref),
+                           method="count")
+    assert out.read_bytes() == ref.read_bytes()
+
+
 def test_rank_stats_report_csv(tmp_path, rng):
     """RETRIEVAL_RANK_STATS stats_output_file: the reference per-item csv
     (ref retrieval_rank_stats_layer.cpp:188-268) — header names only

@@ -588,7 +588,7 @@ class Net:
         return stats
 
     def process_host_sinks(self, blobs: dict, *, append: bool = False,
-                           mesh=None):
+                           mesh=None, shard_gallery: bool = False):
         """Dump sink-layer bottoms (call with `return_blobs=True` outputs).
         WRITE_TO_FILE → csv (ref write_to_file_layer.cpp:36-64);
         HDF5_OUTPUT → .h5 (ref hdf5_output_layer.cpp);
@@ -600,7 +600,9 @@ class Net:
         default); append=True accumulates WRITE_TO_FILE rows across
         calls instead (an extension for multi-batch eval loops).
         `mesh` shards the RETRIEVAL_STATS report's query chunks over the
-        mesh's "data" axis (see metrics.retrieval._mesh_scan)."""
+        mesh's "data" axis (see metrics.retrieval._mesh_scan);
+        `shard_gallery=True` shards its gallery rows instead (per-device
+        memory N·D/ndev, metrics.retrieval._chunk_counts_gshard)."""
         import os
         import numpy as np
         for sink in self.host_sinks:
@@ -674,7 +676,7 @@ class Net:
                     feats, vids, classes, p.get("stats_output_file"),
                     exclude_same_video_shots=bool(
                         p.get("exclude_same_video_shots", True)),
-                    mesh=mesh)
+                    mesh=mesh, shard_gallery=shard_gallery)
             elif sink["type"] == "RETRIEVAL_RANK_STATS":
                 from videovector_tpu.metrics.retrieval import (
                     retrieval_rank_stats_report,

@@ -526,10 +526,225 @@ def _mesh_scan(mesh, impl, static_arg, exclude, n_out: int):
     return fn
 
 
+def _chunk_counts_gshard(feats_l, vids_l, qp, qc, rel_idx, off, n_total,
+                         exclude, axis="data"):
+    """One query chunk of the GALLERY-SHARDED count engine.
+
+    Runs inside shard_map with the gallery rows sharded over `axis`:
+    `feats_l`/`vids_l` are this device's (ns, D)/(ns,) shard and `off` its
+    global row offset. Rank-by-counting decomposes exactly over gallery
+    shards — each device counts `#(local key < member key)` against its own
+    rows and the counts psum — so no device ever holds the full gallery
+    (the replicated-gallery mesh path needs N·D per chip; this path needs
+    N·D/ndev, letting galleries exceed single-chip HBM). Per-chunk
+    collectives are tiny: the (Q, D) query features (each query row owned
+    by exactly one shard — psum of a one-hot contribution is exact), the
+    (Q, M) member keys, and the (Q, M) int32 counts, all riding ICI.
+
+    Returns the per-query (ap, acc1, acc5, include) plus (dist, gidx,
+    q_vid) for the report's top-5 pass. Results are identical on every
+    device (replicated epilogue after exact integer psums)."""
+    ns = feats_l.shape[0]
+    # assemble this chunk's query features/ids from the sharded gallery:
+    # exactly one shard owns each query row, everyone else contributes 0
+    sel_q = (qp >= off) & (qp < off + ns)
+    lq = jnp.clip(qp - off, 0, ns - 1)
+    q_feats = jax.lax.psum(
+        jnp.where(sel_q[:, None], feats_l[lq], 0), axis)
+    q_vid = jax.lax.psum(jnp.where(sel_q, vids_l[lq], 0), axis)
+
+    dist = -2.0 * jnp.dot(q_feats, feats_l.T,
+                          preferred_element_type=jnp.float32)   # (Q, ns)
+    mono = _mono_i32(dist)
+    gidx = off + jax.lax.broadcasted_iota(jnp.int32, mono.shape, 1)
+
+    # member keys: the shard owning each class member extracts its
+    # (distance, index) key from the LOCAL distance row; int32 psum of
+    # single-owner contributions is exact
+    sel_m = (rel_idx >= off) & (rel_idx < off + ns)
+    lm = jnp.clip(rel_idx - off, 0, ns - 1)
+    mono_rel = jax.lax.psum(
+        jnp.where(sel_m, jnp.take_along_axis(mono, lm, axis=1), 0), axis)
+    rel_vid = jax.lax.psum(jnp.where(sel_m, vids_l[lm], 0), axis)
+    rel_ok = (rel_idx >= 0) & (rel_idx != qp[:, None])
+    if exclude:
+        rel_ok = rel_ok & (rel_vid != q_vid[:, None])
+
+    # local gallery keys, pad rows (gidx >= n_total) always invalid
+    valid = (gidx != qp[:, None]) & (gidx < n_total)
+    if exclude:
+        valid = valid & (vids_l[None, :] != q_vid[:, None])
+    g_mono = jnp.where(valid, mono, _I32_MAX)
+    g_idx = jnp.where(valid, gidx, _I32_MAX)
+
+    # valid-candidate rank over the LOCAL shard in kc-column chunks
+    q, m = rel_idx.shape
+    kc = min(512, ns)
+    npad = ((ns + kc - 1) // kc) * kc
+    nk = npad // kc
+    pad = npad - ns
+    g_mono = jnp.pad(g_mono, ((0, 0), (0, pad)), constant_values=_I32_MAX)
+    g_idx = jnp.pad(g_idx, ((0, 0), (0, pad)), constant_values=_I32_MAX)
+    gm_ch = g_mono.reshape(q, nk, kc).transpose(1, 0, 2)
+    gi_ch = g_idx.reshape(q, nk, kc).transpose(1, 0, 2)
+
+    def body(cnt_v, xs):
+        gm, gi = xs
+        less = ((gm[:, None, :] < mono_rel[:, :, None])
+                | ((gm[:, None, :] == mono_rel[:, :, None])
+                   & (gi[:, None, :] < rel_idx[:, :, None])))
+        return cnt_v + jnp.sum(less.astype(jnp.int32), axis=2), None
+
+    cnt_v, _ = jax.lax.scan(body, jnp.zeros((q, m), jnp.int32),
+                            (gm_ch, gi_ch))
+    cnt_v = jax.lax.psum(cnt_v, axis)
+
+    # match rank: member-vs-member keys are fully replicated now
+    m_mono = jnp.where(rel_ok, mono_rel, _I32_MAX)
+    m_idx = jnp.where(rel_ok, rel_idx, _I32_MAX)
+    less_m = ((m_mono[:, None, :] < mono_rel[:, :, None])
+              | ((m_mono[:, None, :] == mono_rel[:, :, None])
+                 & (m_idx[:, None, :] < rel_idx[:, :, None])))
+    cnt_m = jnp.sum(less_m.astype(jnp.int32), axis=2)
+
+    valrank = (cnt_v + 1).astype(jnp.float32)
+    matchrank = (cnt_m + 1).astype(jnp.float32)
+    okf = rel_ok.astype(jnp.float32)
+    ret_total = jnp.sum(okf, axis=1)
+    ap = jnp.sum(okf * matchrank / valrank, axis=1)
+    ap = jnp.where(ret_total > 0, ap / jnp.maximum(ret_total, 1.0), 0.0)
+    acc1 = jnp.sum(okf * (valrank <= 1.0), axis=1)
+    acc5 = jnp.sum(okf * (valrank <= 5.0), axis=1) / 5.0
+    include = (qc >= 0).astype(jnp.float32)
+    return ap, acc1, acc5, include, dist, gidx, q_vid
+
+
+def _scan_partials_gshard_impl(feats_l, vids_l, table_j, qpos, qcls, qrows,
+                               n_total, exclude):
+    """Gallery-sharded twin of _scan_partials_impl: every device scans ALL
+    query chunks against its OWN gallery shard (so the per-chunk GEMM and
+    count cube are each ndev× smaller) and the partials are replicated."""
+    off = jax.lax.axis_index("data").astype(jnp.int32) * feats_l.shape[0]
+
+    def body(_, xs):
+        qp, qc, qr = xs
+        ap, acc1, acc5, inc = _chunk_counts_gshard(
+            feats_l, vids_l, qp, qc, table_j[qr], off, n_total, exclude)[:4]
+        part = jnp.stack([jnp.sum(ap * inc), jnp.sum(acc1 * inc),
+                          jnp.sum(acc5 * inc), jnp.sum(inc)])
+        return None, part
+
+    _, parts = jax.lax.scan(body, None, (qpos, qcls, qrows))
+    return parts
+
+
+def _scan_report_gshard_impl(feats_l, vids_l, table_j, qpos, qcls, qrows,
+                             n_total, exclude):
+    """Gallery-sharded twin of _scan_report_impl: per-query stats from the
+    sharded count engine plus an exact distributed top-5 — each shard picks
+    its local top-5 by iterated argmin, the (Q, ndev·5) candidate pool is
+    all-gathered (tiny), and 5 more argmin passes merge it. Ties merge
+    correctly because shard-major pool order IS ascending global index
+    order for equal distances (shards own disjoint ascending index
+    ranges), so argmin's first-occurrence rule reproduces the stable
+    (distance, index) order bit-for-bit."""
+    off = jax.lax.axis_index("data").astype(jnp.int32) * feats_l.shape[0]
+    ns = feats_l.shape[0]
+    k5l = min(5, ns)
+    k5g = min(5, n_total)
+
+    def body(_, xs):
+        qp, qc, qr = xs
+        ap, acc1, acc5, inc, dist, gidx, q_vid = _chunk_counts_gshard(
+            feats_l, vids_l, qp, qc, table_j[qr], off, n_total, exclude)
+        # top-5 retrieved from OTHER videos
+        # (ref:src/caffe/layers/retrieval_stats_layer.cpp:315-321)
+        d = jnp.where((vids_l[None, :] == q_vid[:, None])
+                      | (gidx >= n_total), jnp.inf, dist)
+        liota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        cds, cis = [], []
+        for _i in range(k5l):
+            i = jnp.argmin(d, axis=1).astype(jnp.int32)
+            v = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
+            cds.append(v)
+            cis.append(off + i)
+            d = jnp.where(liota == i[:, None], jnp.inf, d)
+        cand_d = jnp.stack(cds, axis=1)                      # (Q, k5l)
+        cand_i = jnp.stack(cis, axis=1)
+        pool_d = jax.lax.all_gather(cand_d, "data")          # (ndev, Q, k5l)
+        pool_i = jax.lax.all_gather(cand_i, "data")
+        ndev = pool_d.shape[0]
+        pool_d = jnp.moveaxis(pool_d, 0, 1).reshape(cand_d.shape[0],
+                                                    ndev * k5l)
+        pool_i = jnp.moveaxis(pool_i, 0, 1).reshape(cand_i.shape[0],
+                                                    ndev * k5l)
+        piota = jax.lax.broadcasted_iota(jnp.int32, pool_d.shape, 1)
+        tops, valids = [], []
+        for _i in range(k5g):
+            i = jnp.argmin(pool_d, axis=1).astype(jnp.int32)
+            v = jnp.take_along_axis(pool_d, i[:, None], axis=1)[:, 0]
+            tops.append(jnp.take_along_axis(pool_i, i[:, None],
+                                            axis=1)[:, 0])
+            valids.append(jnp.isfinite(v))
+            pool_d = jnp.where(piota == i[:, None], jnp.inf, pool_d)
+        top = jnp.stack(tops, axis=1)
+        valid = jnp.stack(valids, axis=1)
+        return None, (ap, acc1, acc5, inc, top, valid)
+
+    _, rows = jax.lax.scan(body, None, (qpos, qcls, qrows))
+    return rows
+
+
+_GSHARD_SCAN_CACHE: dict = {}
+
+
+def _gshard_scan(mesh, impl, n_total, exclude, n_out: int):
+    """jit(shard_map(...)) of a gallery-sharded scanned engine: gallery
+    rows shard over the mesh's "data" axis, query-chunk arrays and the
+    member table replicate, outputs are replicated (identical on every
+    device after the exact integer psums)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    key = (mesh, impl, n_total, exclude)
+    fn = _GSHARD_SCAN_CACHE.get(key)
+    if fn is None:
+        body = partial(impl, n_total=n_total, exclude=exclude)
+        fn = jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(P("data"), P("data"), P(), P(), P(), P()),
+            out_specs=P() if n_out == 1 else tuple(
+                P() for _ in range(n_out)),
+            check_vma=False))
+        _GSHARD_SCAN_CACHE[key] = fn
+    return fn
+
+
+def _shard_gallery(mesh, feats, vids_np):
+    """Pad the gallery to a multiple of the data axis and device_put it
+    sharded on axis 0 — from host memory this is the path that never
+    materializes the full gallery on any single device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ndev = mesh.shape["data"]
+    n = feats.shape[0]
+    ns = -(-n // ndev)
+    pad = ns * ndev - n
+    if pad:
+        feats = jnp.concatenate(
+            [jnp.asarray(feats),
+             jnp.zeros((pad,) + tuple(feats.shape[1:]),
+                       jnp.asarray(feats).dtype)])
+        vids_np = np.concatenate([vids_np, np.full(pad, -1, np.int32)])
+    feats_sh = jax.device_put(
+        feats, NamedSharding(mesh, P("data", *([None] * (feats.ndim - 1)))))
+    vids_sh = jax.device_put(jnp.asarray(vids_np),
+                             NamedSharding(mesh, P("data")))
+    return feats_sh, vids_sh
+
+
 def retrieval_stats_chunked(features, video_ids, class_ids, *,
                             exclude_same_video_shots: bool = False,
                             query_chunk: int = 256, method: str = "auto",
-                            mesh=None):
+                            mesh=None, shard_gallery: bool = False):
     """Gallery-scale retrieval_stats: EXACT same results as retrieval_stats
     (mAP, hit@1, hit@5, stable tie-breaking included) with O(Q·N) device
     memory instead of O(N²).
@@ -561,6 +776,15 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     gallery, with no collectives (see _mesh_scan) — and results stay
     bit-equal to the single-device scan.
 
+    With `shard_gallery=True` (requires mesh; count engine only) the
+    GALLERY rows shard over the "data" axis instead: per-device memory
+    drops to N·D/ndev — galleries larger than one chip's HBM become
+    evaluable — and each device's GEMM + count cube shrink ndev× while
+    tiny per-chunk psums (query rows, member keys, counts — all exact
+    single-owner or integer reductions) ride ICI (see
+    _chunk_counts_gshard). Results are identical to the single-device
+    count engine.
+
     Returns dict(mean_ap, hit_at_1, hit_at_5) of f32 scalars.
     """
     feats = jnp.asarray(features)
@@ -580,6 +804,41 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     cls = jnp.asarray(cls_np)
     n = feats.shape[0]
     q_chunk = min(query_chunk, n)
+
+    if shard_gallery:
+        if mesh is None:
+            raise ValueError("shard_gallery=True requires mesh=")
+        if method not in ("auto", "count"):
+            raise ValueError("shard_gallery supports only the count "
+                             "engine (rank counts are additive over "
+                             f"gallery shards; sorts are not) — got "
+                             f"method={method!r}")
+        table, row_of_query = _class_member_table(cls_np)
+        table_j = jnp.asarray(table)
+        nk = (n + q_chunk - 1) // q_chunk
+        npad = nk * q_chunk - n
+        qpos_np = np.concatenate([np.arange(n, dtype=np.int32),
+                                  np.full(npad, n - 1, np.int32)])
+        qcls_np = np.concatenate([cls_np, np.full(npad, -1, np.int32)])
+        rows_np = np.concatenate([row_of_query,
+                                  np.full(npad, table.shape[0] - 1,
+                                          np.int32)])
+        feats_sh, vids_sh = _shard_gallery(mesh, feats, vids_np)
+        parts = _gshard_scan(mesh, _scan_partials_gshard_impl, n,
+                             exclude_same_video_shots, 1)(
+            feats_sh, vids_sh, table_j,
+            jnp.asarray(qpos_np.reshape(nk, q_chunk)),
+            jnp.asarray(qcls_np.reshape(nk, q_chunk)),
+            jnp.asarray(rows_np.reshape(nk, q_chunk)))
+        sums = np.zeros(4, np.float64)
+        for row in np.asarray(parts):
+            sums += row.astype(np.float64)
+        denom = max(sums[3], 1.0)
+        return {
+            "mean_ap": jnp.float32(sums[0] / denom),
+            "hit_at_1": jnp.float32(sums[1] / denom),
+            "hit_at_5": jnp.float32(sums[2] / denom),
+        }
 
     if method == "auto":
         table, row_of_query = _class_member_table(cls_np)
@@ -642,7 +901,8 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
 
 def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
                            exclude_same_video_shots: bool = False,
-                           mesh=None) -> dict:
+                           mesh=None, shard_gallery: bool = False,
+                           method: str = "auto") -> dict:
     """Host-side per-query csv dump matching the reference's
     `stats_output_file` (ref:src/caffe/layers/retrieval_stats_layer.cpp:
     148-155, 310-340): header `#video_id,class_id,ap,acc@1,acc@5,` + top-5
@@ -660,7 +920,10 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     not hours. Float fields print with %g (6 significant digits), the
     reference's ostream formatting. `mesh=` shards the query-chunk axis
     over the mesh's "data" axis (same bit-equal shard_map driver as
-    retrieval_stats_chunked)."""
+    retrieval_stats_chunked); `shard_gallery=True` (requires mesh)
+    shards the GALLERY rows instead so per-device memory is N·D/ndev,
+    with an exact distributed top-5 merge (see
+    _scan_report_gshard_impl) — identical csv bytes."""
     feats_j = jnp.asarray(features)
     if feats_j.dtype != jnp.float32:
         feats_j = feats_j.astype(jnp.float32)
@@ -678,15 +941,28 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     cls_j = jnp.asarray(cls_np)
     table, row_of_query = _class_member_table(cls_np)
     table_j = jnp.asarray(table)
-    use_count = (jax.default_backend() not in ("cpu",)
-                 and table.shape[1] <= max(256, n // 8))
+    if method == "auto":
+        use_count = (jax.default_backend() not in ("cpu",)
+                     and table.shape[1] <= max(256, n // 8))
+    elif method in ("count", "sort"):
+        use_count = method == "count"
+    else:
+        raise ValueError(f"unknown method {method!r} (report engines: "
+                         f"auto/count/sort)")
 
     # one scanned device program for ALL per-query rows (same dispatch
     # collapse as retrieval_stats_chunked — the host loop paid one relay
     # round-trip per chunk); only csv string formatting stays host-side
     q_chunk = max(1, min(256, (1 << 25) // max(n, 1)))
     nk = (n + q_chunk - 1) // q_chunk
-    if mesh is not None:  # pad chunks → include 0 rows, skipped in the csv
+    if shard_gallery and mesh is None:
+        raise ValueError("shard_gallery=True requires mesh=")
+    if shard_gallery and method == "sort":
+        raise ValueError("shard_gallery supports only the count engine "
+                         "(rank counts are additive over gallery shards; "
+                         "sorts are not)")
+    if mesh is not None and not shard_gallery:
+        # pad chunks → include 0 rows, skipped in the csv
         ndev = mesh.shape["data"]
         nk = ((nk + ndev - 1) // ndev) * ndev
     npad = nk * q_chunk - n
@@ -699,7 +975,13 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
                   jnp.asarray(qpos_np.reshape(nk, q_chunk)),
                   jnp.asarray(qcls_np.reshape(nk, q_chunk)),
                   jnp.asarray(rows_np.reshape(nk, q_chunk)))
-    if mesh is not None:
+    if shard_gallery:
+        feats_sh, vids_sh = _shard_gallery(mesh, feats_j, vids_np)
+        ap_c, acc1_c, acc5_c, inc_c, top5_c, valid5_c = _gshard_scan(
+            mesh, _scan_report_gshard_impl, n,
+            exclude_same_video_shots, 6)(
+            feats_sh, vids_sh, *chunk_args[3:])
+    elif mesh is not None:
         ap_c, acc1_c, acc5_c, inc_c, top5_c, valid5_c = _mesh_scan(
             mesh, _scan_report_impl, use_count,
             exclude_same_video_shots, 6)(*chunk_args)

@@ -201,7 +201,9 @@ def cmd_test(args) -> int:
             # reference sink layers truncate + rewrite their files on
             # every TEST forward (write_to_file_layer.cpp:42,
             # retrieval_stats_layer.cpp:150)
-            net.process_host_sinks(rest.pop(0), mesh=mesh)
+            net.process_host_sinks(
+                rest.pop(0), mesh=mesh,
+                shard_gallery=bool(getattr(args, "shard_gallery", False)))
         loss_sum += float(loss)
         for k, v in outputs.items():
             if getattr(v, "size", 2) == 1:
@@ -522,6 +524,10 @@ def main(argv=None) -> int:
     p.add_argument("--mesh", default="",
                    help="data-parallel eval over a device mesh, e.g. 8 or "
                         "8x1 (batch sharded over the data axis)")
+    p.add_argument("--shard_gallery", action="store_true",
+                   help="with --mesh: shard RETRIEVAL_STATS report "
+                        "galleries over the data axis (per-device memory "
+                        "N*D/ndev — galleries beyond one chip's HBM)")
     p.set_defaults(fn=cmd_test)
 
     p = sub.add_parser("device_query", help="show device info")
