@@ -113,7 +113,7 @@ def main():
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         batch = {"data": jax.jit(lambda k: jax.random.normal(
             k, (bsz, 15, args.feat, 1), jnp.float32))(jax.random.PRNGKey(0))}
-        gm = auto_grad_microbatch(batch)
+        gm = auto_grad_microbatch(batch, {"data": 0})
         row = {"batch": bsz, "gm": gm}
         for label, g in (("gm1", 1), (f"gm{gm}", gm)):
             if label in row:

@@ -145,7 +145,7 @@ def main():
 
     batch = {"data": jax.jit(lambda k: jax.random.normal(
         k, (bsz, 15, args.feat, 1), jnp.float32))(jax.random.PRNGKey(0))}
-    gm = auto_grad_microbatch(batch)
+    gm = auto_grad_microbatch(batch, {"data": 0})
     out_root = "/tmp/vvtpu_engine_trace"
     only = args.only.split(",")
 

@@ -452,6 +452,17 @@ layers {{ name: "dump_ctx" type: WRITE_TO_FILE bottom: "ctxn"
                  "--weights", snap, "--iterations", "2"]) == 0
     assert stats_csv.exists() and acts_csv.exists()
     assert acts_csv.read_text().startswith("#batch_id,channel_id,")
+    baseline_stats = stats_csv.read_text()
+
+    # gallery-sharded eval through the driver surface
+    # (`vvtpu train --mesh --shard_gallery` plumb): same stats csv
+    from videovector_tpu.parallel import make_mesh
+    stats_csv.unlink()
+    driver2 = SolverDriver(solver_msg).build()
+    driver2.train(mesh=make_mesh(data=4, model=1), shard_gallery=True)
+    sharded = stats_csv.read_text()
+    assert sharded.splitlines()[0] == baseline_stats.splitlines()[0]
+    assert len(sharded.splitlines()) == len(baseline_stats.splitlines())
 
 
 def test_sink_files_written_during_train_phase(mini_project, tmp_path):

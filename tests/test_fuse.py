@@ -168,6 +168,49 @@ layers { name: "el" type: EUCLIDEAN_LOSS bottom: "an2" bottom: "bn"
         np.testing.assert_array_equal(np.asarray(o0[k]), np.asarray(o1[k]))
 
 
+def test_inplace_rewrite_between_same_name_slices():
+    """A blob sliced (dim0), rewritten IN PLACE, then sliced again under
+    the same name: the second slice must capture the post-rewrite value
+    (root versions, fuse.ScoringFusion.note_rebind) while the first
+    slice's symbols keep their pre-rewrite capture — fused == unfused
+    exactly. Regression: the root/materialization cache used to key by
+    bare blob name, so the second slice silently reused the stale
+    pre-RELU root."""
+    txt = """
+name: "inplace_reslice"
+input: "data"
+layers { name: "s1" type: SLICE bottom: "data" top: "a" top: "b"
+         slice_param { slice_dim: 0 } }
+layers { name: "na" type: NORMALIZATION bottom: "a" top: "an" }
+layers { name: "nb" type: NORMALIZATION bottom: "b" top: "bn" }
+layers { name: "rl" type: RELU bottom: "data" top: "data" }
+layers { name: "s2" type: SLICE bottom: "data" top: "c" top: "d"
+         slice_param { slice_dim: 0 } }
+layers { name: "nc" type: NORMALIZATION bottom: "c" top: "cn" }
+layers { name: "nd" type: NORMALIZATION bottom: "d" top: "dn" }
+layers { name: "p1" type: ELTWISE bottom: "an" bottom: "cn" top: "p"
+         eltwise_param { operation: PROD } }
+layers { name: "p2" type: ELTWISE bottom: "bn" bottom: "dn" top: "q"
+         eltwise_param { operation: PROD } }
+layers { name: "m1" type: SUM bottom: "p" top: "sp" }
+layers { name: "m2" type: SUM bottom: "q" top: "sq" }
+layers { name: "el" type: EUCLIDEAN_LOSS bottom: "sp" bottom: "sq"
+         top: "l" }
+"""
+    msg = parse(txt)
+    rng = np.random.RandomState(3)
+    batch = {"data": jnp.asarray(rng.randn(12, 6), jnp.float32)}
+    n0 = Net(msg, "TRAIN", fuse_scoring=False)
+    n1 = Net(msg, "TRAIN", fuse_scoring=True)
+    p, meta = n0.init(jax.random.PRNGKey(0), batch)
+    n1.param_meta = meta
+    l0, o0 = n0.apply(p, batch)
+    l1, o1 = n1.apply(p, batch)
+    assert float(l0) == float(l1)
+    for k in o0:
+        np.testing.assert_array_equal(np.asarray(o0[k]), np.asarray(o1[k]))
+
+
 def test_role_major_feed_bit_equal():
     """Feeding the data blob role-major ((R, B, D, 1)) with
     net.role_major_inputs set must be bit-equal to the normal feed — the

@@ -54,8 +54,9 @@ def test_explicit_grad_microbatch_matches_bigbatch(rng):
                         grad_microbatch=1, display=1)
     micro = SolverConfig(base_lr=0.2, momentum=0.9, max_iter=10,
                          grad_microbatch=4, display=1)
-    r_big = train(loss_fn, params, data(), base)
-    r_micro = train(loss_fn, params, data(), micro)
+    axes = {"x": 0, "y": 0}
+    r_big = train(loss_fn, params, data(), base, batch_axes=axes)
+    r_micro = train(loss_fn, params, data(), micro, batch_axes=axes)
     np.testing.assert_allclose(np.asarray(r_big.params["w"]),
                                np.asarray(r_micro.params["w"]),
                                rtol=1e-5, atol=1e-7)
@@ -72,11 +73,26 @@ def test_iter_size_times_grad_microbatch_composes(rng):
                      grad_microbatch=1)
     b = SolverConfig(base_lr=0.3, max_iter=8, iter_size=2,
                      grad_microbatch=2)
-    ra = train(loss_fn, params, data(), a)
-    rb = train(loss_fn, params, data(), b)
+    axes = {"x": 0, "y": 0}
+    ra = train(loss_fn, params, data(), a, batch_axes=axes)
+    rb = train(loss_fn, params, data(), b, batch_axes=axes)
     np.testing.assert_allclose(np.asarray(ra.params["w"]),
                                np.asarray(rb.params["w"]),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_explicit_gm_requires_batch_axes(rng):
+    """grad_microbatch > 1 without batch_axes must raise (split axis is
+    declared, not guessed — make_train_step's contract, shared by the
+    fused engine path); iter_size alone stays exempt (concat + equal
+    split on the same axis is the identity)."""
+    import pytest
+    loss_fn, data, params = _lsq_problem(rng, n=16)
+    cfg = SolverConfig(base_lr=0.2, max_iter=2, grad_microbatch=4)
+    with pytest.raises(ValueError, match="batch_axes"):
+        train(loss_fn, params, data(), cfg)
+    ok = SolverConfig(base_lr=0.2, max_iter=2, iter_size=2)
+    train(loss_fn, params, data(), ok)   # no declaration needed
 
 
 def test_auto_schedule_thresholds():
@@ -84,21 +100,23 @@ def test_auto_schedule_thresholds():
     top's batch length must divide."""
     mk = lambda b: {"data": np.zeros((b, 4), np.float32),
                     "ids": np.zeros((b,), np.float32)}
-    assert auto_grad_microbatch(mk(128)) == 1
-    assert auto_grad_microbatch(mk(255)) == 1
-    assert auto_grad_microbatch(mk(256)) == 2
-    assert auto_grad_microbatch(mk(512)) == 4
-    assert auto_grad_microbatch(mk(1024)) == 8
-    assert auto_grad_microbatch(mk(4096)) == 8  # capped
+    bl = {}  # declared batch-leading (axis 0 for every key)
+    assert auto_grad_microbatch(mk(512)) == 1   # undeclared axes: off
+    assert auto_grad_microbatch(mk(128), bl) == 1
+    assert auto_grad_microbatch(mk(255), bl) == 1
+    assert auto_grad_microbatch(mk(256), bl) == 2
+    assert auto_grad_microbatch(mk(512), bl) == 4
+    assert auto_grad_microbatch(mk(1024), bl) == 8
+    assert auto_grad_microbatch(mk(4096), bl) == 8  # capped
     # odd batch: no power-of-two divisor → off
-    assert auto_grad_microbatch(mk(300)) == 2  # 300/2=150>=128, /4 no
+    assert auto_grad_microbatch(mk(300), bl) == 2  # 300/2=150>=128, /4 no
     # role-major declared axis
     rm = {"data": np.zeros((15, 512, 8), np.float32)}
     assert auto_grad_microbatch(rm, {"data": 1}) == 4
     # mismatched tops constrain the divisor
     mixed = {"data": np.zeros((512, 4), np.float32),
              "gallery": np.zeros((258, 4), np.float32)}
-    assert auto_grad_microbatch(mixed) == 2
+    assert auto_grad_microbatch(mixed, bl) == 2
 
 
 def test_engine_auto_microbatch_matches_explicit_off(rng):
@@ -108,8 +126,9 @@ def test_engine_auto_microbatch_matches_explicit_off(rng):
     auto = SolverConfig(base_lr=0.05, momentum=0.9, max_iter=6, display=1)
     off = SolverConfig(base_lr=0.05, momentum=0.9, max_iter=6, display=1,
                        grad_microbatch=1)
-    ra = train(loss_fn, params, data(), auto)
-    ro = train(loss_fn, params, data(), off)
+    axes = {"x": 0, "y": 0}
+    ra = train(loss_fn, params, data(), auto, batch_axes=axes)
+    ro = train(loss_fn, params, data(), off, batch_axes=axes)
     np.testing.assert_allclose(np.asarray(ra.params["w"]),
                                np.asarray(ro.params["w"]),
                                rtol=1e-4, atol=1e-6)

@@ -17,7 +17,7 @@ def test_write_to_file_and_hdf5_sinks(tmp_path, rng):
       inner_product_param {{ num_output: 3 weight_filler {{ type: "xavier" }} }} }}
     layers {{ name: "wtf" type: WRITE_TO_FILE bottom: "y"
       write_to_file_param {{ output_file: "{csv_path}" }} }}
-    layers {{ name: "h5" type: HDF5_OUTPUT bottom: "y"
+    layers {{ name: "h5" type: HDF5_OUTPUT bottom: "y" bottom: "x"
       hdf5_output_param {{ file_name: "{h5_path}" }} }}
     """), phase="TEST")
     assert len(net.host_sinks) == 2
@@ -41,10 +41,31 @@ def test_write_to_file_and_hdf5_sinks(tmp_path, rng):
     assert (int(cl), int(bl)) == (y.shape[1] - 1, y.shape[0] - 1)
     np.testing.assert_allclose(float(vl), y[-1, -1], atol=1e-5)
 
+    # reference dataset names are fixed "data"/"label" from bottoms 0/1
+    # (ref:src/caffe/layers/hdf5_output_layer.cpp:31-60) so HDF5_DATA can
+    # read the file back
     import h5py
     with h5py.File(h5_path) as f:
-        np.testing.assert_allclose(np.asarray(f["y"]),
+        np.testing.assert_allclose(np.asarray(f["data"]),
                                    np.asarray(blobs["y"]), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f["label"]),
+                                   np.asarray(blobs["x"]), atol=1e-6)
+
+    # reference count contracts enforced at Net build: WriteToFile takes
+    # exactly 1 bottom, HDF5Output exactly 2
+    import pytest
+    with pytest.raises(ValueError, match="bottom"):
+        Net(parse("""
+        layers { name: "d" type: MEMORY_DATA top: "x" top: "x2" }
+        layers { name: "w" type: WRITE_TO_FILE bottom: "x" bottom: "x2"
+          write_to_file_param { output_file: "t.csv" } }
+        """), phase="TEST")
+    with pytest.raises(ValueError, match="bottom"):
+        Net(parse("""
+        layers { name: "d" type: MEMORY_DATA top: "x" }
+        layers { name: "h" type: HDF5_OUTPUT bottom: "x"
+          hdf5_output_param { file_name: "t.h5" } }
+        """), phase="TEST")
 
 
 def test_retrieval_stats_output_file(tmp_path, rng):

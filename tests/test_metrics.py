@@ -202,6 +202,42 @@ def test_retrieval_report_top5_stable_ties(rng, tmp_path):
         assert [int(x) for x in row[5:10]] == expect, (q, row)
 
 
+def test_retrieval_stats_report_underfilled_top5_carry(rng, tmp_path):
+    """A query with fewer than 5 other-video retrievals: the reference's
+    top_5_ids vector lives OUTSIDE the query loop
+    (ref:src/caffe/layers/retrieval_stats_layer.cpp:216,310-330), so
+    unfilled slots print the PREVIOUS written row's ids (0 before any
+    fill) and the class columns print those carried ids' classes —
+    checked against a direct simulation of the reference loop."""
+    from videovector_tpu.metrics.retrieval import retrieval_stats_report
+    n, d = 8, 6
+    feats = rng.randn(n, d).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    vids = np.asarray([0, 0, 0, 0, 1, 1, 1, 1])
+    cls = np.asarray([2, 3, -1, 2, 3, 2, 3, 2])  # one skipped row
+    path = str(tmp_path / "r.csv")
+    retrieval_stats_report(feats, vids, cls, path)
+    rows = [l.split(",") for l in
+            open(path).read().strip().split("\n")[1:]]
+    assert len(rows) == 7    # the class<0 row is not written
+    carry = [0] * 5
+    ri = 0
+    for q in range(n):
+        if cls[q] < 0:
+            continue           # skipped rows do NOT advance the carry
+        dist = (-2.0 * feats @ feats[q]).astype(np.float32)
+        dist[vids == vids[q]] = np.inf
+        fills = [int(i) for i in np.argsort(dist, kind="stable")
+                 if np.isfinite(dist[i])][:5]
+        assert len(fills) == 4  # every row underfills slot 5
+        for j, idx in enumerate(fills):
+            carry[j] = idx
+        assert [int(x) for x in rows[ri][5:10]] == carry, (q, rows[ri])
+        assert [int(x) for x in rows[ri][10:15]] == \
+            [int(cls[i]) for i in carry], (q, rows[ri])
+        ri += 1
+
+
 def test_retrieval_stats_chunked_gallery_scale(rng):
     """N=20k gallery — the scale the dense path cannot hold (its (N,N)
     f32 distance matrix alone is 1.6 GB). Checks exact hit@1 against a

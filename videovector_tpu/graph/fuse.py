@@ -76,10 +76,29 @@ class ScoringFusion:
 
     def __init__(self, role_major: dict | None = None):
         self.syms: dict[str, tuple] = {}      # blob name -> symbol
-        self.roots: dict[str, tuple] = {}     # root name -> (arr3, b, feat)
+        # root (name, version) -> (arr3, b, feat): keys are VERSIONED so a
+        # blob rebound in place between two same-name SLICEs yields two
+        # distinct roots — symbols created before the rebinding keep
+        # materializing their pre-rewrite capture (correct: that slice ran
+        # first), later slices capture the new value (see note_rebind)
+        self.roots: dict[tuple, tuple] = {}
+        self.ver: dict[str, int] = {}
         self.rm: dict[str, object] = dict(role_major or {})
+        # materialization snapshot of the role-major inputs: note_rebind
+        # pops self.rm (gating future absorbs) but live drole symbols
+        # still reference the ORIGINAL input array
+        self.rm_all: dict[str, object] = dict(self.rm)
         self._cache: dict[tuple, object] = {}
         self.absorbed_layers = 0              # introspection for tests/logs
+
+    def note_rebind(self, name: str) -> None:
+        """A layer rebound `name` to a real array: kill its symbol, stop
+        absorbing its role-major raw input, and bump its root version so
+        any LATER SLICE of this name captures the new value instead of a
+        stale pre-rewrite root."""
+        self.syms.pop(name, None)
+        self.rm.pop(name, None)
+        self.ver[name] = self.ver.get(name, 0) + 1
 
     # -- absorption ----------------------------------------------------
 
@@ -142,13 +161,14 @@ class ScoringFusion:
                 w = shape[0] // n
                 if points and points != [w * i for i in range(1, n)]:
                     return None
-                if src not in self.roots:
+                key = (src, self.ver.get(src, 0))
+                if key not in self.roots:
                     arr = blobs[src]
-                    self.roots[src] = (arr.reshape((n, w) + tuple(shape[1:])),
-                                      w, tuple(shape[1:]))
-                elif self.roots[src][1] != w:
+                    self.roots[key] = (arr.reshape((n, w) + tuple(shape[1:])),
+                                       w, tuple(shape[1:]))
+                elif self.roots[key][1] != w:
                     return None   # same root sliced at a different width
-                return [("role", src, i) for i in range(n)]
+                return [("role", key, i) for i in range(n)]
             if bsyms[0][0] == "stack":
                 elems = bsyms[0][1]
                 if len(elems) != n or points:
@@ -222,7 +242,7 @@ class ScoringFusion:
         if sym[0] == "role":
             return self.roots[sym[1]][1]
         if sym[0] == "drole":
-            return self.rm[sym[1]].shape[1]
+            return self.rm_all[sym[1]].shape[1]
         if sym[0] == "ctx":
             return self._sym_width(sym[1][0][1])
         if sym[0] == "norm":
@@ -245,7 +265,7 @@ class ScoringFusion:
             out = self.roots[sym[1]][0][sym[2]]
         elif kind == "drole":
             # logical (B, 1, feat...) slice of the role-major (R, B, feat...)
-            arr = self.rm[sym[1]]
+            arr = self.rm_all[sym[1]]
             out = arr[sym[2]][:, None]
         elif kind == "ctx":
             # fold in listed order — ops.eltwise_sum's exact accumulation
@@ -276,7 +296,7 @@ class ScoringFusion:
         role-major feed)."""
         if all(e[0] == "drole" for e in elems) \
                 and len({e[1] for e in elems}) == 1:
-            arr = self.rm[elems[0][1]]
+            arr = self.rm_all[elems[0][1]]
             if [e[2] for e in elems] == list(range(arr.shape[0])):
                 r, b = arr.shape[0], arr.shape[1]
                 return arr.reshape((r * b, 1) + tuple(arr.shape[2:]))

@@ -145,6 +145,18 @@ class Net:
              "bottoms": [str(b) for b in l.get_list("bottom")], "cfg": l}
             for l in self.layers if l.get("type") in SINK_LAYER_TYPES
         ]
+        for s in self.host_sinks:
+            # reference count contracts: WriteToFile takes exactly one
+            # bottom (ref:include/caffe/loss_layers.hpp:35), HDF5Output
+            # exactly two, data + label (ref:include/caffe/
+            # data_layers.hpp:700) — a different count would silently
+            # write files the reference's format never produces
+            want = 1 if s["type"] == "WRITE_TO_FILE" else 2
+            if len(s["bottoms"]) != want:
+                raise ValueError(
+                    f"layer {s['name']!r} ({s['type']}): expected exactly "
+                    f"{want} bottom blob(s), got {len(s['bottoms'])} "
+                    f"(the reference CHECKs ExactNumBottomBlobs)")
         # stats layers with stats_output_file also dump a per-item csv
         # (ref:src/caffe/layers/retrieval_stats_layer.cpp:148-155,310-340,
         # retrieval_rank_stats_layer.cpp:188-268,
@@ -497,12 +509,13 @@ class Net:
             for i, (t, o) in enumerate(zip(tops, outs)):
                 blobs[t] = o
                 if fz is not None:
-                    fz.syms.pop(t, None)   # real rebinding kills the symbol
-                    # ...and invalidates a raw role-major input of the same
-                    # name: an in-place layer before the SLICE(dim1) must
-                    # make the slice run on ITS output (the moveaxis view
-                    # fallback), not absorb the stale pre-transform array
-                    fz.rm.pop(t, None)
+                    # real rebinding kills the symbol, invalidates a raw
+                    # role-major input of the same name (an in-place layer
+                    # before the SLICE(dim1) must make the slice run on
+                    # ITS output, not absorb the stale pre-transform
+                    # array), and bumps the root version so a later
+                    # SLICE(dim0) of this name captures the new value
+                    fz.note_rebind(t)
                 w = weights[i] if i < len(weights) else 0.0
                 if w != 0.0:
                     loss = loss + w * jnp.sum(o)
@@ -645,8 +658,18 @@ class Net:
                 from videovector_tpu.data.generic import hdf5_output
                 path = cfg.get_msg("hdf5_output_param").get(
                     "file_name", f"{sink['name']}.h5")
-                hdf5_output(path, {b: np.asarray(blobs[b])
-                                   for b in sink["bottoms"]})
+                # reference dataset names are FIXED — "data" from
+                # bottom[0], "label" from bottom[1], equal batch size
+                # (ref:src/caffe/layers/hdf5_output_layer.cpp:31-60) — so
+                # an HDF5_DATA layer can read the file back
+                data = np.asarray(blobs[sink["bottoms"][0]])
+                label = np.asarray(blobs[sink["bottoms"][1]])
+                if data.shape[0] != label.shape[0]:
+                    raise ValueError(
+                        f"HDF5_OUTPUT {sink['name']!r}: data and label "
+                        f"batch sizes differ ({data.shape[0]} vs "
+                        f"{label.shape[0]}; the reference CHECK_EQs them)")
+                hdf5_output(path, {"data": data, "label": label})
             elif sink["type"] == "RETRIEVAL_STATS":
                 from videovector_tpu.metrics.retrieval import (
                     retrieval_stats_report,

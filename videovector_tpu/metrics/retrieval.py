@@ -1003,27 +1003,34 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     acc1 = acc1_c.reshape(-1)[:n]
     acc5 = acc5_c.reshape(-1)[:n]
     k5 = top5_c.shape[-1]
-    top5 = np.asarray(top5_c).reshape(-1, k5)[:n]
+    top5 = np.asarray(top5_c).reshape(-1, k5)[:n].astype(np.int64)
     valid5 = np.asarray(valid5_c).reshape(-1, k5)[:n]
-    top5 = np.where(valid5, top5, 0)
     if k5 < 5:
         top5 = np.pad(top5, ((0, 0), (0, 5 - k5)))
         valid5 = np.pad(valid5, ((0, 0), (0, 5 - k5)))
-    top5_cls = np.where(valid5, cls64[top5], 0)
 
     with open(path, "w") as f:
         f.write("#video_id,class_id,ap,acc@1,acc@5"
                 ",ret_id_1,ret_id_2,ret_id_3,ret_id_4,ret_id_5"
                 ",class_id_1,class_id_2,class_id_3,class_id_4,class_id_5\n")
         lines = []
+        # the reference's top_5_ids vector lives OUTSIDE the query loop
+        # (retrieval_stats_layer.cpp:216, filled :310-317): a query with
+        # fewer than 5 other-video retrievals leaves its unfilled slots
+        # holding the PREVIOUS written row's ids (0 before any fill), and
+        # the class columns print those carried ids' classes — preserved
+        # byte-for-byte. Fills are a rank prefix, so valid5 masks exactly
+        # the slots the reference overwrites.
+        carry = np.zeros(5, np.int64)
         for i in range(n):  # formatting only — no ranking math
             if cls_np[i] < 0:
                 continue
+            carry = np.where(valid5[i], top5[i], carry)
             lines.append(
                 f"{vids64[i]},{cls64[i]},{ap[i]:g},{acc1[i]:g},"
                 f"{acc5[i]:g},"
-                + ",".join(str(j) for j in top5[i]) + ","
-                + ",".join(str(c) for c in top5_cls[i]) + "\n")
+                + ",".join(str(j) for j in carry) + ","
+                + ",".join(str(c) for c in cls64[carry]) + "\n")
         f.write("".join(lines))
 
     denom = max(sums[3], 1.0)

@@ -206,10 +206,13 @@ class SolverDriver:
 
     def train(self, *, resume_state_path: str | None = None,
               weights_path: str | None = None, max_iter: int | None = None,
-              mesh=None) -> TrainResult:
+              mesh=None, shard_gallery: bool = False) -> TrainResult:
         """With `mesh` (jax.sharding.Mesh with axes data/model), the batch is
         sharded over "data" and 2-D params column-sharded over "model" —
-        prototxt training runs multi-chip with GSPMD collectives."""
+        prototxt training runs multi-chip with GSPMD collectives.
+        `shard_gallery` shards the test-interval RETRIEVAL_STATS report's
+        gallery rows over the mesh instead of its query chunks (per-device
+        memory N·D/ndev — see metrics.retrieval)."""
         params = self.params
         if weights_path:  # finetune (ref tools/caffe.cpp:110-117)
             from videovector_tpu.data.weights import NetWeights, load_into_params
@@ -351,11 +354,13 @@ class SolverDriver:
                      lr_mults=self.lr_mults, decay_mults=self.decay_mults,
                      eval_fn=eval_fn, test_data=test_iter,
                      sink_fn=[(lambda blobs, n=tn: n.process_host_sinks(
-                         blobs, mesh=mesh)) if tn.host_sinks else None
+                         blobs, mesh=mesh, shard_gallery=shard_gallery))
+                         if tn.host_sinks else None
                          for tn in self.test_nets],
                      train_sink_fn=(
                          (lambda blobs: net.process_host_sinks(
-                             blobs, mesh=mesh)) if train_sinks else None),
+                             blobs, mesh=mesh, shard_gallery=shard_gallery))
+                         if train_sinks else None),
                      hooks=hooks,
                      resume_state_path=resume_state_path,
                      param_layer_order=layer_order,

@@ -134,6 +134,16 @@ def build_fused_step(grad_fn, cfg: "SolverConfig", n_accum: int, gm: int, *,
     where batches_tuple holds n_accum batch dicts."""
     import jax.numpy as jnp
     n_total = n_accum * gm
+    if gm > 1 and batch_axes is None:
+        # same contract as parallel.train.make_train_step: a silent axis-0
+        # split WITHIN a batch would scramble a role-major layout whose
+        # role count happens to divide gm. (iter_size-only accumulation is
+        # exempt: concat + equal split on the same axis is the identity —
+        # the microbatches are exactly the original step batches.)
+        raise ValueError(
+            "grad_microbatch requires batch_axes (e.g. {'data': 0} "
+            "for batch-leading or {'data': 1} for role-major layouts): "
+            "the split axis must be declared, not guessed")
     axes = batch_axes or {}
 
     def vg_checked(p, mb, kk):
@@ -182,13 +192,19 @@ def auto_grad_microbatch(batch, batch_axes: dict | None = None) -> int:
     rows (the v5e-measured good wgrad regime — B=256 dip gone, B=1024
     record, PERF.md r3). Power-of-two divisor of EVERY top's batch length,
     ≤8; 1 (off) below B=256 so small-batch runs keep bit-identical
-    trajectories. Measured on v5e — other TPU generations should re-run
-    scripts/bench_engine_train.py and override via the solver prototxt's
-    `grad_microbatch` extension field."""
+    trajectories, and 1 when batch_axes is None (the split axis must be
+    declared — build_fused_step refuses to guess it; see the
+    grad_microbatch ValueError there). Measured on v5e — other TPU
+    generations should re-run scripts/bench_engine_train.py and override
+    via the solver prototxt's `grad_microbatch` extension field."""
+    if batch_axes is None:
+        return 1
     axes = batch_axes or {}
-    lens = {np.asarray(v).shape[axes.get(k, 0)]
+    # shapes only — no np.asarray: that would device_get every batch leaf
+    # (a full D2H copy of the first batch just to read metadata)
+    lens = {int(v.shape[axes.get(k, 0)])
             for k, v in batch.items()
-            if np.asarray(v).ndim > axes.get(k, 0)}
+            if getattr(v, "ndim", 0) > axes.get(k, 0)}
     if not lens or min(lens) < 256:
         return 1
     gm = 1
@@ -232,8 +248,13 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
     ordered like net_->params()).
     caffe_export: optional fn(it, params_np, state_np) writing the
     reference-format snapshot pair; runs in the snapshot writer thread.
-    batch_axes: {batch key → batch axis} for the grad_microbatch split
-    (default 0 per key; time-major sources declare 1).
+    batch_axes: {batch key → batch axis} for the grad_microbatch split.
+    None means undeclared: the auto schedule stays off and an explicit
+    grad_microbatch > 1 raises (the split axis is declared, not guessed —
+    same contract as parallel.train.make_train_step). {} declares
+    batch-leading (axis 0) for every key; time-major sources declare 1.
+    iter_size-only accumulation needs no declaration (concat + equal
+    split on the same axis is the identity).
     fused_accum: run iter_size / grad_microbatch accumulation as ONE jitted
     lax.scan step (the chip-record schedule, PERF.md) instead of a host loop
     of separate grad calls. Must be False for stateful (cross-batch LSTM

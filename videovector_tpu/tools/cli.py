@@ -81,12 +81,15 @@ def cmd_train(args) -> int:
                  mesh.shape["data"], mesh.shape["model"])
     _train_with_restarts(driver, snapshot=snapshot,
                          weights=args.weights or None, mesh=mesh,
+                         shard_gallery=bool(getattr(args, "shard_gallery",
+                                                    False)),
                          max_restarts=getattr(args, "max_restarts", 0))
     log.info("Optimization Done.")
     return 0
 
 
 def _train_with_restarts(driver, *, snapshot, weights, mesh,
+                         shard_gallery: bool = False,
                          max_restarts: int = 0):
     """Failure recovery: on a runtime fault (device error, preemption —
     anything except Ctrl-C), reload the newest snapshot and continue, up to
@@ -100,7 +103,8 @@ def _train_with_restarts(driver, *, snapshot, weights, mesh,
     while True:
         try:
             return driver.train(resume_state_path=snapshot,
-                                weights_path=weights, mesh=mesh)
+                                weights_path=weights, mesh=mesh,
+                                shard_gallery=shard_gallery)
         except KeyboardInterrupt:
             raise
         except Exception as e:  # noqa: BLE001 — deliberate catch-all
@@ -508,6 +512,10 @@ def main(argv=None) -> int:
     p.add_argument("--mesh", default="",
                    help="multi-chip mesh as DATAxMODEL (e.g. 4x2): batch "
                         "sharded over data, tower column-sharded over model")
+    p.add_argument("--shard_gallery", action="store_true",
+                   help="with --mesh: shard test-interval RETRIEVAL_STATS "
+                        "report galleries over the data axis (per-device "
+                        "memory N*D/ndev)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("test", help="score a model")
