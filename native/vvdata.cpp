@@ -17,6 +17,7 @@
 // Build: make -C native  (produces libvvdata.so)
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -55,31 +56,57 @@ struct Reader {
   std::vector<Entry> entries;
 };
 
+void reader_close(Reader* r) {
+  if (!r) return;
+  if (r->base) munmap(const_cast<uint8_t*>(r->base), r->size);
+  if (r->fd >= 0) ::close(r->fd);
+  delete r;
+}
+
+// Every footer/index field is validated against the file size before use —
+// the bytes are untrusted (a truncated or corrupt store must fail open, not
+// walk the index out of the mapping) — and every failure path releases the
+// mapping and fd (reader_close), so repeated probing of bad files cannot
+// exhaust descriptors.
 Reader* reader_open(const char* path) {
   int fd = ::open(path, O_RDONLY);
   if (fd < 0) return nullptr;
   struct stat st;
   if (fstat(fd, &st) != 0) { ::close(fd); return nullptr; }
+  if (st.st_size < 32) { ::close(fd); return nullptr; }
   void* mem = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
   if (mem == MAP_FAILED) { ::close(fd); return nullptr; }
   auto* r = new Reader;
   r->fd = fd;
   r->base = static_cast<const uint8_t*>(mem);
   r->size = st.st_size;
-  if (r->size < 32 || memcmp(r->base, kMagic, 8) != 0) { delete r; return nullptr; }
+  if (memcmp(r->base, kMagic, 8) != 0) { reader_close(r); return nullptr; }
   const uint8_t* foot = r->base + r->size - 24;
   uint64_t index_offset, count;
   memcpy(&index_offset, foot, 8);
   memcpy(&count, foot + 8, 8);
-  if (memcmp(foot + 16, kMagic, 8) != 0) { delete r; return nullptr; }
+  if (memcmp(foot + 16, kMagic, 8) != 0) { reader_close(r); return nullptr; }
+  const uint64_t index_end = r->size - 24;
+  if (index_offset > index_end) { reader_close(r); return nullptr; }
   const uint8_t* p = r->base + index_offset;
+  const uint8_t* pe = r->base + index_end;
+  if (count > (index_end - index_offset) / 16) {  // min entry is 16 bytes
+    reader_close(r);
+    return nullptr;
+  }
   r->entries.reserve(count);
   for (uint64_t i = 0; i < count; ++i) {
+    if (p + 16 > pe) { reader_close(r); return nullptr; }
     Entry e;
     memcpy(&e.offset, p, 8);
     uint32_t len, klen;
     memcpy(&len, p + 8, 4);
     memcpy(&klen, p + 12, 4);
+    if (klen > size_t(pe - p - 16)) { reader_close(r); return nullptr; }
+    if (e.offset > index_offset || len > index_offset - e.offset) {
+      reader_close(r);  // record span must lie inside the data region
+      return nullptr;
+    }
     e.length = len;
     e.key.assign(reinterpret_cast<const char*>(p + 16), klen);
     p += 16 + klen;
@@ -88,60 +115,67 @@ Reader* reader_open(const char* path) {
   return r;
 }
 
-void reader_close(Reader* r) {
-  if (!r) return;
-  munmap(const_cast<uint8_t*>(r->base), r->size);
-  ::close(r->fd);
-  delete r;
-}
-
 // ---------------------------------------------------------------------------
 // proto2 wire decode (subset: varint, LEN, I32) — field numbers per
 // ref:src/caffe/proto/caffe.proto (Datum) and video_shot_sentences.proto
 // ---------------------------------------------------------------------------
 
-inline uint64_t read_varint(const uint8_t*& p, const uint8_t* end) {
-  uint64_t out = 0;
+// Overflow-guarded varint: false on truncation or >10 continuation bytes
+// (shift past 63 would be UB; the Python twin wire.read_varint raises at
+// shift >= 70 — corrupt bytes must fail decode, not wrap silently).
+inline bool read_varint(const uint8_t*& p, const uint8_t* end,
+                        uint64_t* out) {
+  uint64_t v = 0;
   int shift = 0;
   while (p < end) {
     uint8_t b = *p++;
-    out |= uint64_t(b & 0x7F) << shift;
-    if (!(b & 0x80)) return out;
+    if (shift < 64) v |= uint64_t(b & 0x7F) << shift;
+    if (!(b & 0x80)) { *out = v; return true; }
     shift += 7;
+    if (shift >= 70) return false;
   }
-  return out;
+  return false;  // ran off the buffer mid-varint
 }
 
 // Extract Datum.float_data (field 6; packed or unpacked) into out.
-// Returns count written (capped at max_out).
+// Returns count written (capped at max_out), or -1 on corrupt/truncated
+// bytes — every fixed-width read and LEN payload is bounds-checked against
+// `end` (the record bytes come from untrusted DB files and sit in an mmap
+// whose final page a wild read would run off).
 int64_t datum_floats(const uint8_t* data, size_t len, float* out,
                      int64_t max_out) {
   const uint8_t* p = data;
   const uint8_t* end = data + len;
   int64_t n = 0;
+  uint64_t tag, blen, skip;
   while (p < end) {
-    uint64_t tag = read_varint(p, end);
+    if (!read_varint(p, end, &tag)) return -1;
     uint32_t field = tag >> 3;
     uint32_t wt = tag & 7;
     if (field == 6 && wt == 5) {          // unpacked float
+      if (p + 4 > end) return -1;
       if (n < max_out) memcpy(out + n, p, 4);
       ++n;
       p += 4;
     } else if (field == 6 && wt == 2) {   // packed floats
-      uint64_t blen = read_varint(p, end);
+      if (!read_varint(p, end, &blen)) return -1;
+      if (blen > uint64_t(end - p)) return -1;
       int64_t cnt = blen / 4;
       int64_t take = std::min(cnt, max_out - n);
       if (take > 0) memcpy(out + n, p, take * 4);
       n += cnt;
       p += blen;
     } else if (wt == 0) {
-      read_varint(p, end);
+      if (!read_varint(p, end, &skip)) return -1;
     } else if (wt == 2) {
-      uint64_t blen = read_varint(p, end);
+      if (!read_varint(p, end, &blen)) return -1;
+      if (blen > uint64_t(end - p)) return -1;
       p += blen;
     } else if (wt == 5) {
+      if (p + 4 > end) return -1;
       p += 4;
     } else if (wt == 1) {
+      if (p + 8 > end) return -1;
       p += 8;
     } else {
       return -1;
@@ -160,33 +194,43 @@ struct VideoShotsView {
 bool parse_video_shots(const uint8_t* data, size_t len, VideoShotsView* out) {
   const uint8_t* p = data;
   const uint8_t* end = data + len;
+  uint64_t tag, v, blen;
   while (p < end) {
-    uint64_t tag = read_varint(p, end);
+    if (!read_varint(p, end, &tag)) return false;
     uint32_t field = tag >> 3;
     uint32_t wt = tag & 7;
     if (field == 1 && wt == 0) {
-      out->video_id = static_cast<int32_t>(read_varint(p, end));
+      if (!read_varint(p, end, &v)) return false;
+      out->video_id = static_cast<int32_t>(v);
     } else if (field == 2 && wt == 0) {
-      out->shot_ids.push_back(static_cast<int32_t>(read_varint(p, end)));
+      if (!read_varint(p, end, &v)) return false;
+      out->shot_ids.push_back(static_cast<int32_t>(v));
     } else if (field == 2 && wt == 2) {   // packed ids
-      uint64_t blen = read_varint(p, end);
+      if (!read_varint(p, end, &blen)) return false;
+      if (blen > uint64_t(end - p)) return false;
       const uint8_t* q = p;
       const uint8_t* qe = p + blen;
-      while (q < qe)
-        out->shot_ids.push_back(static_cast<int32_t>(read_varint(q, qe)));
+      while (q < qe) {
+        if (!read_varint(q, qe, &v)) return false;
+        out->shot_ids.push_back(static_cast<int32_t>(v));
+      }
       p += blen;
     } else if (field == 3 && wt == 2) {
-      uint64_t blen = read_varint(p, end);
+      if (!read_varint(p, end, &blen)) return false;
+      if (blen > uint64_t(end - p)) return false;
       out->shots.emplace_back(p, blen);
       p += blen;
     } else if (wt == 0) {
-      read_varint(p, end);
+      if (!read_varint(p, end, &v)) return false;
     } else if (wt == 2) {
-      uint64_t blen = read_varint(p, end);
+      if (!read_varint(p, end, &blen)) return false;
+      if (blen > uint64_t(end - p)) return false;
       p += blen;
     } else if (wt == 5) {
+      if (p + 4 > end) return false;
       p += 4;
     } else if (wt == 1) {
+      if (p + 8 > end) return false;
       p += 8;
     } else {
       return false;
@@ -228,13 +272,20 @@ struct Sampler {
   std::vector<std::string> keys;
   std::unordered_set<std::string> key_set;
 
+  // reservoir sampling scratch: a persistent permutation of buffer slots;
+  // partial Fisher-Yates over it draws k DISTINCT slots per item (the
+  // Python twin's rng.choice(replace=False) / the reference's
+  // RandomShuffleTopids — independent uniform draws would repeat slots
+  // and bias the ranking loss with duplicate negatives)
+  std::vector<int> rsv_perm;
+
   // prefetch
   std::thread worker;
   std::mutex mu;
   std::condition_variable cv_full, cv_empty;
   std::deque<std::pair<std::vector<float>, std::vector<float>>> ready;
   size_t depth = 2;
-  bool stop = false;
+  std::atomic<bool> stop{false};
 
   int channels() const { return cfg.context_size + cfg.num_negatives; }
 
@@ -276,14 +327,16 @@ struct Sampler {
     }
   }
 
-  // one batch into out_data (B, C+N, D) and out_vids (B)
-  void next_batch(float* out_data, float* out_vids) {
+  // one batch into out_data (B, C+N, D) and out_vids (B); false when
+  // asked to stop (destroy must never deadlock on a spinning worker)
+  bool next_batch(float* out_data, float* out_vids) {
     const int cs = cfg.context_size;
     const int half = cs / 2;
     const int D = feature_dim;
     int item = 0;
     std::vector<int> perm;
     while (item < cfg.batch_size) {
+      if (stop.load(std::memory_order_relaxed)) return false;
       const Video& v = videos[cursor];
       cursor = (cursor + 1) % videos.size();
       const int S = v.num_shots();
@@ -323,14 +376,17 @@ struct Sampler {
           }
         }
       }
-      // reservoir negatives (distinct slots)
+      // reservoir negatives: DISTINCT slots via partial Fisher-Yates
+      // over the persistent slot permutation (need <= num_negatives <=
+      // max_buffer_size, enforced at create)
       if (cfg.num_negatives > added) {
         int need = cfg.num_negatives - added;
+        const int M = cfg.max_buffer_size;
         for (int k = 0; k < need; ++k) {
-          int slot = std::uniform_int_distribution<int>(
-              0, cfg.max_buffer_size - 1)(rng);
+          int j = std::uniform_int_distribution<int>(k, M - 1)(rng);
+          std::swap(rsv_perm[k], rsv_perm[j]);
           memcpy(row + size_t(cs + added + k) * D,
-                 &buffer[size_t(slot) * D], D * 4);
+                 &buffer[size_t(rsv_perm[k]) * D], D * 4);
         }
       }
       out_vids[item] = static_cast<float>(v.video_id);
@@ -344,6 +400,7 @@ struct Sampler {
         }
       }
     }
+    return true;
   }
 
   void worker_loop() {
@@ -351,10 +408,10 @@ struct Sampler {
     for (;;) {
       std::vector<float> data(dsz);
       std::vector<float> vids(cfg.batch_size);
-      next_batch(data.data(), vids.data());
+      if (!next_batch(data.data(), vids.data())) return;  // stop requested
       std::unique_lock<std::mutex> lk(mu);
-      cv_full.wait(lk, [&] { return stop || ready.size() < depth; });
-      if (stop) return;
+      cv_full.wait(lk, [&] { return stop.load() || ready.size() < depth; });
+      if (stop.load()) return;
       ready.emplace_back(std::move(data), std::move(vids));
       cv_empty.notify_one();
     }
@@ -473,6 +530,14 @@ void* vv_sampler_create(const char* path, int batch_size, int context_size,
                         int num_negatives, int max_buffer_size,
                         int swap_percentage, int max_same_video_negs,
                         uint64_t seed, int prefetch_depth) {
+  // config contracts, mirroring the Python twin's validation — an invalid
+  // config must fail create, not index perm[-1] or construct a
+  // uniform_int_distribution(0, -1) (UB) in the worker thread
+  if (batch_size < 1 || context_size < 2 || num_negatives < 0 ||
+      swap_percentage < 0 || swap_percentage > 99 ||
+      (num_negatives > 0 && max_buffer_size < num_negatives)) {
+    return nullptr;
+  }
   Reader* r = reader_open(path);
   if (!r) return nullptr;
   auto* s = new Sampler;
@@ -504,7 +569,23 @@ void* vv_sampler_create(const char* path, int batch_size, int context_size,
   }
   reader_close(r);
   if (s->videos.empty()) { delete s; return nullptr; }
-  if (num_negatives > 0 && !s->fill_reservoir()) { delete s; return nullptr; }
+  // yieldability: at least one video must satisfy the WINDOW sampler's
+  // S >= max(2, context_size) skip rule, or next_batch would spin forever
+  // (the reference CHECK-fails on unusable datasets; so does the Python
+  // twin after one full pass)
+  bool any_yieldable = false;
+  for (const Video& v : s->videos) {
+    if (v.num_shots() >= 2 && v.num_shots() >= context_size) {
+      any_yieldable = true;
+      break;
+    }
+  }
+  if (!any_yieldable) { delete s; return nullptr; }
+  if (num_negatives > 0) {
+    if (!s->fill_reservoir()) { delete s; return nullptr; }
+    s->rsv_perm.resize(max_buffer_size);
+    for (int i = 0; i < max_buffer_size; ++i) s->rsv_perm[i] = i;
+  }
   s->worker = std::thread([s] { s->worker_loop(); });
   return s;
 }
@@ -523,8 +604,9 @@ int vv_sampler_next(void* h, float* out_data, float* out_vids) {
   std::pair<std::vector<float>, std::vector<float>> batch;
   {
     std::unique_lock<std::mutex> lk(s->mu);
-    s->cv_empty.wait(lk, [&] { return s->stop || !s->ready.empty(); });
-    if (s->stop) return -1;
+    s->cv_empty.wait(lk,
+                     [&] { return s->stop.load() || !s->ready.empty(); });
+    if (s->stop.load()) return -1;
     batch = std::move(s->ready.front());
     s->ready.pop_front();
     s->cv_full.notify_one();
@@ -595,9 +677,10 @@ int64_t vv_snappy_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
   while (true) {
     if (pos >= in_len) return -1;
     uint8_t b = in[pos++];
-    ulen |= static_cast<uint64_t>(b & 0x7f) << shift;
+    if (shift < 64) ulen |= static_cast<uint64_t>(b & 0x7f) << shift;
     if (!(b & 0x80)) break;
     shift += 7;
+    if (shift >= 70) return -1;  // corrupt preamble; << past 63 is UB
   }
   if (static_cast<int64_t>(ulen) > out_cap) return -1;
   int64_t o = 0;

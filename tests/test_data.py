@@ -383,3 +383,56 @@ def test_device_prefetcher_propagates_errors():
     next(pf)
     with pytest.raises(RuntimeError, match="boom"):
         next(pf)
+
+
+def test_sampled_source_unyieldable_config_raises(rng):
+    """Every video skipped by the sampler (all shot counts < context_size)
+    must raise after one full dataset pass — the reference CHECK-fails;
+    looping forever at 100% CPU is not a data pipeline."""
+    videos = [ShotVideo(v + 1, np.arange(3, dtype=np.int32),
+                        rng.randn(3, 8).astype(np.float32))
+              for v in range(4)]
+    ds = ShotDataset(videos)
+    cfg = SampledShotsConfig(batch_size=4, context_type="WINDOW",
+                             context_size=5, num_negative_samples=0)
+    src = VideoSampledShotsSource(ds, cfg)
+    import pytest
+    with pytest.raises(ValueError, match="no video"):
+        src.next_batch()
+
+
+def test_exhaustive_source_unyieldable_dataset_raises(rng):
+    """All videos single-shot: the exhaustive source has no (target,
+    context) to emit — must raise, not hang."""
+    videos = [ShotVideo(v + 1, np.arange(1, dtype=np.int32),
+                        rng.randn(1, 8).astype(np.float32))
+              for v in range(3)]
+    ds = ShotDataset(videos)
+    cfg = ExhaustiveShotsConfig(batch_size=4, context_type="PAIRWISE",
+                                num_negative_samples=0)
+    src = VideoShotsSource(ds, cfg)
+    import pytest
+    with pytest.raises(ValueError, match="2 shots"):
+        src.next_batch()
+
+
+def test_wire_truncated_record_raises(rng):
+    """A record cut mid-field must raise, not decode to a plausible short
+    message (proto2 ParseFromString fails on truncation; the reference
+    CHECK-fails). Covers LEN, I32, and I64 truncations."""
+    import pytest
+    from videovector_tpu.data.wire import Datum, iter_fields
+
+    d = Datum(float_data=rng.randn(64).astype(np.float32).tolist(),
+              channels=64, height=1, width=1)
+    enc = d.encode()
+    assert Datum.decode(enc).channels == 64  # intact round-trip
+    with pytest.raises(ValueError, match="truncated"):
+        Datum.decode(enc[:len(enc) - 7])      # cut inside a float field
+    # cut inside a LEN payload of a nested message
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_fields(bytes([0x12, 0x10]) + b"abc"))  # declares 16, has 3
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_fields(bytes([0x15, 0x01, 0x02])))     # I32 with 2 bytes
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_fields(bytes([0x11, 0x01])))           # I64 with 1 byte

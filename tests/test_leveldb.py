@@ -517,3 +517,44 @@ def test_writer_bounded_stray_spill(tmp_path):
     # bytewise cursor order preserved
     keys = [r.key(j) for j in range(len(r))]
     assert keys == sorted(keys)
+
+
+def test_writer_replaces_stale_db_files(tmp_path):
+    """Re-exporting into a directory that already holds a leveldb must
+    delete ALL old DB files first: a stale .log would be replayed by
+    every reader (log filter is num >= log_number == 0, here and in C++
+    leveldb) and its high sequence numbers would shadow the fresh values
+    — leveldb::DestroyDB semantics."""
+    db = str(tmp_path / "db")
+    w = LevelDbWriter(db)
+    w.put("k", b"FIRST")
+    w.close()
+    # plant a stale log + junk that a previous DB generation could leave
+    open(os.path.join(db, "000005.log"), "wb").write(b"\0" * 64)
+    open(os.path.join(db, "000007.tmp"), "wb").write(b"junk")
+    w = LevelDbWriter(db)
+    w.put("k", b"SECOND")
+    w.close()
+    names = set(os.listdir(db))
+    assert "000005.log" not in names and "000007.tmp" not in names
+    r = LevelDbReader(db, verify_checksums=True)
+    assert bytes(r.get(b"k")) == b"SECOND"
+    assert len(r) == 1
+
+
+def test_writer_stray_accounting_tracks_replacements(tmp_path):
+    """Re-putting an out-of-order key with a larger value must advance the
+    spill accounting by the REPLACEMENT size (the bound is on actual
+    buffered bytes, not first-put sizes)."""
+    db = str(tmp_path / "db")
+    w = LevelDbWriter(db, max_stray_bytes=1 << 20)
+    w.put("z", b"")          # make every later key out-of-order
+    w.put("a", b"x")
+    base = w._stray_bytes
+    w.put("a", b"y" * 1000)  # replacement grows the buffer
+    assert w._stray_bytes >= base + 999
+    w.put("a", b"y")         # shrinking replacement is re-accounted too
+    assert w._stray_bytes <= base + 1
+    w.close()
+    r = LevelDbReader(db)
+    assert bytes(r.get(b"a")) == b"y"

@@ -160,3 +160,104 @@ def test_native_sampler_underfilled_reservoir_fails_like_reference(tmp_path, rng
             path, batch_size=4, context_size=5, num_negative_samples=4,
             max_buffer_size=100, negative_swap_percentage=50,
             max_same_video_negs=2)
+
+
+def test_native_sampler_rejects_invalid_configs(tmp_path, rng):
+    """Config contracts mirror the Python twin and fail at create —
+    context_size=1 would index perm[half-1]==perm[-1] out of bounds,
+    num_negatives > max_buffer_size cannot draw distinct reservoir slots,
+    and swap_percentage outside [0, 99] is rejected by the reservoir."""
+    _ensure_lib()
+    ds = _make_dataset(rng)
+    path = str(tmp_path / "shots.vvr")
+    ds.to_records(path)
+    for kw in ({"context_size": 1},
+               {"num_negative_samples": 30, "max_buffer_size": 20},
+               {"negative_swap_percentage": 100},
+               {"batch_size": 0}):
+        args = dict(batch_size=4, context_size=5, num_negative_samples=2,
+                    max_buffer_size=20, negative_swap_percentage=50,
+                    max_same_video_negs=1, seed=3)
+        args.update(kw)
+        with pytest.raises(IOError):
+            native.NativeSampledShotsSource(path, **args)
+
+
+def test_native_sampler_unyieldable_dataset_fails_create(tmp_path, rng):
+    """Every video shorter than the context window: next_batch could never
+    yield an item — create must fail (like the Python twin's error and the
+    reference's CHECKs), not hand back a sampler whose worker thread spins
+    forever and deadlocks destroy."""
+    _ensure_lib()
+    videos = [ShotVideo(v + 1, np.arange(3, dtype=np.int32),
+                        rng.randn(3, 8).astype(np.float32))
+              for v in range(4)]
+    path = str(tmp_path / "short.vvr")
+    ShotDataset(videos).to_records(path)
+    with pytest.raises(IOError):
+        native.NativeSampledShotsSource(path, batch_size=4, context_size=5,
+                                        num_negative_samples=0,
+                                        max_buffer_size=0,
+                                        negative_swap_percentage=0,
+                                        max_same_video_negs=0, seed=3)
+
+
+def test_native_reservoir_negatives_distinct_slots(tmp_path, rng):
+    """Reservoir negatives within one item are DISTINCT buffer slots
+    (Fisher-Yates without replacement — the Python twin's
+    rng.choice(replace=False) / the reference's RandomShuffleTopids), not
+    independent draws that can repeat a negative."""
+    _ensure_lib()
+    # buffer of exactly 4 with 4 negatives per item → any replacement
+    # sampling would repeat a slot almost surely across 20 batches
+    videos = [ShotVideo(v + 1, np.arange(6, dtype=np.int32),
+                        np.full((6, 8), v * 6, np.float32)
+                        + np.arange(6, dtype=np.float32)[:, None])
+              for v in range(4)]
+    path = str(tmp_path / "res.vvr")
+    ShotDataset(videos).to_records(path)
+    src = native.NativeSampledShotsSource(
+        path, batch_size=4, context_size=5, num_negative_samples=4,
+        max_buffer_size=4, negative_swap_percentage=0,
+        max_same_video_negs=0, seed=11)
+    for _ in range(20):
+        batch = src.next_batch()
+        negs = batch["data"][:, 5:, 0]   # first feature identifies the shot
+        for b in range(negs.shape[0]):
+            vals = [round(float(x), 3) for x in negs[b]]
+            assert len(set(vals)) == 4, vals  # all four slots distinct
+    src.close()
+
+
+def test_native_reader_rejects_corrupt_files(tmp_path, rng):
+    """Truncated and footer-corrupted stores must fail open cleanly (no
+    crash, no fd leak loop), and a truncated Datum must fail float decode
+    with the 'bad Datum record' error, not read past the mapping."""
+    _ensure_lib()
+    ds = _make_dataset(rng, num_videos=2, shots=4, dim=8)
+    path = str(tmp_path / "ok.vvr")
+    ds.to_records(path)
+    blob = open(path, "rb").read()
+
+    trunc = str(tmp_path / "trunc.vvr")
+    open(trunc, "wb").write(blob[: len(blob) // 2])
+    with pytest.raises(IOError):
+        native.NativeRecordReader(trunc)
+
+    bad = bytearray(blob)
+    bad[-20:-12] = (1 << 60).to_bytes(8, "little")  # wild index_offset
+    badp = str(tmp_path / "bad.vvr")
+    open(badp, "wb").write(bytes(bad))
+    with pytest.raises(IOError):
+        native.NativeRecordReader(badp)
+
+    # truncated Datum bytes through the native float decoder
+    d = Datum(float_data=rng.randn(32).astype(np.float32).tolist())
+    enc = d.encode()
+    vvr = str(tmp_path / "datum.vvr")
+    with RecordWriter(vvr) as w:
+        w.append("k", enc[: len(enc) - 3])
+    r = native.NativeRecordReader(vvr)
+    with pytest.raises(ValueError):
+        r.datum_floats(0, 32)
+    r.close()

@@ -871,6 +871,18 @@ class LevelDbWriter:
         self._edit.log_number = 0
         self._edit.prev_log_number = 0
         os.makedirs(path, exist_ok=True)
+        # "Existing files are replaced" must mean ALL of them: a stale
+        # .log left by a previous DB would be replayed by every reader
+        # (ours AND C++ leveldb filter logs by num >= log_number, which
+        # we write as 0) and its high sequence numbers would shadow the
+        # fresh values — silent resurrection of old keys. Same effect as
+        # leveldb::DestroyDB before a re-export.
+        import re
+        for name in os.listdir(path):
+            if (name in ("CURRENT", "LOCK", "LOG", "LOG.old")
+                    or re.fullmatch(
+                        r"MANIFEST-\d+|\d{6}\.(log|ldb|sst|tmp)", name)):
+                os.unlink(os.path.join(path, name))
 
     def _emit(self, key: bytes, seq: int, value: bytes) -> None:
         if self._tw is None:
@@ -904,8 +916,12 @@ class LevelDbWriter:
             # a key ≤ _last_key can never re-enter the ascending stream
             # (_last_key only grows), so its stray seq always exceeds any
             # streamed seq of the same key — last-put-wins holds
-            if key not in self._stray:
-                self._stray_bytes += len(key) + len(value) + 48
+            prev = self._stray.get(key)
+            if prev is not None:  # replacement: re-account the value size
+                self._stray_bytes -= len(prev[1])
+            else:
+                self._stray_bytes += len(key) + 48
+            self._stray_bytes += len(value)
             self._stray[key] = (self._seq, bytes(value))
             if self._stray_bytes >= self._max_stray_bytes:
                 self._flush_strays()

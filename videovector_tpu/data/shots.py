@@ -328,12 +328,22 @@ class VideoSampledShotsSource:
         data = np.zeros((B, self.channels, self.feature_dim), np.float32)
         vids = np.zeros((B,), np.float32)
         item = 0
+        skipped = 0  # full dataset pass with zero yields → error, not hang
         while item < B:
             video = self.dataset[self._cursor]
             self._cursor = (self._cursor + 1) % len(self.dataset)
             out = self._sample_item(video)
             if out is None:
+                skipped += 1
+                if skipped >= len(self.dataset):
+                    raise ValueError(
+                        f"no video in the dataset can yield an item under "
+                        f"this config (context_type={cfg.context_type!r}, "
+                        f"context_size={cfg.context_size}) — every video "
+                        f"was skipped; the reference CHECK-fails instead "
+                        f"of looping")
                 continue
+            skipped = 0
             roles, negs, vid = out
             data[item, :self.context_size] = roles
             if cfg.num_negative_samples > 0:
@@ -449,13 +459,21 @@ class VideoShotsSource:
         data = np.zeros((B, self.channels, D), np.float32)
         vids = np.zeros((B,), np.float32)
         item = 0
+        skipped = 0  # full dataset pass with zero yields → error, not hang
         while item < B:
             video = self.dataset[self._video_idx]
             feats = video.features
             S = video.num_shots
             if S < 2:
+                skipped += 1
+                if skipped >= len(self.dataset):
+                    raise ValueError(
+                        "no video in the dataset has >= 2 shots — the "
+                        "exhaustive source cannot yield any item (the "
+                        "reference CHECK-fails instead of looping)")
                 self._advance_video()
                 continue
+            skipped = 0
 
             if cfg.context_type == "PAIRWISE":
                 # normalize the (target, context) cursor to the next valid

@@ -108,13 +108,24 @@ def iter_fields(data: bytes):
             v, pos = read_varint(data, pos)
             yield fnum, wt, v
         elif wt == _WT_I64:
+            if pos + 8 > n:
+                raise ValueError("truncated I64 field")
             yield fnum, wt, data[pos:pos + 8]
             pos += 8
         elif wt == _WT_LEN:
+            # a short slice would decode a truncated record into a
+            # plausible-but-wrong message; proto2 parsers fail instead
+            # (ParseFromString returns false → the reference CHECK-fails)
             ln, pos = read_varint(data, pos)
+            if pos + ln > n:
+                raise ValueError(
+                    f"truncated LEN field {fnum}: declares {ln} bytes, "
+                    f"{n - pos} remain")
             yield fnum, wt, data[pos:pos + ln]
             pos += ln
         elif wt == _WT_I32:
+            if pos + 4 > n:
+                raise ValueError("truncated I32 field")
             yield fnum, wt, data[pos:pos + 4]
             pos += 4
         else:
