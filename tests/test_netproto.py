@@ -199,3 +199,87 @@ def test_schema_aware_text_printer():
     assert "type: INNER_PRODUCT" in text  # enum bare
     assert 'type: "gaussian"' in text     # filler type is a string field
     _semantic_eq(msg, parse(text))        # reparses to the same message
+
+
+def test_conditional_lstm_caffemodel_roundtrip(rng):
+    """LSTM_CONDITIONAL carries 7 reference blobs
+    (ref:src/caffe/layers/lstm_conditional_layer.cpp:70-112:
+    W_i, W_h, W_o2h, W_h2o, b, b_o2h, b_h2o) — export and import must map
+    ALL of them (the h2o/o2h projections used to be silently dropped both
+    ways)."""
+    from videovector_tpu.data.weights import (
+        NetWeights, load_into_params, params_to_weights,
+    )
+    h, i, o = 6, 4, 5
+    lp = {"w_i": rng.randn(i, 4 * h).astype(np.float32),
+          "w_h": rng.randn(h, 4 * h).astype(np.float32),
+          "w_o2h": rng.randn(o, 4 * h).astype(np.float32),
+          "w_h2o": rng.randn(h, o).astype(np.float32),
+          "b": rng.randn(4 * h).astype(np.float32),
+          "b_o2h": rng.randn(4 * h).astype(np.float32),
+          "b_h2o": rng.randn(o).astype(np.float32)}
+    weights = params_to_weights({"dec": lp})
+    assert len(weights.layers[0].blobs) == 7
+    reloaded = NetWeights.decode(weights.encode())
+    template = {"dec": {k: np.zeros_like(v) for k, v in lp.items()}}
+    out = load_into_params(reloaded, template)
+    for k, v in lp.items():
+        np.testing.assert_array_equal(out["dec"][k], v), k
+
+
+def test_weights_blob_count_check(rng):
+    """Blob-count mismatches raise like the reference's CHECK_EQ
+    (ref:src/caffe/net.cpp:692-763) — a bias in the file loaded into a
+    bias-less net (or vice versa) is a config mismatch, not something to
+    silently drop."""
+    import pytest
+    from videovector_tpu.data.weights import (
+        load_into_params, params_to_weights,
+    )
+    full = {"ip": {"w": rng.randn(3, 4).astype(np.float32),
+                   "b": rng.randn(4).astype(np.float32)}}
+    weights = params_to_weights(full)
+    no_bias = {"ip": {"w": np.zeros((3, 4), np.float32)}}
+    with pytest.raises(ValueError, match="blob"):
+        load_into_params(weights, no_bias)
+    lstm_full = {"enc": {"w_i": rng.randn(4, 24).astype(np.float32),
+                         "w_h": rng.randn(6, 24).astype(np.float32),
+                         "b": rng.randn(24).astype(np.float32)}}
+    lweights = params_to_weights(lstm_full)
+    lstm_no_b = {"enc": {k: np.zeros_like(v)
+                         for k, v in lstm_full["enc"].items() if k != "b"}}
+    with pytest.raises(ValueError, match="blob"):
+        load_into_params(lweights, lstm_no_b)
+
+
+def test_checkpoint_slash_layer_names(tmp_path, rng):
+    """GoogLeNet-style layer names with '/' must survive snapshot/restore
+    (the flat npz key separator is escaped, not split)."""
+    import jax.numpy as jnp
+    from videovector_tpu.solver.checkpoint import load_model, restore, snapshot
+    params = {"inception_3a/1x1": {"w": rng.randn(2, 3).astype(np.float32)}}
+    state = {"iter": jnp.int32(5),
+             "history": {"inception_3a/1x1":
+                         {"w": rng.randn(2, 3).astype(np.float32)}}}
+    mp, sp = snapshot(str(tmp_path / "s"), 5, params, state)
+    loaded = load_model(mp)
+    assert list(loaded) == ["inception_3a/1x1"]
+    np.testing.assert_array_equal(loaded["inception_3a/1x1"]["w"],
+                                  params["inception_3a/1x1"]["w"])
+    p2, s2 = restore(sp)
+    assert list(s2["history"]) == ["inception_3a/1x1"]
+    np.testing.assert_array_equal(
+        np.asarray(s2["history"]["inception_3a/1x1"]["w"]),
+        state["history"]["inception_3a/1x1"]["w"])
+
+
+def test_binproto_to_text_escapes_newlines():
+    """to_text output must be strict-TextFormat parseable — a raw newline
+    inside a quoted literal breaks the reference's reader."""
+    from videovector_tpu.config.binproto import to_text
+    from videovector_tpu.config.textformat import Message, parse
+    m = Message()
+    m.add("name", "a\nb")
+    txt = to_text(m, "NetParameter")
+    assert "\n" not in txt.split('"')[1]  # escaped inside the literal
+    assert parse(txt).get("name") == "a\nb"

@@ -85,3 +85,32 @@ def test_flagship_net_structure():
     assert p.get("num_negative_samples") == 10
     assert p.get("context_type") == "WINDOW"
     assert p.get("context_size") == 5
+
+
+def test_utf8_and_octal_escaped_strings():
+    """Escapes denote BYTES (the reference's TextFormat prints UTF-8 as
+    octal byte escapes): both the raw UTF-8 and the octal form must decode
+    to the same text, and hex escapes / control escapes work."""
+    from videovector_tpu.config.textformat import parse
+    assert parse('source: "café"').get("source") == "café"
+    assert parse(r'source: "\303\251"').get("source") == "é"
+    assert parse(r'source: "q\x41\n"').get("source") == "qA\n"
+    # dumps round-trips non-ASCII through the quoted form
+    m = parse('source: "café"')
+    assert parse(m.dumps()).get("source") == "café"
+
+
+def test_hex_integer_literals():
+    from videovector_tpu.config.textformat import parse
+    assert parse("rand_skip: 0x10").get("rand_skip") == 16
+    assert parse("rand_skip: 0XFF").get("rand_skip") == 255
+
+
+def test_keyword_strings_stay_quoted():
+    """A string field holding 'true'/'inf'/... must dump quoted, or the
+    re-parse changes its type to bool/float."""
+    from videovector_tpu.config.textformat import parse
+    for word in ("true", "false", "inf", "nan"):
+        m = parse(f'source: "{word}"')
+        v = parse(m.dumps()).get("source")
+        assert v == word and isinstance(v, str), (word, v)

@@ -183,3 +183,32 @@ def test_upgraded_net_runs_through_engine(rng_seed=0):
         "x": jnp.asarray(rng.randn(2, 1, 6, 6).astype(np.float32)),
         "t": jnp.asarray(rng.randn(2, 3).astype(np.float32))})
     assert float(loss) > 0
+
+
+def test_upgrade_does_not_mutate_input_and_drops_reshape_dims(rng):
+    """The padding fold must not write through to the caller's message,
+    and V0 new_num/new_channels (ReshapeLayer dims the reference upgrade
+    never copies) are dropped — passing them through would put unknown
+    top-level fields on the V1 layer that the schema rejects at write
+    time."""
+    from videovector_tpu.config.binproto import encode
+    from videovector_tpu.config.textformat import parse
+    from videovector_tpu.config.upgrade import upgrade_net
+    txt = """
+    name: "v0"
+    input: "data"
+    layers { layer { name: "p" type: "padding" pad: 2 }
+             bottom: "data" top: "pd" }
+    layers { layer { name: "c" type: "conv" num_output: 4 kernelsize: 3
+                     new_num: 7 new_channels: 3 }
+             bottom: "pd" top: "co" }
+    """
+    msg = parse(txt)
+    before = msg.dumps()
+    up = upgrade_net(msg)
+    assert msg.dumps() == before          # input untouched
+    conv = [l for l in up.get_list("layers")
+            if str(l.get("type")) == "CONVOLUTION"][0]
+    assert int(conv.get_msg("convolution_param").get("pad")) == 2
+    assert not conv.has("new_num") and not conv.has("new_channels")
+    encode(up, "NetParameter")            # schema accepts the result

@@ -216,8 +216,11 @@ def to_text(msg: Message, msg_type: str, indent: int = 0) -> str:
                     {n: s for s, n in ENUMS[detail].items()}[int(v)]
                 lines.append(f"{pad}{fname}: {name}")
             elif detail == "s":
-                esc = str(v).replace("\\", "\\\\").replace('"', '\\"')
-                lines.append(f'{pad}{fname}: "{esc}"')
+                # share textformat's escape (incl. \n — a raw newline
+                # inside the quoted literal breaks the reference's strict
+                # TextFormat reader this output exists for)
+                from videovector_tpu.config.textformat import _escape
+                lines.append(f'{pad}{fname}: "{_escape(str(v))}"')
             elif detail == "b":
                 lines.append(
                     f"{pad}{fname}: {'true' if _truthy(v) else 'false'}")

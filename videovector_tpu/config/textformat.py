@@ -82,9 +82,12 @@ class Message:
                 elif isinstance(v, bool):
                     lines.append(f"{pad}{key}: {'true' if v else 'false'}")
                 elif isinstance(v, str):
-                    if _BARE_RE.fullmatch(v) and not _looks_numeric(v):
+                    if (_BARE_RE.fullmatch(v) and not _looks_numeric(v)
+                            and v not in _KEYWORD_STRINGS):
                         lines.append(f"{pad}{key}: {v}")  # enum
                     else:
+                        # _KEYWORD_STRINGS would re-parse as bool/float if
+                        # printed bare — quote to keep the round-trip typed
                         lines.append(f'{pad}{key}: "{_escape(v)}"')
                 else:
                     lines.append(f"{pad}{key}: {v!r}")
@@ -92,6 +95,7 @@ class Message:
 
 
 _BARE_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_KEYWORD_STRINGS = frozenset(("true", "false", "inf", "nan"))
 _NUM_RE = re.compile(r"[-+]?(\d+\.?\d*([eE][-+]?\d+)?|\.\d+([eE][-+]?\d+)?|0x[0-9a-fA-F]+)")
 
 
@@ -109,7 +113,7 @@ _TOKEN_RE = re.compile(
   | (?P<comment>\#[^\n]*|//[^\n]*)
   | (?P<string>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<punct>[{}:;,])
-  | (?P<number>[-+]?(?:\d+\.\d*(?:[eE][-+]?\d+)?|\.\d+(?:[eE][-+]?\d+)?|\d+(?:[eE][-+]?\d+)?|0x[0-9a-fA-F]+))
+  | (?P<number>[-+]?(?:0[xX][0-9a-fA-F]+|\d+\.\d*(?:[eE][-+]?\d+)?|\.\d+(?:[eE][-+]?\d+)?|\d+(?:[eE][-+]?\d+)?))
   | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
     """,
     re.VERBOSE,
@@ -132,9 +136,51 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
     return tokens
 
 
+_ESC_CHARS = {"n": 0x0A, "t": 0x09, "r": 0x0D, "a": 0x07, "b": 0x08,
+              "f": 0x0C, "v": 0x0B, "\\": 0x5C, "'": 0x27, '"': 0x22,
+              "?": 0x3F}
+
+
 def _unquote(tok: str) -> str:
+    """Protobuf text-format string unescape. Escapes denote BYTES (the
+    reference's TextFormat prints UTF-8 as octal byte escapes), so build a
+    byte string and decode UTF-8 at the end — the old
+    bytes(s, "utf-8").decode("unicode_escape") applied latin-1 semantics
+    and mojibake'd every non-ASCII path/name."""
     body = tok[1:-1]
-    return bytes(body, "utf-8").decode("unicode_escape")
+    out = bytearray()
+    i = 0
+    n = len(body)
+    while i < n:
+        c = body[i]
+        if c != "\\":
+            out += c.encode("utf-8")
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            raise ValueError("textformat: dangling backslash in string")
+        c = body[i]
+        if c in _ESC_CHARS:
+            out.append(_ESC_CHARS[c])
+            i += 1
+        elif c in "01234567":          # octal, up to 3 digits
+            j = i + 1
+            while j < min(i + 3, n) and body[j] in "01234567":
+                j += 1
+            out.append(int(body[i:j], 8) & 0xFF)
+            i = j
+        elif c in "xX":                # hex, up to 2 digits
+            j = i + 1
+            while j < min(i + 3, n) and body[j] in "0123456789abcdefABCDEF":
+                j += 1
+            if j == i + 1:
+                raise ValueError("textformat: \\x with no hex digits")
+            out.append(int(body[i + 1:j], 16))
+            i = j
+        else:
+            raise ValueError(f"textformat: unknown escape \\{c}")
+    return out.decode("utf-8", errors="surrogateescape")
 
 
 class _Parser:

@@ -191,6 +191,13 @@ def upgrade_layer(conn: Message) -> Message:
                 _incompatible(field, v0_type)
             for v in vals:
                 out.add("hdf5_output_param", v)
+        elif field in ("new_num", "new_channels"):
+            # V0 ReshapeLayer dims the reference's upgrade never copies
+            # (upgrade_proto.cpp handles new_height/new_width for
+            # image_data only) — dropped like the reference; passing them
+            # through would put unknown top-level fields on the V1 layer
+            # that the LayerParameter schema rejects at write time
+            pass
         else:
             # fields the reference's V0 message doesn't define pass
             # through at top level (forward compatibility)
@@ -214,11 +221,22 @@ def _fold_padding(net_msg: Message) -> list[Message]:
         v0 = conn.get_msg("layer")
         v0_type = str(v0.get("type", ""))
         if v0_type != "padding":
-            # work on a shallow rebuild so rewiring doesn't mutate input
-            new_conn = Message()
-            for k, vals in conn.fields.items():
-                for v in vals:
-                    new_conn.add(k, v)
+            # rebuild so rewiring doesn't mutate the input — the nested
+            # "layer" message must be DEEP-copied (a shallow rebuild
+            # shares it, so the pad injection below would write through
+            # to the caller's message)
+            def _deep(m: Message) -> Message:
+                nm = Message()
+                for k, vals in m.fields.items():
+                    for v in vals:
+                        nm.add(k, _deep(v) if isinstance(v, Message) else v)
+                return nm
+            new_conn = _deep(conn)
+            if not new_conn.has("layer"):
+                # ensure the fold target below is ATTACHED (get_msg on a
+                # missing key returns a detached Message whose pad would
+                # be silently lost)
+                new_conn.add("layer", Message())
             kept.append(new_conn)
         for j, b in enumerate(conn.get_list("bottom")):
             bname = str(b)

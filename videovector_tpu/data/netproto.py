@@ -27,7 +27,7 @@ from videovector_tpu.data.weights import (
     LayerBlobs, NetWeights, params_to_weights,
 )
 from videovector_tpu.data.wire import (
-    BlobProto, iter_fields, write_bytes, write_msg,
+    BlobProto, iter_fields, write_bytes, write_msg, write_varint,
 )
 
 _LAYERS_FNUM = 2      # NetParameter.layers
@@ -83,11 +83,9 @@ def _split_blobs(layer_bytes: bytes):
         elif wt == 2:
             write_bytes(cfg, fnum, bytes(v))
         elif wt == 0:
-            from videovector_tpu.data.wire import write_varint
             write_varint(cfg, (fnum << 3) | 0)
             write_varint(cfg, v)
         else:  # 4/8-byte chunks: re-emit verbatim
-            from videovector_tpu.data.wire import write_varint
             write_varint(cfg, (fnum << 3) | wt)
             cfg += v
     return bytes(cfg), blobs
@@ -109,7 +107,6 @@ def load_net(path: str):
         elif wt == 2:
             write_bytes(top_cfg, fnum, bytes(v))
         else:
-            from videovector_tpu.data.wire import write_varint
             write_varint(top_cfg, (fnum << 3) | wt)
             if wt == 0:
                 write_varint(top_cfg, v)
@@ -183,7 +180,9 @@ def load_solverstate(path: str):
 def _layer_blob_count(lp: dict) -> int:
     """How many blobs params_to_weights emits for this layer's params —
     the slicing key for the nameless history list."""
-    if "w_i" in lp:  # LSTM family: W_i, W_h [, bias]
+    if "w_i" in lp:  # LSTM family: W_i, W_h [, W_o2h, W_h2o] [, biases]
+        if "w_o2h" in lp:  # conditional variant: 4 weights + 3 biases
+            return 4 + (3 if "b" in lp else 0)
         return 2 + (1 if "b" in lp else 0)
     return sum(1 for k in ("w", "table", "b") if k in lp)
 
@@ -231,7 +230,6 @@ def diffs_from_weights(weights: NetWeights, params: dict) -> dict | None:
             BlobProto(num=b.num, channels=b.channels, height=b.height,
                       width=b.width, data=np.asarray(b.diff, np.float32))
             for b in l.blobs]))
-    import jax.numpy as jnp
     zeros = {ln: {pn: np.zeros_like(np.asarray(a)) for pn, a in lp.items()}
              for ln, lp in params.items()}
     return load_into_params(diff_weights, zeros)

@@ -89,21 +89,44 @@ class NetWeights:
         return {l.name: l for l in self.layers}
 
 
-def lstm_blobs_to_params(blobs: list, hidden: int) -> dict:
+def lstm_blobs_to_params(blobs: list, template: dict) -> dict:
     """Caffe LSTM blobs → our layout. Reference blobs (lstm_layer.cpp:70-97):
     W_i (1, 4, H, I), W_h (1, 4, H, H), bias (1, 1, 4, H), gate blocks in
     [i, f, o, g] order (same as ours). Ours: w_i (I, 4H), w_h (H, 4H),
-    b (4H,) with 4H column blocks in gate order."""
-    def weight(blob):
-        arr = blob.to_array()          # (1, 4, H, I)
-        _, g, h, i = arr.shape
-        # (4, H, I) → (I, 4, H) → (I, 4H)
-        return np.transpose(arr[0], (2, 0, 1)).reshape(i, g * h)
+    b (4H,) with 4H column blocks in gate order.
 
-    w_i = weight(blobs[0])
-    w_h = weight(blobs[1])
-    out = {"w_i": w_i.astype(np.float32), "w_h": w_h.astype(np.float32)}
-    if len(blobs) > 2:
+    The CONDITIONAL variant (template has w_o2h) carries 7 blobs
+    (ref:src/caffe/layers/lstm_conditional_layer.cpp:70-112):
+    [W_i, W_h, W_o2h (1,4,H,O), W_h2o (1,1,O,H), b, b_o2h, b_h2o] —
+    all mapped. Blob counts are CHECKed against the template like the
+    reference's CopyTrainedLayersFrom (net.cpp:692-763): a file/config
+    bias or projection mismatch raises instead of silently skipping."""
+    def gate_weight(blob):
+        arr = blob.to_array()          # (1, 4, H, X)
+        _, g, h, x = arr.shape
+        # (4, H, X) → (X, 4, H) → (X, 4H)
+        return np.transpose(arr[0], (2, 0, 1)).reshape(x, g * h) \
+            .astype(np.float32)
+
+    cond = "w_o2h" in template
+    has_b = "b" in template
+    expect = (7 if has_b else 4) if cond else (3 if has_b else 2)
+    if len(blobs) != expect:
+        raise ValueError(
+            f"LSTM layer: {len(blobs)} blobs in the weights file, expected "
+            f"{expect} for this net config (the reference CHECK_EQs blob "
+            f"counts, net.cpp:692-763)")
+    out = {"w_i": gate_weight(blobs[0]), "w_h": gate_weight(blobs[1])}
+    if cond:
+        out["w_o2h"] = gate_weight(blobs[2])
+        h2o = blobs[3].to_array()      # (1, 1, O, H) → ours (H, O)
+        out["w_h2o"] = np.ascontiguousarray(
+            h2o.reshape(h2o.shape[-2], h2o.shape[-1]).T).astype(np.float32)
+        if has_b:
+            out["b"] = blobs[4].to_array().reshape(-1).astype(np.float32)
+            out["b_o2h"] = blobs[5].to_array().reshape(-1).astype(np.float32)
+            out["b_h2o"] = blobs[6].to_array().reshape(-1).astype(np.float32)
+    elif has_b:
         out["b"] = blobs[2].to_array().reshape(-1).astype(np.float32)
     return out
 
@@ -122,20 +145,23 @@ def load_into_params(weights: NetWeights, params: dict, *, strict: bool = False)
             continue
         blobs = src[lname].blobs
         if "w_i" in lparams:  # LSTM family
-            hidden = lparams["w_h"].shape[0]
-            converted = lstm_blobs_to_params(blobs, hidden)
+            converted = lstm_blobs_to_params(blobs, lparams)
             for k, arr in converted.items():
-                if k in lparams:
-                    if tuple(arr.shape) != tuple(lparams[k].shape):
-                        raise ValueError(
-                            f"layer {lname!r} param {k!r}: shape "
-                            f"{arr.shape} vs {tuple(lparams[k].shape)}")
-                    lparams[k] = arr
+                if tuple(arr.shape) != tuple(lparams[k].shape):
+                    raise ValueError(
+                        f"layer {lname!r} param {k!r}: shape "
+                        f"{arr.shape} vs {tuple(lparams[k].shape)}")
+                lparams[k] = arr
             continue
         order = [k for k in ("w", "table", "b") if k in lparams]
-        if len(blobs) < len(order):
-            raise ValueError(f"layer {lname!r}: {len(blobs)} blobs for "
-                             f"{len(order)} params")
+        if len(blobs) != len(order):
+            # the reference CHECK_EQs source vs target blob counts for
+            # matched layers (net.cpp:692-763) — an extra source blob
+            # (e.g. a bias loaded into a bias_term:false net) is a
+            # config mismatch, not something to silently drop
+            raise ValueError(f"layer {lname!r}: {len(blobs)} blobs in the "
+                             f"weights file for {len(order)} params "
+                             f"(the reference CHECK_EQs blob counts)")
         for k, blob in zip(order, blobs):
             arr = blob.to_array()
             tgt = lparams[k]
@@ -160,19 +186,39 @@ def params_to_weights(params: dict, name: str = "net") -> NetWeights:
         lp = params[lname]
         if "w_i" in lp:  # LSTM family: ours (I, 4H) → Caffe (1, 4, H, I)
             hidden = np.asarray(lp["w_h"]).shape[0]
-            blobs = []
-            for k in ("w_i", "w_h"):
-                arr = np.asarray(lp[k], np.float32)       # (I, 4H)
-                i_dim = arr.shape[0]
-                caffe = arr.reshape(i_dim, 4, hidden).transpose(1, 2, 0)
-                blobs.append(BlobProto(num=1, channels=4, height=hidden,
-                                       width=i_dim,
-                                       data=np.ascontiguousarray(caffe)
-                                       .reshape(-1)))
+
+            def gate_blob(key):
+                arr = np.asarray(lp[key], np.float32)     # (X, 4H)
+                x = arr.shape[0]
+                caffe = arr.reshape(x, 4, hidden).transpose(1, 2, 0)
+                return BlobProto(num=1, channels=4, height=hidden, width=x,
+                                 data=np.ascontiguousarray(caffe)
+                                 .reshape(-1))
+
+            blobs = [gate_blob("w_i"), gate_blob("w_h")]
+            cond = "w_o2h" in lp
+            if cond:
+                # conditional variant: reference blob order is
+                # [W_i, W_h, W_o2h, W_h2o, b, b_o2h, b_h2o]
+                # (ref lstm_conditional_layer.cpp:70-112)
+                blobs.append(gate_blob("w_o2h"))
+                h2o = np.asarray(lp["w_h2o"], np.float32)  # (H, O) → (O, H)
+                blobs.append(BlobProto(
+                    num=1, channels=1, height=h2o.shape[1],
+                    width=h2o.shape[0],
+                    data=np.ascontiguousarray(h2o.T).reshape(-1)))
             if "b" in lp:
                 blobs.append(BlobProto(num=1, channels=1, height=4,
                                        width=hidden,
                                        data=np.asarray(lp["b"], np.float32)))
+                if cond:
+                    blobs.append(BlobProto(
+                        num=1, channels=1, height=4, width=hidden,
+                        data=np.asarray(lp["b_o2h"], np.float32)))
+                    b_h2o = np.asarray(lp["b_h2o"], np.float32)
+                    blobs.append(BlobProto(
+                        num=1, channels=1, height=1, width=b_h2o.shape[0],
+                        data=b_h2o))
             layers.append(LayerBlobs(name=lname, blobs=blobs))
             continue
         blobs = []

@@ -27,10 +27,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _esc(part: str) -> str:
+    # "/" is the flat-key separator, so a literal "/" in a layer name
+    # (GoogLeNet-style "inception_3a/1x1") must be escaped or _unflatten
+    # would split the name into spurious nesting and restore() would
+    # silently misload the layer
+    return part.replace("%", "%25").replace("/", "%2F")
+
+
+def _unesc(part: str) -> str:
+    return part.replace("%2F", "/").replace("%25", "%")
+
+
 def _flatten(tree: dict, prefix: str = "") -> dict:
     out = {}
     for k, v in tree.items():
-        key = f"{prefix}{k}"
+        key = f"{prefix}{_esc(str(k))}"
         if isinstance(v, dict):
             out.update(_flatten(v, key + "/"))
         else:
@@ -41,7 +53,7 @@ def _flatten(tree: dict, prefix: str = "") -> dict:
 def _unflatten(flat: dict) -> dict:
     out: dict = {}
     for key, v in flat.items():
-        parts = key.split("/")
+        parts = [_unesc(p) for p in key.split("/")]
         d = out
         for p in parts[:-1]:
             d = d.setdefault(p, {})
