@@ -211,3 +211,66 @@ def test_fused_batch_transform_matches_host(rng):
         if mirror[i]:
             patch = patch[:, :, ::-1]
         np.testing.assert_allclose(out[i], patch, rtol=1e-5)
+
+
+def test_stochastic_pool_train_overlapping_windows(rng, key):
+    """stride < kernel: every window must sample one of ITS OWN elements
+    — the old reduce_window+equality formulation emitted spurious 0.0
+    whenever a window's winning element was covered by a stronger
+    neighboring window (its max was 'stolen' by the broadcast)."""
+    import jax
+    from videovector_tpu.ops.pooling import stochastic_pool
+    x = jnp.asarray(rng.rand(2, 3, 7, 7).astype(np.float32) + 0.5)
+    out = stochastic_pool(x, kernel=(3, 3), stride=(1, 1), rng=key,
+                          deterministic=False)
+    xn = np.asarray(x)
+    on = np.asarray(out)
+    assert (on > 0).all()          # all inputs >= 0.5 → no zeros possible
+    for n in range(2):
+        for c in range(3):
+            for i in range(on.shape[2]):
+                for j in range(on.shape[3]):
+                    win = xn[n, c, i:i + 3, j:j + 3]
+                    assert np.isclose(win, on[n, c, i, j]).any(), (i, j)
+
+
+def test_avg_pool_preserves_bf16(rng):
+    """The AVE divisor must not promote a bf16 chain to f32 (the exact
+    promotion the int8-serving conv-bias fix removed)."""
+    from videovector_tpu.ops.pooling import avg_pool
+    x = jnp.asarray(rng.rand(1, 2, 8, 8), jnp.bfloat16)
+    out = avg_pool(x, kernel=(3, 3), stride=(2, 2))
+    assert out.dtype == jnp.bfloat16
+
+
+def test_lrn_rejects_even_local_size(rng):
+    """ref lrn_layer.cpp CHECK_EQ(size_ % 2, 1): an even local_size would
+    silently use a window shifted one channel vs Caffe."""
+    import pytest
+    from videovector_tpu.ops.lrn import lrn_cross_channel, lrn_within_channel
+    x = jnp.asarray(rng.rand(1, 8, 4, 4).astype(np.float32))
+    with pytest.raises(ValueError, match="odd"):
+        lrn_cross_channel(x, local_size=4)
+    with pytest.raises(ValueError, match="odd"):
+        lrn_within_channel(x, local_size=4)
+
+
+def test_transform_mirror_requires_crop(rng):
+    """ref data_transformer.cpp:43-45 LOG(FATAL): mirror without crop_size
+    must error, not silently train without the augmentation."""
+    import pytest
+    from videovector_tpu.data.transformer import (
+        TransformConfig, make_batch_transform, transform_datum,
+    )
+    from videovector_tpu.data.wire import Datum
+    cfg = TransformConfig(crop_size=0, mirror=True)
+    d = Datum(channels=1, height=4, width=4,
+              data=bytes(rng.randint(0, 255, 16, dtype=np.uint8)))
+    with pytest.raises(ValueError, match="mirror"):
+        transform_datum(d, cfg, train=True, rng=rng)
+    with pytest.raises(ValueError, match="mirror"):
+        make_batch_transform(cfg, None, (4, 4))
+    with pytest.raises(ValueError, match="datum_scales"):
+        make_batch_transform(TransformConfig(crop_size=2,
+                                             use_datum_scales=True),
+                             None, (4, 4))

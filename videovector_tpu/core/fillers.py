@@ -81,9 +81,8 @@ def get_filler(cfg: Any = None, **overrides):
     """
     kwargs: dict[str, Any] = {}
     if cfg is not None:
-        getter = cfg.get if hasattr(cfg, "get") else lambda k, d=None: cfg.get(k, d)
         for field in ("type", "value", "min", "max", "mean", "std", "sparse"):
-            v = getter(field, None)
+            v = cfg.get(field, None)  # Message and dict share .get
             if v is not None:
                 kwargs[field] = v
     kwargs.update(overrides)

@@ -469,27 +469,12 @@ class FlexibleDataSource:
                 "label": np.asarray(labels, np.float32)}
 
     def _apply(self, datum: Datum, h_off: int, w_off: int, do_mirror: bool):
-        from videovector_tpu.data.transformer import datum_to_array
-        arr = datum_to_array(datum).astype(np.float32)
-        cs = self.transform.crop_size
-        if cs:
-            patch = arr[:, h_off:h_off + cs, w_off:w_off + cs]
-            if self.transform.use_datum_scales:
-                mins = np.asarray(datum.min, np.float32)[:, None, None]
-                maxs = np.asarray(datum.max, np.float32)[:, None, None]
-                means = np.asarray(datum.mean, np.float32)[:, None, None]
-                patch = mins + patch * (maxs - mins) / 255.0 - means
-            else:
-                if self.mean is not None:
-                    patch = patch - self.mean[:, h_off:h_off + cs,
-                                              w_off:w_off + cs]
-                patch = patch * self.transform.scale
-            if do_mirror:
-                patch = patch[:, :, ::-1]
-            return np.ascontiguousarray(patch)
-        if self.mean is not None:
-            arr = arr - self.mean
-        return arr * self.transform.scale
+        # one copy of the transform semantics: the reference's
+        # preset-transform path (data_transformer.cpp:53-55) — the item's
+        # shared crop/mirror draw applied to every frame
+        from videovector_tpu.data.transformer import transform_datum
+        return transform_datum(datum, self.transform, mean=self.mean,
+                               preset=(h_off, w_off, do_mirror))
 
     def __iter__(self):
         while True:

@@ -52,15 +52,23 @@ def datum_to_array(datum: Datum) -> np.ndarray:
 def transform_datum(datum: Datum, cfg: TransformConfig, *,
                     mean: np.ndarray | None = None,
                     train: bool = False,
-                    rng: np.random.RandomState | None = None) -> np.ndarray:
-    """Exact reference semantics, one datum → (C, crop, crop) f32."""
+                    rng: np.random.RandomState | None = None,
+                    preset: tuple | None = None) -> np.ndarray:
+    """Exact reference semantics, one datum → (C, crop, crop) f32.
+
+    `preset=(h_off, w_off, do_mirror)` is the reference's
+    preset_channel/preset-transform path (ref data_transformer.cpp:53-55):
+    the flexible multi-frame assembly draws ONE crop/mirror and applies it
+    to every frame of the item (see data/generic.py)."""
     arr = datum_to_array(datum)
     c, h, w = arr.shape
     if cfg.crop_size:
-        if not datum.data:
-            raise ValueError("cropping requires uint8 data (ref :52)")
         cs = cfg.crop_size
-        if train:
+        if preset is not None:
+            h_off, w_off, do_mirror = preset
+        elif not datum.data:
+            raise ValueError("cropping requires uint8 data (ref :52)")
+        elif train:
             rng = rng or np.random.RandomState()
             h_off = rng.randint(h - cs)
             w_off = rng.randint(w - cs)
@@ -85,6 +93,13 @@ def transform_datum(datum: Datum, cfg: TransformConfig, *,
     # no crop
     if cfg.use_datum_scales:
         raise ValueError("use_datum_scales requires crop (ref :115)")
+    if cfg.mirror:
+        # ref data_transformer.cpp:43-45: LOG(FATAL) "Current
+        # implementation requires mirror and crop_size to be set at the
+        # same time" — silently training without the augmentation the
+        # config asks for is worse than the error
+        raise ValueError("mirror requires crop_size (ref "
+                         "data_transformer.cpp:43-45 LOG(FATAL))")
     out = arr.astype(np.float32)
     if mean is not None:
         out = out - mean
@@ -103,6 +118,19 @@ def make_batch_transform(cfg: TransformConfig, mean: np.ndarray | None,
     layout copies between the crop gathers and conv1)."""
     cs = cfg.crop_size
     h, w = image_hw
+    if cfg.use_datum_scales:
+        # per-item min/max/mean rescale needs the datum's own scale
+        # vectors, which the fused (pixels, offsets, mirror) signature
+        # does not carry — the host path (transform_datum /
+        # FlexibleDataSource) implements it; applying mean/scale here
+        # instead would be silently wrong preprocessing (the reference
+        # LOG(FATAL)s on unsupported transform combos)
+        raise ValueError("use_datum_scales is not supported by the fused "
+                         "batch transform — use the host transform_datum "
+                         "path")
+    if cfg.mirror and not cs:
+        raise ValueError("mirror requires crop_size (ref "
+                         "data_transformer.cpp:43-45 LOG(FATAL))")
     mean_arr = jnp.asarray(mean, jnp.float32) if mean is not None else None
     if mean_arr is not None and layout == "NHWC" and mean_arr.ndim == 3:
         mean_arr = jnp.transpose(mean_arr, (1, 2, 0))  # CHW → HWC

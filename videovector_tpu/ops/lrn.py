@@ -37,9 +37,19 @@ def channel_window_sum(sq, axis: int, local_size: int):
     return summed
 
 
+def _check_odd(local_size: int) -> None:
+    # ref lrn_layer.cpp LayerSetUp: CHECK_EQ(size_ % 2, 1) << "LRN only
+    # supports odd values for local_size" — an even size would silently
+    # use a window shifted one channel vs Caffe's (size-1)/2 pre-pad
+    if local_size % 2 != 1:
+        raise ValueError(f"LRN local_size must be odd (got {local_size}); "
+                         f"the reference CHECKs this at setup")
+
+
 def lrn_cross_channel(x, *, local_size: int = 5, alpha: float = 1.0,
                       beta: float = 0.75):
     """x: (N, C, H, W)."""
+    _check_odd(local_size)
     summed = channel_window_sum(x * x, 1, local_size)
     scale = 1.0 + (alpha / local_size) * summed
     return x * jnp.power(scale, -beta)
@@ -47,6 +57,7 @@ def lrn_cross_channel(x, *, local_size: int = 5, alpha: float = 1.0,
 
 def lrn_within_channel(x, *, local_size: int = 5, alpha: float = 1.0,
                        beta: float = 0.75):
+    _check_odd(local_size)
     half = local_size // 2
     mean_sq = avg_pool(x * x, kernel=(local_size, local_size), stride=(1, 1),
                        pad=(half, half))

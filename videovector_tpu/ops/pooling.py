@@ -63,7 +63,10 @@ def avg_pool(x, *, kernel, stride, pad=(0, 0)):
             ws = j * stride[1] - pad[1]
             we = min(ws + kernel[1], w + pad[1])
             div[i, j] = (he - hs) * (we - ws)
-    return summed / jnp.asarray(div)
+    # divisor in x's dtype: an f32 divisor would promote a bf16 chain to
+    # f32 and double the downstream pool/LRN HBM traffic (the exact
+    # promotion the int8-serving conv-bias fix removed, PERF.md r4)
+    return summed / jnp.asarray(div, dtype=x.dtype)
 
 
 def stochastic_pool(x, *, kernel, stride, pad=(0, 0), rng=None,
@@ -85,34 +88,30 @@ def stochastic_pool(x, *, kernel, stride, pad=(0, 0), rng=None,
     import jax
     u = jax.random.uniform(rng, x.shape, minval=1e-6, maxval=1.0)
     score = jnp.where(x > 0, x / (-jnp.log(u)), 0.0)  # max-score ⇔ min-key
-    # joint max over (score, value) pairs: reduce on score, carry the value
-    # by packing value into the mantissa-safe second reduce
-    best_score = lax.reduce_window(score, -jnp.inf, lax.max, dims, strides,
-                                   padding)
-    # second pass: take the x whose score equals the window max (ties have
-    # measure zero for continuous scores; overlapping windows share samples)
-    masked = jnp.where(
-        score == _window_broadcast(best_score, x.shape, kernel, stride,
-                                   (padding[2], padding[3])),
-        x, -jnp.inf)
-    picked = lax.reduce_window(masked, -jnp.inf, lax.max, dims, strides,
-                               padding)
-    return jnp.where(jnp.isfinite(picked), picked, 0.0)
+    # per-window INDEPENDENT argmax via patch extraction: a reduce_window
+    # max + equality-broadcast formulation is wrong with overlapping
+    # windows (stride < kernel) — a window whose winning element is
+    # covered by a stronger neighboring window matches nothing and used
+    # to emit a spurious 0.0. K strided slices keep each window's race
+    # private; K = kernel area is small (9 for pool3x3).
+    oh, ow, pad_h, pad_w = _pool_geometry(h, w, kernel, stride, pad)
+    sc = _patches(score, oh, ow, kernel, stride, (pad_h, pad_w), -jnp.inf)
+    xs = _patches(x, oh, ow, kernel, stride, (pad_h, pad_w), 0.0)
+    idx = jnp.argmax(sc, axis=-1)
+    return jnp.take_along_axis(xs, idx[..., None], axis=-1)[..., 0]
 
 
-def _window_broadcast(pooled, full_shape, kernel, stride, pads):
-    """Scatter each pooled value back over its (possibly overlapping) window,
-    taking the max where windows overlap. Used to compare per-position scores
-    with their window maxima."""
-    n, c, h, w = full_shape
-    (ph0, ph1), (pw0, pw1) = pads
-    oh, ow = pooled.shape[2], pooled.shape[3]
-    out = jnp.full((n, c, h + ph0 + ph1, w + pw0 + pw1), -jnp.inf,
-                   dtype=pooled.dtype)
+def _patches(arr, oh, ow, kernel, stride, pads, fill):
+    """(N, C, H, W) → (N, C, OH, OW, KH·KW): each output position's window
+    elements along the last axis (one strided slice per kernel offset)."""
+    a = jnp.pad(arr, ((0, 0), (0, 0), pads[0], pads[1]),
+                constant_values=fill)
+    ps = []
     for i in range(kernel[0]):
         for j in range(kernel[1]):
-            upd = jnp.full_like(out, -jnp.inf)
-            upd = upd.at[:, :, i:i + oh * stride[0]:stride[0],
-                         j:j + ow * stride[1]:stride[1]].set(pooled)
-            out = jnp.maximum(out, upd)
-    return out[:, :, ph0:ph0 + h, pw0:pw0 + w]
+            ps.append(lax.slice(
+                a, (0, 0, i, j),
+                (a.shape[0], a.shape[1],
+                 i + (oh - 1) * stride[0] + 1, j + (ow - 1) * stride[1] + 1),
+                (1, 1, stride[0], stride[1])))
+    return jnp.stack(ps, axis=-1)
