@@ -49,7 +49,14 @@ def test_parity_with_reference_prototxt(rng):
     the unmodified reference prototxt with the same weights (f32, no
     dropout)."""
     feat = 4096
-    net = Net(parse_file(REF_TRAIN), phase="TRAIN")
+    # dropout off for a deterministic comparison: rewrite the prototxt's
+    # ratio to 0 (the engine refuses silent no-dropout at TRAIN with
+    # rng=None when the ratio is > 0)
+    msg = parse_file(REF_TRAIN)
+    for l in msg.get_list("layers"):
+        if l.get("type") == "DROPOUT":
+            l.get_msg("dropout_param").fields["dropout_ratio"] = [0.0]
+    net = Net(msg, phase="TRAIN")
     spec = {"data": jax.ShapeDtypeStruct((2, 15, feat, 1), jnp.float32)}
     net_params, _ = net.init(jax.random.PRNGKey(0), spec)
 
@@ -61,7 +68,6 @@ def test_parity_with_reference_prototxt(rng):
                         "b": net_params["fc7"]["b"]}}
 
     data = rng.randn(2, 15, feat, 1).astype(np.float32)
-    # engine path: rng=None disables dropout even in TRAIN phase
     loss_engine, _ = net.apply(net_params, {"data": jnp.asarray(data)}, rng=None)
     loss_model, _ = model.loss(params, {"data": jnp.asarray(data[..., 0])},
                                train=False)
@@ -293,3 +299,43 @@ def test_grad_microbatch_role_major_batch_axes(rng, key):
         bad(jax.tree.map(jnp.array, params),
             init_solver_state(solver_cfg, params),
             {"data": jnp.asarray(batch_np)}, rngk)
+
+
+def test_per_sample_weights_align_with_batch_axis(rng, key):
+    """Per-sample (B,) loss weights must weight each SAMPLE row, not
+    broadcast along the negatives axis (a bare (B,) silently weighted
+    each NEGATIVE column when B == num_negatives)."""
+    cfg = VideoEmbeddingConfig(feature_dim=8, embed_dim=6, num_context=2,
+                               num_negatives=3, dropout_rate=0.0,
+                               compute_dtype="float32")
+    model = VideoEmbeddingModel(cfg)
+    params = model.init(key)
+    data = jnp.asarray(rng.randn(3, 6, 8).astype(np.float32))  # B=3=N? no: N=3, B=3
+    w = np.asarray([1.0, 0.0, 2.0], np.float32)
+    loss_w, _ = model.loss(params, {"data": data, "weights": w},
+                           train=False)
+    # manual: per-sample hinge means weighted by w
+    s_true, s_neg, _ = model.scores(params, data, train=False)
+    h = np.maximum(0.0, cfg.margin - (np.asarray(s_true)[:, None]
+                                      - np.asarray(s_neg)))
+    expect = float(np.mean(h * h * w[:, None]))
+    np.testing.assert_allclose(float(loss_w), expect, rtol=1e-5)
+    # wrong-length weights are rejected
+    import pytest
+    with pytest.raises(ValueError, match="weights"):
+        model.loss(params, {"data": data,
+                            "weights": np.ones(5, np.float32)},
+                   train=False)
+
+
+def test_role_count_mismatch_rejected(rng, key):
+    """Surplus roles must raise, not silently become phantom negatives."""
+    import pytest
+    cfg = VideoEmbeddingConfig(feature_dim=8, embed_dim=6, num_context=2,
+                               num_negatives=3, dropout_rate=0.0,
+                               compute_dtype="float32")
+    model = VideoEmbeddingModel(cfg)
+    params = model.init(key)
+    bad = jnp.asarray(rng.randn(2, 7, 8).astype(np.float32))  # 7 != 6 roles
+    with pytest.raises(ValueError, match="roles"):
+        model.loss(params, {"data": bad}, train=False)

@@ -169,7 +169,8 @@ class TestFlagshipPrototxt:
     def test_train_graph_grads_flow(self, rng):
         net, params = self._build()
         data = jnp.asarray(rng.randn(2, 15, 4096, 1).astype(np.float32))
-        g = jax.grad(net.loss_fn)(params, {"data": data})
+        g = jax.grad(net.loss_fn)(params, {"data": data},
+                                  jax.random.PRNGKey(1))
         gw = np.asarray(g["fc7"]["w"]) if "fc7" in g else None
         assert gw is not None and np.abs(gw).sum() > 0
 

@@ -94,8 +94,11 @@ def test_full_netparameter_roundtrip(tmp_path, rng):
 
     # and the loaded net computes identically
     x = jnp.asarray(rng.randn(2, 6).astype(np.float32))
-    _, o1 = net.apply(params, {"x": x}, return_blobs=True)
-    _, o2 = net2.apply(params2, {"x": x}, return_blobs=True)
+    # same rng both sides: TRAIN dropout requires a key (engine contract)
+    # and identical keys keep the comparison deterministic
+    k = jax.random.PRNGKey(3)
+    _, o1 = net.apply(params, {"x": x}, rng=k, return_blobs=True)
+    _, o2 = net2.apply(params2, {"x": x}, rng=k, return_blobs=True)
     np.testing.assert_array_equal(np.asarray(o1["h"]), np.asarray(o2["h"]))
 
 

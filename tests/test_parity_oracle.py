@@ -23,7 +23,13 @@ REF_TRAIN = "/root/reference/projects/videovec_embedding/mednet_embedding_train.
 @pytest.mark.skipif(not os.path.exists(REF_TRAIN), reason="no reference")
 def test_flagship_loss_matches_torch_oracle(rng):
     feat, B, C, N = 4096, 3, 4, 10
-    net = Net(parse_file(REF_TRAIN), phase="TRAIN")
+    # dropout off for the deterministic oracle comparison (the engine
+    # refuses silent no-dropout at TRAIN when the ratio is > 0)
+    msg = parse_file(REF_TRAIN)
+    for l in msg.get_list("layers"):
+        if l.get("type") == "DROPOUT":
+            l.get_msg("dropout_param").fields["dropout_ratio"] = [0.0]
+    net = Net(msg, phase="TRAIN")
     spec = {"data": jax.ShapeDtypeStruct((B, 15, feat, 1), jnp.float32)}
     params, _ = net.init(jax.random.PRNGKey(5), spec)
     data = rng.randn(B, 15, feat, 1).astype(np.float32)

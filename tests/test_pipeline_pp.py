@@ -124,3 +124,18 @@ def test_pp_training_learns(rng):
         params, loss = step(params, linear_batch())
         losses.append(float(loss))
     assert np.mean(losses[-5:]) < 0.5 * np.mean(losses[:5])
+
+
+def test_split_microbatches_honors_batch_axis(rng):
+    """The batch_axis parameter drives the reshape, not just the
+    divisibility check (it used to hardcode axis 1)."""
+    from videovector_tpu.parallel.pipeline import _split_microbatches
+    x = jnp.asarray(rng.randn(6, 4, 3).astype(np.float32))
+    out1, t1 = _split_microbatches(x, 2, batch_axis=1)   # (2, 6, 2, 3)
+    assert out1.shape == (2, 6, 2, 3) and t1 == 6
+    np.testing.assert_array_equal(np.asarray(out1[0]),
+                                  np.asarray(x[:, :2]))
+    out0, t0 = _split_microbatches(x, 3, batch_axis=0)   # (3, 2, 4, 3)
+    assert out0.shape == (3, 2, 4, 3) and t0 == 6
+    np.testing.assert_array_equal(np.asarray(out0[1]),
+                                  np.asarray(x[2:4]))

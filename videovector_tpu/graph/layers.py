@@ -170,11 +170,22 @@ def _kernel_geometry(p):
     ConvolutionParameter/PoolingParameter conventions."""
     def pair(base, default):
         if p.has(f"{base}_h") or p.has(f"{base}_w"):
+            if base == "kernel" and not (p.has("kernel_h")
+                                         and p.has("kernel_w")):
+                # ref conv_layer.cpp:19-21: "For non-square filters both
+                # kernel_h and kernel_w are required" — the missing one
+                # would default to a 0-width kernel and surface later as
+                # an opaque zero-size XLA error
+                raise ValueError("non-square filters need BOTH kernel_h "
+                                 "and kernel_w (the reference CHECKs)")
             return (int(p.get(f"{base}_h", default)),
                     int(p.get(f"{base}_w", default)))
         v = int(p.get(base if base != "kernel" else "kernel_size", default))
         return (v, v)
     kernel = pair("kernel", 0)
+    if kernel[0] <= 0 or kernel[1] <= 0:
+        raise ValueError(f"kernel size {kernel} must be positive "
+                         f"(ref CHECK_GT(kernel_h_/kernel_w_, 0))")
     stride = pair("stride", 1)
     pad = pair("pad", 0)
     return kernel, stride, pad
@@ -351,6 +362,13 @@ def _threshold():
 def _dropout():
     def apply(params, inputs, cfg, ctx):
         rate = float(cfg.get_msg("dropout_param").get("dropout_ratio", 0.5))
+        if ctx.phase == "TRAIN" and ctx.rng is None and rate > 0:
+            # the reference ALWAYS drops at TRAIN (dropout_layer.cpp) —
+            # silently disabling dropout because no rng was threaded would
+            # train a different model than the prototxt describes
+            raise ValueError(
+                f"DROPOUT {cfg.get('name')!r}: TRAIN-phase forward needs "
+                f"rng= (pass a PRNGKey to Net.apply/loss_fn)")
         deterministic = ctx.phase != "TRAIN" or ctx.rng is None
         rng = ctx.rng if ctx.rng is not None else jax.random.PRNGKey(0)
         # fold in a stable hash of the layer name so stacked dropouts
@@ -394,6 +412,22 @@ def _slice():
         x = inputs[0]
         n_out = len(cfg.get_list("top"))
         if points:
+            # ref slice_layer.cpp:32-44: CHECK_EQ(#points, #tops - 1) and
+            # each point strictly increasing within (0, size) — a short
+            # list would silently DROP trailing channels, a non-increasing
+            # one would emit empty slices
+            if len(points) != n_out - 1:
+                raise ValueError(
+                    f"SLICE {cfg.get('name')!r}: {len(points)} slice_point "
+                    f"for {n_out} tops (the reference CHECK_EQs "
+                    f"#slice_point == #tops - 1)")
+            prev = 0
+            for pt in points:
+                if not prev < pt < x.shape[dim]:
+                    raise ValueError(
+                        f"SLICE {cfg.get('name')!r}: slice_point {pt} not "
+                        f"strictly increasing within (0, {x.shape[dim]})")
+                prev = pt
             bounds = [0] + points + [x.shape[dim]]
         else:
             if x.shape[dim] % n_out != 0:
@@ -470,15 +504,30 @@ def _silence():
 @register("ARGMAX")
 def _argmax():
     def apply(params, inputs, cfg, ctx):
+        # ref:src/caffe/layers/argmax_layer.cpp:12-58 — top (N, 1, top_k, 1)
+        # of indices, or (N, 2, top_k, 1) with values on channel 1 when
+        # out_max_val; CHECK 1 <= top_k <= dim. The reference's
+        # partial_sort uses std::greater over (value, index) PAIRS, so
+        # equal values rank the LARGER index first — reproduced by
+        # running the stable descending sort on the flipped axis.
         p = cfg.get_msg("argmax_param")
         x = inputs[0]
         n = x.shape[0]
         flat = x.reshape(n, -1)
-        idx = jnp.argmax(flat, axis=1).astype(jnp.float32)
+        dim = flat.shape[1]
+        k = int(p.get("top_k", 1))
+        if not 1 <= k <= dim:
+            raise ValueError(
+                f"ARGMAX {cfg.get('name')!r}: top_k={k} outside [1, {dim}] "
+                f"(ref argmax_layer.cpp:16-18 CHECKs)")
+        flipped = flat[:, ::-1]
+        order_f = jnp.argsort(-flipped, axis=1, stable=True)[:, :k]
+        idx = (dim - 1 - order_f).astype(jnp.int32)
+        idx_f = idx.astype(jnp.float32)
         if p.get("out_max_val", False):
-            mx = jnp.max(flat, axis=1)
-            return [jnp.stack([idx, mx], axis=1).reshape(n, 2, 1, 1)]
-        return [idx.reshape(n, 1, 1, 1)]
+            vals = jnp.take_along_axis(flat, idx, axis=1)
+            return [jnp.stack([idx_f, vals], axis=1).reshape(n, 2, k, 1)]
+        return [idx_f.reshape(n, 1, k, 1)]
     return _no_params, apply
 
 

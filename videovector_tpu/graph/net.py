@@ -176,13 +176,22 @@ class Net:
         ]
 
         # AutoTopBlobs (ref:include/caffe/layer.hpp:258 + net.cpp AppendTop):
-        # loss layers may omit `top:`; auto-name the implicit loss tops
-        for layer in self.layers:
+        # loss layers may omit `top:`; auto-name the implicit loss tops.
+        # Copy-on-write: the caller's NetParameter Messages must not gain
+        # synthetic tops (serializing/diffing the config afterwards would
+        # emit tops the user never wrote)
+        for li, layer in enumerate(self.layers):
             ldef = LAYERS.get(layer.get("type"))
             if (ldef is not None and ldef.default_loss_weights
                     and not layer.get_list("top")):
+                from videovector_tpu.config.textformat import Message
+                copy = Message()
+                for k, vals in layer.fields.items():
+                    for v in vals:
+                        copy.add(k, v)
                 for i in range(len(ldef.default_loss_weights)):
-                    layer.add("top", f"{layer.get('name')}_auto_top_{i}")
+                    copy.add("top", f"{layer.get('name')}_auto_top_{i}")
+                self.layers[li] = copy
 
         # loss weights per (layer, top index)
         self.loss_weights: dict[str, list[float]] = {}
@@ -492,6 +501,12 @@ class Net:
             applied += 1
             bottoms = [str(b) for b in layer.get_list("bottom")]
             consumed.update(bottoms)
+            # re-producing a blob (in-place top) makes it available again
+            # — the reference erases bottoms from available_blobs and
+            # re-inserts tops (net.cpp AppendBottom/AppendTop), so a net
+            # ENDING in an in-place layer still reports that blob as a
+            # net output (net.cpp:206-212)
+            consumed.difference_update(str(t) for t in layer.get_list("top"))
             if fz is not None and fz.try_absorb(
                     layer, blobs,
                     self.loss_weights.get(lname, [])) is not None:
@@ -589,7 +604,10 @@ class Net:
         """Per-blob mean-abs activation stats, the analogue of Caffe's
         `debug_info` forward printing (ref:src/caffe/net.cpp:581-636).
         Returns {blob_name: mean_abs} plus {layer/param: mean_abs}."""
+        import jax
         import jax.numpy as jnp
+        if rng is None and self.phase == "TRAIN":
+            rng = jax.random.PRNGKey(0)  # dropout needs an rng at TRAIN
         _, blobs = self.apply(params, batch, rng=rng, return_blobs=True)
         stats = {name: float(jnp.mean(jnp.abs(v)))
                  for name, v in blobs.items()}

@@ -100,7 +100,13 @@ class VideoEmbeddingModel:
                     preferred_element_type=jnp.float32)
         h = h + t["b"]
         h = ops.relu(h)
-        if train and rng is not None and cfg.dropout_rate > 0:
+        if train and cfg.dropout_rate > 0:
+            if rng is None:
+                # the reference ALWAYS drops at TRAIN — silently training
+                # without dropout because no rng was threaded would train
+                # a different model than configured
+                raise ValueError("train=True with dropout_rate > 0 needs "
+                                 "rng= (pass a PRNGKey)")
             h = ops.dropout(h, rate=cfg.dropout_rate, rng=rng)
         h = h.astype(jnp.dtype(cfg.activation_dtype))
         return h.reshape(*lead, cfg.embed_dim)
@@ -135,6 +141,13 @@ class VideoEmbeddingModel:
         # Callers that can produce (R, B, D) natively pass role_major=True
         # and skip the in-step transpose too (~0.08 ms at B=128).
         x = data if role_major else jnp.transpose(data, (1, 0, 2))
+        n_roles = 1 + cfg.num_context + cfg.num_negatives
+        if x.shape[0] != n_roles:
+            # a surplus role would silently become a phantom negative
+            raise ValueError(
+                f"data carries {x.shape[0]} roles but the config declares "
+                f"{n_roles} (1 target + {cfg.num_context} context + "
+                f"{cfg.num_negatives} negatives)")
         h = self.embed(params, x, rng=rng, train=train)       # (R, B, E)
         target = h[0].astype(jnp.float32)                     # (B, E)
         context = h[1:1 + cfg.num_context]                    # (C, B, E)
@@ -169,6 +182,18 @@ class VideoEmbeddingModel:
                                        train=train, role_major=role_major)
         s_true_b = jnp.broadcast_to(s_true[:, None], s_neg.shape)
         w = weights if weights is not None else batch.get("weights")
+        if w is not None:
+            # per-SAMPLE weights: (B,) or (B, 1) → (B, 1) so the margin
+            # loss broadcasts along the negatives axis (a bare (B,) would
+            # align with the trailing N axis — silently weighting each
+            # NEGATIVE column when B == N, an error otherwise)
+            w = jnp.asarray(w)
+            if w.ndim == 1 or (w.ndim == 2 and w.shape[1] == 1):
+                if w.shape[0] != s_neg.shape[0]:
+                    raise ValueError(
+                        f"weights carry {w.shape[0]} entries for batch "
+                        f"size {s_neg.shape[0]}")
+                w = w.reshape(-1, 1)
         loss, violations = ops.max_margin_loss(
             s_true_b, s_neg, margin=cfg.margin, norm=cfg.norm, weights=w)
         return loss, {"violations": violations,

@@ -43,13 +43,16 @@ def _pv(x):
 
 
 def _split_microbatches(x, num_mb: int, batch_axis: int = 1):
-    """(T, B, ...) → (M, T, B/M, ...): microbatch-major for lax.scan."""
-    t = x.shape[0]
+    """(T, B, ...) → (M, T, B/M, ...): microbatch-major for lax.scan.
+    `batch_axis` is honored by the split (not just the divisibility
+    check): the (num_mb, chunk) factor expands in place at that axis,
+    then moves to the front."""
     b = x.shape[batch_axis]
     if b % num_mb:
         raise ValueError(f"batch {b} not divisible by {num_mb} microbatches")
-    parts = x.reshape(x.shape[0], num_mb, b // num_mb, *x.shape[2:])
-    return jnp.moveaxis(parts, 1, 0), t
+    parts = x.reshape(*x.shape[:batch_axis], num_mb, b // num_mb,
+                      *x.shape[batch_axis + 1:])
+    return jnp.moveaxis(parts, batch_axis, 0), x.shape[0]
 
 
 def pp_encdec_loss(params, batch, *, num_microbatches: int,

@@ -84,6 +84,12 @@ def make_train_step(loss_fn: Callable, solver_cfg: SolverConfig, mesh: Mesh, *,
     role-major (R, B, ...) batch on the role axis whenever R happens to be
     divisible, scrambling roles across microbatches with no error. Pass
     {key: 0} explicitly for batch-leading layouts.
+
+    opt_barrier applies only on the NON-microbatched path (deliberate):
+    the accumulation scan already separates the wgrad GEMMs from the
+    single optimizer application — the exact mis-fusion the barrier
+    exists to break (PERF.md round 3: grad_microbatch beat the barrier
+    at every batch size, which is why it superseded it).
     """
     def step(params, state, batch, rng):
         n_micro = grad_microbatch

@@ -299,8 +299,13 @@ class SolverDriver:
             from videovector_tpu.tools.vis_snapshot import vis_snapshot
 
             def vis_hook(p, it):
+                import jax
                 os.makedirs(self.snapshot_vis_dir, exist_ok=True)
-                _, blobs = net.apply(p, self._first_batch_jnp(), rng=None,
+                # TRAIN-phase forward: dropout needs an rng (the engine
+                # rejects silent no-dropout); seed by iteration so dumps
+                # are reproducible
+                _, blobs = net.apply(p, self._first_batch_jnp(),
+                                     rng=jax.random.PRNGKey(it),
                                      return_blobs=True)
                 vis_snapshot(net, p, blobs, os.path.join(
                     self.snapshot_vis_dir, f"vis_iter_{it}.json"))
