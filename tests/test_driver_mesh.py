@@ -211,3 +211,50 @@ def test_mesh_training_stateful_lstm_net(tmp_path, rng):
     losses = [m[1]["loss"] for m in res.metrics_history]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_driver_refeeds_first_batch_and_closes_prefetchers(tmp_path, rng):
+    """The batch build() consumes for shape specs must be RE-FED as
+    training iteration 0 (the reference trains on the stream's first
+    batch), and train() must close its prefetch threads on return."""
+    solver = _mini_solver(tmp_path, rng)
+    driver = SolverDriver(solver).build()
+    first_raw = {k: np.asarray(v).copy()
+                 for k, v in driver._first_batch_raw.items()}
+    it = driver._data_iter(driver.train_source,
+                           first=driver._first_batch_raw)
+    b0 = next(it)
+    for k in first_raw:
+        np.testing.assert_array_equal(np.asarray(b0[k]), first_raw[k])
+    b1 = next(it)
+    assert any(not np.array_equal(np.asarray(b1[k]), first_raw[k])
+               for k in first_raw)
+    assert len(driver._prefetchers) == 1
+    for pf in driver._prefetchers:
+        pf.close()
+    driver._prefetchers.clear()
+
+    driver2 = SolverDriver(solver).build()
+    driver2.train()
+    assert driver2._prefetchers == []   # closed and cleared on return
+
+
+def test_driver_vvmodel_finetune_copies_and_shape_checks(tmp_path, rng):
+    """train(weights_path=.vvmodel) must not mutate driver.params (a
+    second train() starts from the original init) and must reject stale
+    shapes with a named-layer error."""
+    import pytest
+    from videovector_tpu.solver.checkpoint import snapshot
+    solver = _mini_solver(tmp_path, rng)
+    driver = SolverDriver(solver).build()
+    init_fc7 = np.asarray(driver.params["fc7"]["w"]).copy()
+    good = {"fc7": {"w": rng.randn(*init_fc7.shape).astype(np.float32)}}
+    mp, _ = snapshot(str(tmp_path / "ft"), 0, good)
+    driver.train(weights_path=mp, max_iter=2)
+    np.testing.assert_array_equal(np.asarray(driver.params["fc7"]["w"]),
+                                  init_fc7)   # untouched
+    bad = {"fc7": {"w": rng.randn(3, 3).astype(np.float32)}}
+    mp2, _ = snapshot(str(tmp_path / "bad"), 0, bad)
+    driver2 = SolverDriver(solver).build()
+    with pytest.raises(ValueError, match="fc7"):
+        driver2.train(weights_path=mp2, max_iter=2)

@@ -688,7 +688,13 @@ def test_converters_and_mean(tmp_path, rng):
     np.testing.assert_allclose(cm[0, 1], 117.0)
 
     idx_out = str(tmp_path / "index.vvr")
-    assert convert_flexible_list(str(img_dir), str(lst), idx_out) == 4
+    assert convert_flexible_list(str(lst), idx_out) == 4
+    # reference byte format: "%08d_" + path minus its 4-char extension,
+    # value = 4-digit label only (convert_flexible_list.cpp:125-140)
+    from videovector_tpu.data.records import RecordReader
+    ir = RecordReader(idx_out)
+    assert ir.key(0) == b"00000000_im0"
+    assert bytes(ir.value(0)) == b"0000"
 
 
 def test_plot_training_stats_parse(tmp_path):

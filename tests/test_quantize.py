@@ -187,3 +187,47 @@ layers { name: "fc" type: INNER_PRODUCT bottom: "x" top: "out"
     y32 = np.asarray(call32(x)["out"])
     y16 = np.asarray(call16(x)["out"])
     assert np.linalg.norm(y32 - y16) / (np.linalg.norm(y32) + 1e-9) < 0.02
+
+
+def test_int8_calib_with_input_decls_and_data_layer(tmp_path, rng):
+    """Calibration with calib_batches > 1 on a net mixing `input`
+    declarations with a real data layer: the rebuild must apply the same
+    skip filter as the export path and merge the static input blobs into
+    every calibration batch (batches 2+ used to crash with 'batch missing
+    graph input')."""
+    from videovector_tpu.data.records import RecordWriter
+    from videovector_tpu.data.wire import Datum
+    from videovector_tpu.tools.serving import export_serving, load_serving
+
+    store = str(tmp_path / "imgs.vvr")
+    with RecordWriter(store) as w:
+        for i in range(8):
+            pix = rng.randint(0, 255, (1, 6, 6)).astype(np.uint8)
+            w.append(str(i), Datum(channels=1, height=6, width=6,
+                                   data=pix.tobytes(), label=0).encode())
+    net_path = tmp_path / "net.prototxt"
+    net_path.write_text(f"""
+input: "q"
+input_dim: 2 input_dim: 36 input_dim: 1 input_dim: 1
+layers {{ name: "d" type: DATA top: "img" top: "lbl"
+  data_param {{ source: "{store}" batch_size: 2 }} }}
+layers {{ name: "sil" type: SILENCE bottom: "lbl" }}
+layers {{ name: "fl" type: FLATTEN bottom: "img" top: "imgf" }}
+layers {{ name: "fc" type: INNER_PRODUCT bottom: "imgf" top: "h"
+  inner_product_param {{ num_output: 16
+    weight_filler {{ type: "gaussian" std: 0.1 }} }} }}
+layers {{ name: "fcq" type: INNER_PRODUCT bottom: "q" top: "hq"
+  inner_product_param {{ num_output: 16
+    weight_filler {{ type: "xavier" }} }} }}
+layers {{ name: "el" type: ELTWISE bottom: "h" bottom: "hq" top: "out"
+  eltwise_param {{ operation: SUM }} }}
+""")
+    art = str(tmp_path / "mix.vvserve")
+    export_serving(str(net_path), [], ["out"], art, quantize="int8",
+                   calib_batches=3)
+    call, meta = load_serving(art)
+    assert meta["quantize"] == "int8"
+    out = call({"q": rng.randn(2, 36, 1, 1).astype(np.float32),
+                "img": rng.rand(2, 1, 6, 6).astype(np.float32),
+                "lbl": np.zeros(2, np.float32)})
+    assert np.isfinite(np.asarray(out["out"])).all()

@@ -182,7 +182,8 @@ def test_batch_validator_runs_through_data_iter(tmp_path):
             yield {"x": np.zeros((6, 4), np.float32),
                    "vid": np.asarray([1, 1, 1, 2, 2, 2], np.float32)}
 
-    driver = SolverDriver.__new__(SolverDriver)  # _data_iter needs no state
+    driver = SolverDriver.__new__(SolverDriver)  # bypass full build
+    driver._prefetchers = []                     # the one attr _data_iter uses
     it = driver._data_iter(FakeSource(), validators=validators)
     with pytest.raises(ValueError, match="distinct video ids"):
         next(it)

@@ -281,3 +281,36 @@ def test_train_sink_fn_fires_every_iteration():
           train_sink_fn=lambda blobs: seen_host.append(
               float(np.asarray(blobs["xblob"])[0, 0])))
     assert seen_host == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_prefetcher_stop_iteration_repeats_and_close_unblocks(rng):
+    """A finished DevicePrefetcher must raise StopIteration on EVERY
+    subsequent next() (blocking forever on the empty queue hangs the
+    caller), and close() must terminate the worker of an infinite source."""
+    import itertools
+    import time
+    import pytest
+    from videovector_tpu.data.prefetch import DevicePrefetcher
+
+    pf = DevicePrefetcher(iter([{"x": np.ones(2, np.float32)}]), depth=2)
+    assert np.asarray(next(pf)["x"]).sum() == 2.0
+    with pytest.raises(StopIteration):
+        next(pf)
+    with pytest.raises(StopIteration):
+        next(pf)   # must not block
+
+    def infinite():
+        i = 0
+        while True:
+            yield {"x": np.full(2, float(i), np.float32)}
+            i += 1
+
+    pf2 = DevicePrefetcher(infinite(), depth=2)
+    next(pf2)
+    pf2.close()
+    t0 = time.time()
+    assert pf2._thread.join(timeout=5.0) is None
+    assert not pf2._thread.is_alive(), "worker did not terminate on close"
+    assert time.time() - t0 < 5.0
+    with pytest.raises(StopIteration):
+        next(pf2)

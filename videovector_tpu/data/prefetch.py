@@ -56,7 +56,17 @@ class DevicePrefetcher:
                     batch = jax.device_put(batch, self._sharding)
                 else:
                     batch = jax.device_put(batch)
-                self._q.put(batch)
+                # bounded put so close() terminates the thread even when
+                # the consumer never drains (a worker parked forever in
+                # q.put holds device buffers + open DB readers)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                else:
+                    return
                 count += 1
                 if self._max_batches is not None and count >= self._max_batches:
                     break
@@ -69,18 +79,29 @@ class DevicePrefetcher:
         return self
 
     def __next__(self) -> Any:
+        if self._stop.is_set():
+            # closed: the worker may never enqueue again — blocking on the
+            # empty queue would hang the caller forever
+            raise StopIteration
         item = self._q.get()
         if item is self._SENTINEL:
+            self._stop.set()  # exhausted: later __next__ raises immediately
             if self._exc is not None:
-                raise self._exc
+                exc, self._exc = self._exc, None
+                raise exc
             raise StopIteration
         return item
 
     def close(self):
+        """Stop the worker and release its queued device batches. Safe to
+        call any number of times; after close(), iteration raises
+        StopIteration instead of blocking."""
         self._stop.set()
-        # drain so the worker unblocks
+        # release queued device buffers (the worker's bounded put observes
+        # _stop within its timeout and terminates on its own)
         try:
             while True:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        self._thread.join(timeout=5.0)

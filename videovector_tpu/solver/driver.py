@@ -34,6 +34,7 @@ class SolverDriver:
     def __init__(self, solver_msg: Message, *, net_dir: str = "."):
         self._solver_msg = solver_msg
         self._net_dir = net_dir
+        self._prefetchers: list = []  # live DevicePrefetchers (closed per train())
         self.cfg = SolverConfig.from_message(solver_msg)
         # reference visualization/debug knobs (ref solver.cpp:183-193)
         self.snapshot_vis = int(solver_msg.get("snapshot_vis", 0) or 0)
@@ -101,6 +102,11 @@ class SolverDriver:
         self.train_source = self._build_sources(self.train_net, "TRAIN", seed)
         batch0 = self.train_source.next_batch()
         self._first_batch = batch0
+        # the batch consumed here for shape specs is RE-FED as training
+        # iteration 0 (_data_iter first=): the reference trains on the
+        # stream's first batch, so dropping it would shift the whole data
+        # order vs a seeded reference run
+        self._first_batch_raw = batch0
         params, meta = self.train_net.init(
             jax.random.PRNGKey(seed), _spec_from_batch(batch0))
         self.params = params
@@ -125,6 +131,7 @@ class SolverDriver:
 
         self.test_nets = []
         self.test_sources = []
+        self._test_first_batches: list = []
         if self.has_test:
             for i, msg in enumerate(self.test_net_msgs):
                 test_net = Net(msg, phase="TEST")
@@ -136,6 +143,7 @@ class SolverDriver:
                 test_net.init(jax.random.PRNGKey(0), _spec_from_batch(tb))
                 self.test_nets.append(test_net)
                 self.test_sources.append(source)
+                self._test_first_batches.append(tb)
 
         # lr/decay multiplier pytrees
         self.lr_mults = {}
@@ -165,14 +173,19 @@ class SolverDriver:
                 for k, v in batch.items()}
 
     def _data_iter(self, source, sharding=None, validators=None,
-                   transform=None):
+                   transform=None, first=None):
         # background host batching + async H2D (double buffered), the
         # reference's prefetch-thread overlap at the jit boundary.
         # `validators`: host-side batch checks (Net.batch_validators) that
         # must run BEFORE the batch enters the jitted graph — e.g. the
         # video_level_retrieval distinct-id CHECK the traced layer cannot do
         from videovector_tpu.data.prefetch import DevicePrefetcher
+        import itertools
         it = iter(source)
+        if first is not None:
+            # re-feed the batch build() consumed for shape specs (upstream
+            # of validators/transform, which must see it like any other)
+            it = itertools.chain([first], it)
         if validators:
             def _checked(inner):
                 for b in inner:
@@ -187,7 +200,9 @@ class SolverDriver:
                 for b in inner:
                     yield transform(b)
             it = _mapped(it)
-        return iter(DevicePrefetcher(it, depth=2, sharding=sharding))
+        pf = DevicePrefetcher(it, depth=2, sharding=sharding)
+        self._prefetchers.append(pf)
+        return iter(pf)
 
     @staticmethod
     def _batch_shardings(probe_batch, axes, mesh):
@@ -219,9 +234,24 @@ class SolverDriver:
             from videovector_tpu.solver.checkpoint import load_model
             if weights_path.endswith(".vvmodel"):
                 loaded = load_model(weights_path)
+                # copy-not-mutate (a second train() on this driver must
+                # start from the original init), and shape-check like the
+                # NetWeights path — a stale .vvmodel would otherwise fail
+                # later inside jit with an opaque shape error
+                params = {ln: dict(lp) for ln, lp in params.items()}
                 for lname, lp in loaded.items():
-                    if lname in params:
-                        params[lname].update(lp)
+                    if lname not in params:
+                        continue
+                    for pname, arr in lp.items():
+                        tgt = params[lname].get(pname)
+                        if tgt is not None and tuple(arr.shape) != \
+                                tuple(tgt.shape):
+                            raise ValueError(
+                                f"finetune weights {weights_path!r}: layer "
+                                f"{lname!r} param {pname!r} has shape "
+                                f"{tuple(arr.shape)}, net expects "
+                                f"{tuple(tgt.shape)}")
+                        params[lname][pname] = arr
             else:
                 params = load_into_params(NetWeights.load(weights_path), params)
         cfg = self.cfg
@@ -290,8 +320,11 @@ class SolverDriver:
                 return eval_fn
 
             eval_fn = [make_eval(n) for n in self.test_nets]
-            test_iter = [self._data_iter(s, validators=n.batch_validators())
-                         for n, s in zip(self.test_nets, self.test_sources)]
+            test_iter = [self._data_iter(s, validators=n.batch_validators(),
+                                         first=fb)
+                         for n, s, fb in zip(self.test_nets,
+                                             self.test_sources,
+                                             self._test_first_batches)]
 
         hooks = []
         if self.snapshot_vis:
@@ -325,9 +358,12 @@ class SolverDriver:
         rm_transform = (self._transpose_role_major
                         if self.role_major_keys else None)
 
+        train_validators = net.batch_validators()
         if mesh is None:
             data_iter = self._data_iter(self.train_source,
-                                        transform=rm_transform)
+                                        transform=rm_transform,
+                                        validators=train_validators,
+                                        first=self._first_batch_raw)
         else:
             from videovector_tpu.parallel.train import shard_params
             params = shard_params(params, mesh,
@@ -336,6 +372,7 @@ class SolverDriver:
             # — one async H2D per shard, no defaul-device detour
             data_iter = self._data_iter(
                 self.train_source, transform=rm_transform,
+                validators=train_validators, first=self._first_batch_raw,
                 sharding=self._batch_shardings(
                     self._first_batch, src_axes, mesh))
 
@@ -355,7 +392,8 @@ class SolverDriver:
         # fused iter_size/grad_microbatch accumulation (ONE scanned XLA
         # program per step) for stateless nets; stateful nets must thread
         # the LSTM carry between sub-batches on the host
-        return train(loss_fn, params, data_iter, cfg,
+        try:
+            return train(loss_fn, params, data_iter, cfg,
                      lr_mults=self.lr_mults, decay_mults=self.decay_mults,
                      eval_fn=eval_fn, test_data=test_iter,
                      sink_fn=[(lambda blobs, n=tn: n.process_host_sinks(
@@ -372,6 +410,14 @@ class SolverDriver:
                      caffe_export=caffe_export,
                      batch_axes=src_axes,
                      fused_accum=not net.stateful_layer_names)
+        finally:
+            # stop the prefetch threads and release their queued device
+            # batches — over infinite sources they would otherwise live
+            # (holding depth x device buffers + open DB readers) until
+            # process exit, accumulating one per restart/rebuild
+            for pf in self._prefetchers:
+                pf.close()
+            self._prefetchers.clear()
 
     def _first_batch_jnp(self):
         return {k: jnp.asarray(v) for k, v in self._first_batch.items()}

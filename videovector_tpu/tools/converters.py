@@ -33,7 +33,10 @@ def _load_image(path: str, resize_h: int = 0, resize_w: int = 0) -> np.ndarray:
     from PIL import Image
     img = Image.open(path).convert("RGB")
     if resize_h and resize_w:
-        img = img.resize((resize_w, resize_h))
+        # cv::resize's default is INTER_LINEAR (ref:src/caffe/util/
+        # io.cpp:81); Pillow's default is BICUBIC — pixel values would
+        # diverge from a reference-built store
+        img = img.resize((resize_w, resize_h), Image.BILINEAR)
     arr = np.asarray(img, np.uint8)[:, :, ::-1]       # BGR like OpenCV
     return np.ascontiguousarray(arr.transpose(2, 0, 1))  # CHW
 
@@ -69,8 +72,11 @@ def convert_imageset(root: str, list_file: str, out: str, *,
         for i, (path, label) in enumerate(items):
             datum = _image_datum(os.path.join(root, path), label,
                                  resize_h, resize_w)
-            # key = running id + filename (ref convert_imageset key format)
-            w.append(f"{i:08d}_{os.path.basename(path)}", datum.encode())
+            # key = running id + the list file's path AS WRITTEN
+            # (ref convert_imageset.cpp:143-144 uses lines[i].first whole,
+            # nested directories included — basename would mismatch
+            # reference-built stores on any nested entry)
+            w.append(f"{i:08d}_{path}", datum.encode())
             if (i + 1) % 1000 == 0:
                 log.info("Processed %d files.", i + 1)
     return len(items)
@@ -103,16 +109,19 @@ def convert_flexible_imageset(root: str, list_file: str, out: str, *,
     return len(items)
 
 
-def convert_flexible_list(root: str, list_file: str, out: str, *,
-                          key_prefix_len: int = 9) -> int:
-    """Index store for FLEXIBLE_DATA: key = 9-char running id + frame key,
-    value = 4-digit label + frame key (ref flexible_data_layer.cpp:230-235)."""
+def convert_flexible_list(list_file: str, out: str) -> int:
+    """Index store for FLEXIBLE_DATA: key = "%08d_" + the frame path MINUS
+    its 4-char extension, value = the 4-digit label — byte-for-byte the
+    reference's format (ref:tools/convert_flexible_list.cpp:125-140:
+    file_name.substr(0, size-4); the layer re-appends flexible_key_suffix
+    to the stripped base when seeking the frame store,
+    flexible_data_layer.cpp:230-235). No images are read: the reference
+    tool stores only keys and labels."""
     items = read_list(list_file)
     with RecordWriter(out) as w:
         for i, (path, label) in enumerate(items):
-            key = f"{i:0{key_prefix_len}d}{path}"
-            value = f"{label:04d}{path}".encode()
-            w.append(key, value)
+            key = f"{i:08d}_{path[:-4]}"
+            w.append(key, f"{label:04d}".encode())
     return len(items)
 
 
@@ -267,7 +276,6 @@ def main(argv=None) -> int:
     p.add_argument("--range_files", default=None)
 
     p = sub.add_parser("flexible_list")
-    p.add_argument("root")
     p.add_argument("list_file")
     p.add_argument("out")
 
@@ -318,7 +326,7 @@ def main(argv=None) -> int:
                                   resize_w=args.resize_width,
                                   range_files=args.range_files)
     elif args.command == "flexible_list":
-        convert_flexible_list(args.root, args.list_file, args.out)
+        convert_flexible_list(args.list_file, args.out)
     elif args.command == "compute_image_mean":
         compute_image_mean(args.records, args.out)
     elif args.command == "write_mean":

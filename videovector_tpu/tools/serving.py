@@ -103,12 +103,25 @@ def export_serving(model_path: str, weight_paths: list[str],
         if calib_data is not None:
             calib = list(calib_data)
         elif sources:
-            # a fresh source stream supplies the calibration batches
+            # a fresh source stream supplies the calibration batches —
+            # with the SAME skip filter as the export path above (layers
+            # covered by input_shapes, e.g. MEMORY_DATA, have no source
+            # factory) and with the static input blobs merged into every
+            # batch (batches 2+ would otherwise miss declared inputs)
+            covered = set((input_shapes or {}).keys()) \
+                | {str(n) for n in input_names}
+            static = {k: batch0[k] for k in covered if k in batch0}
             src = MergedSource([make_data_source(l, phase="TEST")
                                 for l in net.layers
-                                if l.get("type") in DATA_LAYER_TYPES])
-            calib = [batch0] + [src.next_batch()
-                                for _ in range(max(0, calib_batches - 1))]
+                                if l.get("type") in DATA_LAYER_TYPES
+                                and not all(str(t) in covered
+                                            for t in l.get_list("top"))])
+            calib = [batch0]
+            for _ in range(max(0, calib_batches - 1)):
+                b = dict(static)
+                b.update({k: np.asarray(v)
+                          for k, v in src.next_batch().items()})
+                calib.append(b)
         else:
             raise ValueError(
                 "int8 quantization needs calibration data: the net has no "
