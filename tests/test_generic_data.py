@@ -156,11 +156,28 @@ def test_video_shot_window_source(tmp_path, rng):
             wtr.append(str(i), w.encode())
     src = VideoShotWindowSource(path, batch_size=3, num_negative_samples=2,
                                 max_buffer_size=8, negative_swap_percentage=50)
+    # reference data order: the reservoir seed consumes the MAIN cursor
+    # (video_shot_window_data_layer.cpp:259-341), so training starts at
+    # record max_buffer_size, not at 0
     b = src.next_batch()
     assert b["data"].shape == (3, 1 + 2 + 2, dim)
-    np.testing.assert_allclose(b["data"][1, 0], 1.0)    # target of win 1
-    np.testing.assert_allclose(b["data"][1, 1], 101.0)  # first context
-    np.testing.assert_array_equal(b["video_id"], [0, 1, 2])
+    np.testing.assert_allclose(b["data"][1, 0], 9.0)    # target of win 9
+    np.testing.assert_allclose(b["data"][1, 1], 109.0)  # first context
+    np.testing.assert_array_equal(b["video_id"], [8, 9, 10])
+
+    # a separate negative dataset does NOT consume the main cursor
+    src2 = VideoShotWindowSource(path, batch_size=3, num_negative_samples=2,
+                                 max_buffer_size=8,
+                                 negative_swap_percentage=50,
+                                 negative_path=path)
+    b2 = src2.next_batch()
+    np.testing.assert_array_equal(b2["video_id"], [0, 1, 2])
+
+    # misconfiguration fails at setup, not mid-training in numpy
+    import pytest
+    with pytest.raises(ValueError, match="max_buffer_size"):
+        VideoShotWindowSource(path, batch_size=3, num_negative_samples=4,
+                              max_buffer_size=2)
 
 
 # ---------------------------------------------------------------------------
@@ -324,3 +341,50 @@ def test_hdf5_source_reads_reference_shipped_fixtures(tmp_path):
     b3 = src.next_batch()
     assert b3["data"].shape == (5, 8, 6, 5)
     assert set(np.unique(b3["label"])) <= set(range(1, 11))
+
+
+def test_flexible_source_store_boundary_raises(tmp_path, rng):
+    """A frame window that leaves the store bounds must raise — a
+    Python-wrapped negative index would silently stack the END of the
+    store (another video) into the item. The reference CHECK-fails at
+    the boundary (flexible_data_layer.cpp rewind loop)."""
+    import pytest
+    from videovector_tpu.data.generic import (
+        FlexibleDataConfig, FlexibleDataSource,
+    )
+    from videovector_tpu.data.transformer import TransformConfig
+    frames_path = str(tmp_path / "frames.vvr")
+    with RecordWriter(frames_path) as wtr:
+        for i in range(5):
+            pix = np.full((1, 6, 6), i * 10, np.uint8)
+            wtr.append(f"f{i}.png", Datum(channels=1, height=6, width=6,
+                                          data=pix.tobytes()).encode())
+    index_path = str(tmp_path / "index.vvr")
+    with RecordWriter(index_path) as wtr:
+        wtr.append("123456789f1", b"0007")   # center=1, backward 2 → -1
+    cfg = FlexibleDataConfig(source=index_path, flexible_source=frames_path,
+                             flexible_key_suffix=".png", forward_len=1,
+                             backward_len=2, use_center_datum=True,
+                             batch_size=1)
+    src = FlexibleDataSource(cfg, transform=TransformConfig(crop_size=4))
+    with pytest.raises(ValueError, match="store bounds"):
+        src.next_batch()
+
+
+def test_rand_skip_reference_semantics(tmp_path, rng):
+    """rand_skip draws from [0, rand_skip-1] (caffe_rng_rand() %
+    rand_skip) and must not exceed the dataset size."""
+    import pytest
+    from videovector_tpu.data.generic import DatumRecordSource
+    path = str(tmp_path / "data.vvr")
+    with RecordWriter(path) as wtr:
+        for i in range(6):
+            wtr.append(str(i), Datum(
+                float_data=[float(i)], channels=1, height=1,
+                width=1).encode())
+    for seed in range(20):
+        src = DatumRecordSource(path, batch_size=1, rand_skip=6, seed=seed)
+        assert 0 <= src._cursor < 6      # never == rand_skip
+        src.next_batch()                 # and always readable
+    with pytest.raises(ValueError, match="rand_skip"):
+        DatumRecordSource(path, batch_size=1, rand_skip=7)

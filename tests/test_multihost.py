@@ -99,3 +99,34 @@ def test_device_shard_divisibility(rng):
         # 7 rows over a 4-way data axis
         global_batch_from_device_shards(
             {"data": np.zeros((7, 15, 32), np.float32)}, mesh)
+
+
+def test_host_sharded_source_honors_batch_axes(rng):
+    """Time-major sources declare batch axis 1: the simulate cut and the
+    global assembly must shard THAT axis, not slice trajectories over
+    time."""
+    from videovector_tpu.parallel import make_mesh
+    from videovector_tpu.parallel.multihost import HostShardedSource
+
+    class TimeMajor:
+        def batch_axes(self):
+            return {"obs": 1, "ids": 0}
+
+        def next_batch(self):
+            # (T=3, B=8, D=2): batch rows identifiable by their index
+            obs = np.broadcast_to(np.arange(8, dtype=np.float32)[None, :,
+                                                                 None],
+                                  (3, 8, 2)).copy()
+            return {"obs": obs, "ids": np.arange(8, dtype=np.float32)}
+
+    mesh = make_mesh(data=8, model=1)
+    src = HostShardedSource(TimeMajor(), mesh, simulate=True)
+    assert src.batch_axes() == {"obs": 1, "ids": 0}
+    b = src.next_batch()
+    assert b["obs"].shape == (3, 8, 2)   # global shape intact
+    # each data-axis device holds ONE batch row across all T, not a
+    # time-slice of every row
+    shard = b["obs"].addressable_shards[0]
+    assert shard.data.shape == (3, 1, 2)
+    np.testing.assert_allclose(np.asarray(b["obs"])[0, :, 0],
+                               np.arange(8, dtype=np.float32))

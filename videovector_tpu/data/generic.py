@@ -33,6 +33,18 @@ from videovector_tpu.data.wire import Datum, VideoShotWindow
 # DATA — Datum records
 # ---------------------------------------------------------------------------
 
+def _rand_skip_cursor(rng, rand_skip: int, n: int) -> int:
+    """Reference rand_skip: caffe_rng_rand() % rand_skip, i.e. a skip in
+    [0, rand_skip-1] (data_layer.cpp DataLayerSetUp) — and it must fit the
+    dataset, or the first read would index out of range."""
+    if not rand_skip:
+        return 0
+    if rand_skip > n:
+        raise ValueError(f"rand_skip {rand_skip} exceeds the dataset size "
+                         f"{n} (the reference would walk off the cursor)")
+    return int(rng.randint(rand_skip))
+
+
 class DatumRecordSource:
     """Cyclic reader over Datum records with DataTransformer preprocessing."""
 
@@ -46,7 +58,8 @@ class DatumRecordSource:
         self.mean = mean
         self.train = train
         self.rng = np.random.RandomState(seed)
-        self._cursor = self.rng.randint(rand_skip + 1) if rand_skip else 0
+        self._cursor = _rand_skip_cursor(self.rng, rand_skip,
+                                         len(self.reader))
 
     def next_batch(self) -> dict:
         data, labels = [], []
@@ -102,7 +115,8 @@ class ImageDataSource:
                 self.items.append((os.path.join(root, path), label))
         if cfg.shuffle:
             self.rng.shuffle(self.items)
-        self._cursor = self.rng.randint(cfg.rand_skip + 1) if cfg.rand_skip else 0
+        self._cursor = _rand_skip_cursor(self.rng, cfg.rand_skip,
+                                         len(self.items))
 
     def _load(self, path: str) -> Datum:
         from PIL import Image
@@ -222,7 +236,7 @@ class WindowDataConfig:
     context_pad: int = 0
     crop_size: int = 227
     crop_mode: str = "warp"            # "warp" | "square" (ref :200-202)
-    mirror: bool = True
+    mirror: bool = False               # proto default (caffe.proto mirror)
 
 
 def window_geometry(box, img_w: int, img_h: int, crop_size: int,
@@ -458,6 +472,16 @@ class FlexibleDataSource:
             frames = []
             lo = center - cfg.backward_len
             hi = center + cfg.forward_len
+            if lo < 0 or hi >= len(self.frames):
+                # the reference CHECK-fails at the store boundary
+                # (flexible_data_layer.cpp rewind loop on MDB_PREV) — a
+                # Python-wrapped negative index would silently stack the
+                # END of the store (a different video) into this item
+                raise ValueError(
+                    f"FLEXIBLE_DATA: frame window [{lo}, {hi}] around "
+                    f"{base!r} leaves the store bounds [0, "
+                    f"{len(self.frames) - 1}] (backward_len="
+                    f"{cfg.backward_len}, forward_len={cfg.forward_len})")
             for idx in range(lo, hi + 1):
                 if idx == center and not cfg.use_center_datum:
                     continue
@@ -531,17 +555,35 @@ class VideoShotWindowSource:
         self.channels = 1 + self.context_size + num_negative_samples
         self.reservoir = None
         if num_negative_samples > 0:
+            if max_buffer_size < num_negative_samples:
+                # fail at setup like the reference's reservoir CHECKs —
+                # sampling num_negatives DISTINCT slots from a smaller
+                # (or zero) buffer would crash mid-training with an
+                # opaque numpy error
+                raise ValueError(
+                    f"num_negative_samples={num_negative_samples} needs "
+                    f"max_buffer_size >= that (got {max_buffer_size})")
             self.reservoir = NegativeReservoir(
                 max_buffer_size, self.feature_dim, negative_swap_percentage,
                 self.rng)
-            self._fill_reservoir(negative_path or path)
+            self._fill_reservoir(negative_path)
 
-    def _fill_reservoir(self, path: str):
-        reader = open_store(path) if path else self.reader
+    def _fill_reservoir(self, negative_path: str | None):
+        """Seed the buffer. Without a separate negative dataset the
+        reference consumes the MAIN cursor (video_shot_window_data_layer
+        .cpp:259-341): training then starts AFTER the seed windows, not at
+        record 0 — re-emitting them as targets while they sit in the
+        buffer would change both the data order and the negative
+        co-occurrence vs a reference run."""
+        separate = negative_path is not None
+        reader = open_store(negative_path) if separate else self.reader
         added = 0
         i = 0
         while added < self.reservoir.max_size:
-            w = VideoShotWindow.decode(bytes(reader.value(i % len(reader))))
+            pos = (i % len(reader)) if separate else self._cursor
+            w = VideoShotWindow.decode(bytes(reader.value(pos)))
+            if not separate:
+                self._cursor = (self._cursor + 1) % len(self.reader)
             key = f"{w.video_id}:{w.shot_id}"
             if key not in self.reservoir.key_set:
                 self.reservoir.buffer[added] = np.asarray(
@@ -560,6 +602,14 @@ class VideoShotWindowSource:
         for item in range(b):
             w = VideoShotWindow.decode(bytes(self.reader.value(self._cursor)))
             self._cursor = (self._cursor + 1) % len(self.reader)
+            if len(w.context_shot_words) != self.context_size:
+                # heterogeneous windows would silently truncate (the
+                # negatives slice overwrites the extras) or IndexError
+                # mid-epoch; the layout is sized from the first record
+                raise ValueError(
+                    f"VideoShotWindow {w.video_id}:{w.shot_id} has "
+                    f"{len(w.context_shot_words)} contexts; this store's "
+                    f"layout was sized at {self.context_size}")
             data[item, 0] = np.asarray(w.target_shot_word.float_data, np.float32)
             for c, d in enumerate(w.context_shot_words):
                 data[item, 1 + c] = np.asarray(d.float_data, np.float32)

@@ -84,7 +84,9 @@ class RetrievalPipeline:
     def build_gallery(self, params, frame_batches, video_ids_per_batch, *,
                       jit: bool = True):
         """Average frame embeddings per video → (num_videos, E) unit gallery.
-        frame_batches: iterable of ((pixels, h, w, m), video_ids)."""
+        frame_batches: iterable of (pixels, h_off, w_off, mirror) tuples;
+        video_ids_per_batch: the matching iterable of per-batch id arrays
+        (zipped positionally with frame_batches)."""
         fn = jax.jit(self.embed_frames) if jit else self.embed_frames
         sums: dict[int, np.ndarray] = {}
         counts: dict[int, int] = {}

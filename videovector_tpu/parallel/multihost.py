@@ -32,8 +32,10 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+def _data_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
+    spec = [None] * ndim
+    spec[axis] = "data"
+    return NamedSharding(mesh, P(*spec))
 
 
 def host_shard_range(global_batch: int, mesh: Mesh) -> tuple[int, int]:
@@ -51,16 +53,24 @@ def host_shard_range(global_batch: int, mesh: Mesh) -> tuple[int, int]:
     return idx * per, (idx + 1) * per
 
 
-def global_batch_from_local(batch: dict, mesh: Mesh) -> dict:
+def global_batch_from_local(batch: dict, mesh: Mesh,
+                            axes: dict | None = None) -> dict:
     """Per-host batch shards → global jax.Arrays sharded P("data", ...).
 
     `batch` holds THIS process's rows only (host_shard_range sized); the
-    result behaves exactly like shard_batch() of the full global batch."""
-    def place(leaf):
+    result behaves exactly like shard_batch() of the full global batch.
+    `axes` maps batch keys to their BATCH axis (default 0) — time-major
+    sources (tracking: (T, B, ...)) declare 1 via source.batch_axes(),
+    same contract as parallel.train.shard_batch; hardcoding axis 0 would
+    shard trajectories over TIME."""
+    axes = axes or {}
+
+    def place(key, leaf):
         leaf = np.asarray(leaf)
+        ax = axes.get(key, 0)
         return jax.make_array_from_process_local_data(
-            _data_sharding(mesh, leaf.ndim), leaf)
-    return jax.tree.map(place, batch)
+            _data_sharding(mesh, leaf.ndim, ax), leaf)
+    return {k: place(k, v) for k, v in batch.items()}
 
 
 def global_batch_from_device_shards(batch: dict, mesh: Mesh) -> dict:
@@ -106,16 +116,26 @@ class HostShardedSource:
         self.source = source
         self.mesh = mesh
         self.simulate = simulate
+        # batch-axis declarations ride through from the wrapped source
+        # (time-major tracking batches are (T, B, ...): slicing/sharding
+        # axis 0 would cut TIME, not the batch)
+        self.axes = dict(source.batch_axes())             if hasattr(source, "batch_axes") else {}
+
+    def batch_axes(self) -> dict:
+        return dict(self.axes)
 
     def next_batch(self) -> dict:
         batch = self.source.next_batch()
         if self.simulate:
-            def cut(leaf):
+            def cut(key, leaf):
                 leaf = np.asarray(leaf)
-                lo, hi = host_shard_range(leaf.shape[0], self.mesh)
-                return leaf[lo:hi]
-            batch = jax.tree.map(cut, batch)
-        return global_batch_from_local(batch, self.mesh)
+                ax = self.axes.get(key, 0)
+                lo, hi = host_shard_range(leaf.shape[ax], self.mesh)
+                idx = [slice(None)] * leaf.ndim
+                idx[ax] = slice(lo, hi)
+                return leaf[tuple(idx)]
+            batch = {k: cut(k, v) for k, v in batch.items()}
+        return global_batch_from_local(batch, self.mesh, self.axes)
 
     def __iter__(self):
         while True:

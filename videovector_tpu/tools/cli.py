@@ -162,7 +162,8 @@ def cmd_test(args) -> int:
     sources = [make_data_source(l, phase="TEST")
                for l in net.layers if l.get("type") in DATA_LAYER_TYPES]
     source = MergedSource(sources)
-    batch0 = {k: jnp.asarray(v) for k, v in source.next_batch().items()}
+    batch0_raw = source.next_batch()
+    batch0 = {k: jnp.asarray(v) for k, v in batch0_raw.items()}
     params, _ = net.init(jax.random.PRNGKey(0), {
         k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
         for k, v in batch0.items()})
@@ -186,16 +187,21 @@ def cmd_test(args) -> int:
         p, b, state=st, return_state=stateful, return_sink_blobs=sinks))
     validators = net.batch_validators()  # host-side twins of jit-opaque
     # CHECKs (video_level_retrieval id-count, retrieval_stats_layer.cpp:188)
-    sums: dict[str, float] = {}
+    sums: dict[str, np.ndarray] = {}
     loss_sum = 0.0
     carry = None  # LSTM cross-batch state carries across test forwards
     # exactly as in the reference (ref lstm_layer.cpp:171-173,261-264 —
     # `caffe test` reuses one net, so prev_cell_ persists between batches)
     for i in range(args.iterations):
-        batch = batch0 if i == 0 else place_batch({
-            k: jnp.asarray(v) for k, v in source.next_batch().items()})
+        raw = batch0_raw if i == 0 else source.next_batch()
+        # validators run on the HOST batch before device placement (their
+        # contract): on a sharded mesh batch, np.asarray inside a check
+        # would pay a D2H fetch per iteration — or raise outright on a
+        # non-fully-addressable multi-host array
         for v in validators:
-            v(batch)
+            v(raw)
+        batch = batch0 if i == 0 else place_batch(
+            {k: jnp.asarray(x) for k, x in raw.items()})
         res = apply_fn(params, batch, carry)
         loss, outputs = res[0], res[1]
         rest = list(res[2:])
@@ -210,12 +216,16 @@ def cmd_test(args) -> int:
                 shard_gallery=bool(getattr(args, "shard_gallery", False)))
         loss_sum += float(loss)
         for k, v in outputs.items():
-            if getattr(v, "size", 2) == 1:
-                sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
+            arr = np.asarray(v).reshape(-1)
+            sums[k] = (sums[k] + arr) if k in sums else arr.copy()
         log.info("Batch %d, loss = %g", i, float(loss))
     log.info("Loss: %g", loss_sum / args.iterations)
+    # every ELEMENT of every output blob gets its per-iteration mean, one
+    # line per element with the blob's name — the reference's report loop
+    # (ref:tools/caffe.cpp:155-186); size-1 blobs print one line as before
     for k, v in sorted(sums.items()):
-        log.info("%s = %g", k, v / args.iterations)
+        for x in v / args.iterations:
+            log.info("%s = %g", k, x)
     return 0
 
 
