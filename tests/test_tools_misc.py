@@ -3,6 +3,9 @@ depend on the line shape)."""
 
 import logging
 import re
+import os
+
+import numpy as np
 
 from videovector_tpu.tools.upgrade_net_proto import main as upgrade_main
 from videovector_tpu.utils.logging import GlogFormatter
@@ -113,3 +116,53 @@ def test_device_query_cli_watch_flag():
     from videovector_tpu.tools.cli import main
     assert main(["device_query", "--watch", "--interval", "0.01",
                  "--count", "1"]) == 0
+
+
+def test_parity_disjoint_dumps_fail(rng):
+    """Dumps with no common blobs (or any one-sided blob) must FAIL —
+    comparing nothing used to print PARITY: PASS and exit 0."""
+    from videovector_tpu.tools.parity import compare
+    x = rng.randn(2, 3).astype(np.float32)
+    rows, ok, missing = compare({"a": x}, {"b": x})
+    assert not ok and missing == ["a", "b"] and rows == []
+    rows, ok, missing = compare({"a": x, "c": x}, {"a": x})
+    assert not ok and missing == ["c"]
+    rows, ok, missing = compare({"a": x}, {"a": x.copy()})
+    assert ok and not missing
+
+
+def test_extract_features_includes_first_batch(tmp_path, rng):
+    """The batch consumed for shape inference must be re-fed: output row 0
+    is the dataset's record 0 (the old stream skipped the whole first
+    batch, shifting every row vs the reference). Also: unknown blob names
+    fail BEFORE any store is created."""
+    import pytest
+    from videovector_tpu.data.records import RecordReader, RecordWriter
+    from videovector_tpu.data.wire import Datum
+    from videovector_tpu.tools.extract_features import extract
+
+    store = str(tmp_path / "in.vvr")
+    with RecordWriter(store) as w:
+        for i in range(8):
+            pix = np.full((1, 4, 4), i * 7 % 250, np.uint8)
+            w.append(str(i), Datum(channels=1, height=4, width=4,
+                                   data=pix.tobytes(), label=i).encode())
+    net = tmp_path / "net.prototxt"
+    net.write_text(f"""
+layers {{ name: "d" type: DATA top: "img" top: "lbl"
+  data_param {{ source: "{store}" batch_size: 2 }} }}
+layers {{ name: "sil" type: SILENCE bottom: "lbl" }}
+layers {{ name: "fl" type: FLATTEN bottom: "img" top: "flat" }}
+""")
+    out = str(tmp_path / "feats")
+    counts = extract(str(net), [], ["flat"], out, 2)
+    assert counts["flat"] == 4
+    r = RecordReader(out + "_flat.vvr")
+    row0 = np.asarray(Datum.decode(bytes(r.value(0))).float_data)
+    np.testing.assert_allclose(row0, 0.0)        # record 0, pixels all 0
+    row2 = np.asarray(Datum.decode(bytes(r.value(2))).float_data)
+    np.testing.assert_allclose(row2, 14.0)       # record 2, pixels 2*7
+
+    with pytest.raises(ValueError, match="Unknown feature blob"):
+        extract(str(net), [], ["nope"], str(tmp_path / "x"), 1)
+    assert not os.path.exists(str(tmp_path / "x") + "_nope.vvr")

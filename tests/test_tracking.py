@@ -159,3 +159,69 @@ def test_social_pooling_graph_layer(rng):
              "rel": jnp.ones((1, 4, 4, 1), jnp.float32)}
     _, blobs = net.apply(params, batch, return_blobs=True)
     assert blobs["pooled"].shape == (1, 4, 8, 1)
+
+
+def test_tracking_max_number_positions_rolling_cap(rng):
+    """Reference max_number_positions is a ROLLING cap: every max-th
+    emitted track skips the remainder of the current window
+    (tracking_windows_data_layer.cpp:393-400). Windows of 3 tracks with
+    cap 2: emits tracks (w0:0, w0:1), skips w0:2, (w1:0, w1:1), ..."""
+    windows = []
+    for wi in range(4):
+        tracks = [TrackPositions(id=wi * 10 + t,
+                                 x=[float(wi * 10 + t)] * 6,
+                                 y=[0.0] * 6, cl=0)
+                  for t in range(3)]
+        windows.append(TrackingWindow(observed_time=list(range(4)),
+                                      prediction_time=[4, 5],
+                                      scene_id=wi, track_positions=tracks))
+    ds = TrackingWindowDataset(windows)
+    cfg = TrackingConfig(batch_size=6, temporal_observed_size=4,
+                         temporal_predicted_size=2,
+                         max_number_positions=2, output_scene_ids=True)
+    src = TrackingWindowsSource(ds, cfg)
+    b = src.next_batch()
+    # track ids emitted: 0,1 (skip 2), 10,11 (skip 12), 20,21
+    np.testing.assert_array_equal(b["scene_ids"], [0, 1, 10, 11, 20, 21])
+
+
+def test_tracking_all_empty_windows_raises():
+    """Every window with zero tracks must raise, not spin forever."""
+    import pytest
+    windows = [TrackingWindow(observed_time=[0, 1], prediction_time=[2],
+                              scene_id=i, track_positions=[])
+               for i in range(3)]
+    ds = TrackingWindowDataset(windows)
+    cfg = TrackingConfig(batch_size=2, temporal_observed_size=2,
+                         temporal_predicted_size=1)
+    src = TrackingWindowsSource(ds, cfg)
+    with pytest.raises(ValueError, match="track_positions"):
+        src.next_batch()
+
+
+def test_social_source_oversized_scenes(rng):
+    """Scenes larger than the batch are skipped indefinitely (not capped
+    by a total-attempts counter that shipped mostly-padded batches), and
+    an all-oversized dataset raises."""
+    import pytest
+
+    def scene(wi, k):
+        tracks = [TrackPositions(id=wi * 100 + t, x=[float(t)] * 6,
+                                 y=[0.0] * 6, cl=0) for t in range(k)]
+        return TrackingWindow(observed_time=list(range(4)),
+                              prediction_time=[4, 5], scene_id=wi,
+                              track_positions=tracks)
+
+    # many oversized scenes + one fitting scene: the batch must still fill
+    windows = [scene(i, 9) for i in range(20)] + [scene(99, 2)]
+    ds = TrackingWindowDataset(windows)
+    cfg = TrackingConfig(batch_size=4, temporal_observed_size=4,
+                         temporal_predicted_size=2)
+    src = TrackingWindowsSocialSource(ds, cfg)
+    b = src.next_batch()
+    assert b["is_valid"].sum() == 4   # 2 passes over the fitting scene
+
+    all_big = TrackingWindowDataset([scene(i, 9) for i in range(5)])
+    src2 = TrackingWindowsSocialSource(all_big, cfg)
+    with pytest.raises(ValueError, match="fits batch_size"):
+        src2.next_batch()

@@ -8,9 +8,12 @@ updates it inside the jitted train step:
 
   * the host sends only (B, C, D) target+context features,
   * negatives are gathered from the device reservoir with jax.random,
-  * the reservoir is refreshed by swapping current batch targets in with the
-    reference's swap probability (statistical twin of AddToBuffer — key-dedup
-    is dropped, a measure-zero difference at corpus scale).
+  * the reservoir is refreshed by swapping in every batch row (target AND
+    context channels — the host path offers all shots of each consumed
+    video) with the reference's swap probability (statistical twin of
+    AddToBuffer — key-dedup is dropped, a measure-zero difference at
+    corpus scale; shots the sampler never put in a batch also never
+    enter the reservoir, a second, small divergence).
 
 H2D traffic for the flagship shape drops from 128·15·4096·4 = 31.5 MB to
 128·5·4096·4 = 10.5 MB per step.
@@ -79,6 +82,11 @@ def train_batch_with_device_negatives(reservoir: DeviceReservoir, rng,
     k_sample, k_update = jax.random.split(rng)
     negs = sample_negatives(reservoir, k_sample, b, num_negatives)
     batch = jnp.concatenate([host_part, negs], axis=1)
-    # offer the batch's targets (channel 0) back to the reservoir
-    reservoir = update_reservoir(reservoir, k_update, host_part[:, 0])
+    # offer EVERY host channel (target + contexts) back to the reservoir —
+    # the host/reference path offers all shots of each consumed video
+    # (ref :885-905); offering only channel 0 would bias the reservoir
+    # toward target-position shots over training
+    d = host_part.shape[-1]
+    reservoir = update_reservoir(reservoir, k_update,
+                                 host_part.reshape(-1, d))
     return batch, reservoir

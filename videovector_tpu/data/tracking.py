@@ -71,6 +71,7 @@ class _BaseTrackingSource:
         self.feature_size = feat
         self._win_idx = 0
         self._track_idx = 0
+        self._num_positions = 0  # rolling max_number_positions counter
 
     def _emit_track(self, tp, out0, out2, labels, scenes, item):
         cfg = self.cfg
@@ -122,16 +123,32 @@ class TrackingWindowsSource(_BaseTrackingSource):
         labels = np.zeros((t_pred, b, 2), np.float32) if cfg.output_labels else None
         scenes = np.zeros((b,), np.float32) if cfg.output_scene_ids else None
         emitted = 0
+        skipped = 0  # full pass with zero emits → error, not a hang
         while emitted < b:
             win = self.dataset.windows[self._win_idx]
             if self._track_idx >= len(win.track_positions):
                 self._win_idx = (self._win_idx + 1) % len(self.dataset.windows)
                 self._track_idx = 0
+                skipped += 1
+                if skipped > len(self.dataset.windows):
+                    raise ValueError(
+                        "no TrackingWindow in the dataset has any "
+                        "track_positions — the source can never emit")
                 continue
+            skipped = 0
             tp = win.track_positions[self._track_idx]
             self._track_idx += 1
             self._emit_track(tp, out0, out2, labels, scenes, emitted)
             emitted += 1
+            # reference max_number_positions: a ROLLING cap — every
+            # max-th emitted track skips the remainder of the current
+            # window (num_positions_ resets only on hitting the cap,
+            # ref tracking_windows_data_layer.cpp:393-400)
+            if cfg.max_number_positions > 0:
+                self._num_positions += 1
+                if self._num_positions >= cfg.max_number_positions:
+                    self._num_positions = 0
+                    self._track_idx = len(win.track_positions)
         cont_obs = np.ones((t_obs, b), np.float32)
         cont_obs[0] = 0.0
         cont_pred = np.ones((t_pred, b), np.float32)
@@ -151,9 +168,12 @@ class TrackingWindowsSocialSource(_BaseTrackingSource):
     # time-major sequence tops shard on axis 1; per-agent tops on axis 0.
     # relations is (B, B): splitting rows is a layout choice only — social
     # pooling couples all agents, so GSPMD inserts the gather it needs.
+    # cont_* are emitted for engine variants that thread LSTM cont bits
+    # (the reference social layer has no cont tops) — declared here so an
+    # axes.get(k, 0) consumer doesn't shard their TIME axis.
     batch_axes = {"observed": 1, "mean_pos": 0, "predicted": 1,
                   "relations": 0, "is_valid": 0, "labels": 1,
-                  "scene_ids": 0}
+                  "scene_ids": 0, "cont_observed": 1, "cont_predicted": 1}
 
     def next_batch(self) -> dict:
         cfg = self.cfg
@@ -169,14 +189,23 @@ class TrackingWindowsSocialSource(_BaseTrackingSource):
 
         item = 0
         windows = self.dataset.windows
-        attempts = 0
-        while item < b and attempts < 2 * len(windows) + b:
-            attempts += 1
+        skipped = 0  # consecutive never-fit scenes; a full pass of them
+        # must not spin forever (the old total-attempts cap shipped
+        # mostly-padded batches when oversized scenes dominated)
+        while item < b:
             win = windows[self._win_idx]
             k = len(win.track_positions)
-            if k > b:          # scene can never fit (ref social :258)
+            if k > b or k == 0:   # scene can never fit (ref social :258)
                 self._win_idx = (self._win_idx + 1) % len(windows)
+                skipped += 1
+                if skipped >= len(windows):
+                    if item == 0:
+                        raise ValueError(
+                            f"no scene fits batch_size={b} (every window "
+                            f"has 0 or > {b} tracks)")
+                    break      # only unusable scenes remain → pad
                 continue
+            skipped = 0
             if k > b - item:   # doesn't fit in the remaining slots → pad
                 break
             # neighbor block: rows item..item+k-1 connected, zero diagonal

@@ -24,11 +24,18 @@ log = get_logger(__name__)
 
 def _write_blob(path: str, arr: np.ndarray) -> None:
     arr = np.asarray(arr, np.float32)
-    shaped = arr.reshape((1,) * (4 - arr.ndim) + arr.shape) if arr.ndim < 4 \
-        else arr
+    if arr.ndim > 4:
+        # BlobProto is 4-D (the reference Blob); silently writing only
+        # slice [0] would make parity diffs pass on data they never saw.
+        # The full array is always in activations.npz — skip the .blob
+        # loudly instead of truncating it.
+        log.warning("%s: %d-D activation does not fit a 4-D BlobProto — "
+                    "skipped (full array is in activations.npz)",
+                    path, arr.ndim)
+        return
+    shaped = arr.reshape((1,) * (4 - arr.ndim) + arr.shape)
     with open(path, "wb") as f:
-        f.write(BlobProto.from_array(shaped[0] if shaped.ndim == 5 else
-                                     shaped).encode())
+        f.write(BlobProto.from_array(shaped).encode())
 
 
 def dump_network(model_path: str, out_dir: str, *,

@@ -41,12 +41,25 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
     sources = [make_data_source(l, phase="TEST")
                for l in net.layers if l.get("type") in DATA_LAYER_TYPES]
     source = MergedSource(sources)
-    batch0 = {k: jnp.asarray(v) for k, v in source.next_batch().items()}
+    batch0_raw = source.next_batch()
+    batch0 = {k: jnp.asarray(v) for k, v in batch0_raw.items()}
     params, _ = net.init(jax.random.PRNGKey(0), {
         k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
         for k, v in batch0.items()})
     for wp in weight_paths:
         params = _load_weights(wp, params)
+
+    # reference CHECK: every requested blob must exist BEFORE any output
+    # store is created (extract_features.cpp:113-118) — a typo'd name
+    # used to KeyError mid-run, leaving partial databases on disk
+    known = set(batch0) | {str(t) for l in net.layers
+                           for t in l.get_list("top")}
+    missing = [n for n in blob_names if n not in known]
+    if missing:
+        raise ValueError(
+            f"Unknown feature blob name(s) {missing} in the net "
+            f"(ref CHECK has_blob, extract_features.cpp:113-118); "
+            f"available: {sorted(known)}")
 
     batch_sharding = None
     if mesh is not None:
@@ -70,7 +83,13 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
     # background host batching + async H2D, overlapping the forward pass
     # (the reference's prefetch-thread pattern, base_data_layer.cpp:52-95)
     from videovector_tpu.data.prefetch import DevicePrefetcher
-    prefetcher = DevicePrefetcher(iter(source), depth=2,
+    import itertools
+    # the batch consumed for shape inference is RE-FED as extraction
+    # batch 0 — the source's cursor already advanced, so iterating it
+    # fresh would skip the dataset's first batch and shift every output
+    # row vs the reference
+    stream = itertools.chain([batch0_raw], iter(source))
+    prefetcher = DevicePrefetcher(stream, depth=2,
                                   sharding=batch_sharding,
                                   max_batches=num_batches)
 
@@ -124,7 +143,7 @@ def extract(model_path: str, weight_paths: list[str], blob_names: list[str],
                     writers[name].put(key, datum.encode())
                     counts[name] += 1
             log.info("Extracted features of %d query images for blobs %s",
-                     sum(counts.values()), ",".join(blob_names))
+                     counts[blob_names[0]], ",".join(blob_names))
     finally:
         for w in writers.values():
             w.close()

@@ -64,6 +64,10 @@ def compare(a: dict, b: dict, *, rtol: float = 1e-4, atol: float = 1e-5):
         ok &= passed
         rows.append((name, x.shape, y.shape, max_abs, max_rel, passed))
     missing = sorted(set(a) ^ set(b))
+    # blobs in only one dump are a FAILURE, not a footnote: disjoint dumps
+    # (e.g. mismatched blob naming) used to compare nothing and PASS
+    if missing or not rows:
+        ok = False
     return rows, ok, missing
 
 
