@@ -107,6 +107,14 @@ def test_retrieval_eval_gallery_sharded(tmp_path, rng):
             exclude_same_video_shots=excl, mesh=mesh, shard_gallery=True)
         for k in single:
             assert float(single[k]) == float(sharded[k]), (excl, k)
+    # a HOST (numpy) gallery takes the no-single-device-commit path
+    # (_shard_gallery device_puts it directly with the sharding)
+    host = retrieval_stats_chunked(feats, vids, cls, query_chunk=64,
+                                   mesh=mesh, shard_gallery=True)
+    for k in host:
+        assert float(host[k]) == float(retrieval_stats_chunked(
+            jnp.asarray(feats), vids, cls, query_chunk=64,
+            method="count")[k]), k
     p1 = str(tmp_path / "single.csv")
     p2 = str(tmp_path / "gshard.csv")
     agg1 = retrieval_stats_report(feats, vids, cls, p1, method="count")

@@ -881,7 +881,7 @@ class LevelDbWriter:
         for name in os.listdir(path):
             if (name in ("CURRENT", "LOCK", "LOG", "LOG.old")
                     or re.fullmatch(
-                        r"MANIFEST-\d+|\d{6}\.(log|ldb|sst|tmp)", name)):
+                        r"MANIFEST-\d+|\d{6,}\.(log|ldb|sst|tmp)", name)):
                 os.unlink(os.path.join(path, name))
 
     def _emit(self, key: bytes, seq: int, value: bytes) -> None:

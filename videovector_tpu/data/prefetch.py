@@ -105,3 +105,11 @@ class DevicePrefetcher:
         except queue.Empty:
             pass
         self._thread.join(timeout=5.0)
+        # a worker already past its stop-check may have completed one
+        # last put after the drain above — release that batch too now
+        # that the thread is gone
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass

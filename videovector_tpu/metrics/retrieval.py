@@ -721,18 +721,29 @@ def _gshard_scan(mesh, impl, n_total, exclude, n_out: int):
 
 def _shard_gallery(mesh, feats, vids_np):
     """Pad the gallery to a multiple of the data axis and device_put it
-    sharded on axis 0 — from host memory this is the path that never
-    materializes the full gallery on any single device."""
+    sharded on axis 0. A HOST (numpy) gallery is padded in host RAM and
+    device_put directly with the sharding — the full array never lands on
+    any single device, which is the whole point of shard_gallery (callers
+    must NOT jnp.asarray the gallery first: that commits N·D to the
+    default device before the sharded put). A device-resident input is
+    resharded (its single-device footprint was the caller's choice)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
     ndev = mesh.shape["data"]
     n = feats.shape[0]
     ns = -(-n // ndev)
     pad = ns * ndev - n
+    if isinstance(feats, jax.Array):
+        if pad:
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((pad,) + tuple(feats.shape[1:]),
+                                  feats.dtype)])
+    else:
+        feats = np.asarray(feats)
+        if pad:
+            feats = np.concatenate(
+                [feats, np.zeros((pad,) + tuple(feats.shape[1:]),
+                                 feats.dtype)])
     if pad:
-        feats = jnp.concatenate(
-            [jnp.asarray(feats),
-             jnp.zeros((pad,) + tuple(feats.shape[1:]),
-                       jnp.asarray(feats).dtype)])
         vids_np = np.concatenate([vids_np, np.full(pad, -1, np.int32)])
     feats_sh = jax.device_put(
         feats, NamedSharding(mesh, P("data", *([None] * (feats.ndim - 1)))))
@@ -787,7 +798,6 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
 
     Returns dict(mean_ap, hit_at_1, hit_at_5) of f32 scalars.
     """
-    feats = jnp.asarray(features)
     # device ids are int32 (x64 is off; the dense path truncates the same
     # way via jnp.asarray) — reject out-of-range ids instead of silently
     # aliasing distinct videos/classes mod 2^32
@@ -800,12 +810,13 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
                              f"before retrieval eval")
     vids_np = np.asarray(video_ids).reshape(-1).astype(np.int32)
     cls_np = np.asarray(class_ids).reshape(-1).astype(np.int32)
-    vids = jnp.asarray(vids_np)
-    cls = jnp.asarray(cls_np)
-    n = feats.shape[0]
+    n = features.shape[0]
     q_chunk = min(query_chunk, n)
 
     if shard_gallery:
+        # NOTE: no jnp.asarray(features) on this path — that would commit
+        # the full N·D gallery to the default device before the sharded
+        # put, defeating the memory claim (see _shard_gallery)
         if mesh is None:
             raise ValueError("shard_gallery=True requires mesh=")
         if method not in ("auto", "count"):
@@ -823,7 +834,7 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
         rows_np = np.concatenate([row_of_query,
                                   np.full(npad, table.shape[0] - 1,
                                           np.int32)])
-        feats_sh, vids_sh = _shard_gallery(mesh, feats, vids_np)
+        feats_sh, vids_sh = _shard_gallery(mesh, features, vids_np)
         parts = _gshard_scan(mesh, _scan_partials_gshard_impl, n,
                              exclude_same_video_shots, 1)(
             feats_sh, vids_sh, table_j,
@@ -840,6 +851,9 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
             "hit_at_5": jnp.float32(sums[2] / denom),
         }
 
+    feats = jnp.asarray(features)
+    vids = jnp.asarray(vids_np)
+    cls = jnp.asarray(cls_np)
     if method == "auto":
         table, row_of_query = _class_member_table(cls_np)
         # count wins on TPU unless the class structure is degenerate
@@ -924,9 +938,15 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     shards the GALLERY rows instead so per-device memory is N·D/ndev,
     with an exact distributed top-5 merge (see
     _scan_report_gshard_impl) — identical csv bytes."""
-    feats_j = jnp.asarray(features)
-    if feats_j.dtype != jnp.float32:
-        feats_j = feats_j.astype(jnp.float32)
+    if shard_gallery and not isinstance(features, jax.Array):
+        # host gallery: cast in host RAM and let _shard_gallery device_put
+        # it SHARDED — jnp.asarray here would commit the full N·D array to
+        # the default device first, defeating shard_gallery's memory claim
+        feats_j = np.asarray(features, np.float32)
+    else:
+        feats_j = jnp.asarray(features)
+        if feats_j.dtype != jnp.float32:
+            feats_j = feats_j.astype(jnp.float32)
     vids64 = np.asarray(video_ids).astype(np.int64).reshape(-1)
     cls64 = np.asarray(class_ids).astype(np.int64).reshape(-1)
     n = feats_j.shape[0]

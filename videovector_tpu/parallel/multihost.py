@@ -65,12 +65,13 @@ def global_batch_from_local(batch: dict, mesh: Mesh,
     shard trajectories over TIME."""
     axes = axes or {}
 
-    def place(key, leaf):
+    def place(leaf, ax):
         leaf = np.asarray(leaf)
-        ax = axes.get(key, 0)
         return jax.make_array_from_process_local_data(
             _data_sharding(mesh, leaf.ndim, ax), leaf)
-    return {k: place(k, v) for k, v in batch.items()}
+    # per-top axis, nested pytrees under each top still supported
+    return {k: jax.tree.map(lambda l, a=axes.get(k, 0): place(l, a), v)
+            for k, v in batch.items()}
 
 
 def global_batch_from_device_shards(batch: dict, mesh: Mesh) -> dict:
@@ -127,14 +128,15 @@ class HostShardedSource:
     def next_batch(self) -> dict:
         batch = self.source.next_batch()
         if self.simulate:
-            def cut(key, leaf):
+            def cut(leaf, ax):
                 leaf = np.asarray(leaf)
-                ax = self.axes.get(key, 0)
                 lo, hi = host_shard_range(leaf.shape[ax], self.mesh)
                 idx = [slice(None)] * leaf.ndim
                 idx[ax] = slice(lo, hi)
                 return leaf[tuple(idx)]
-            batch = {k: cut(k, v) for k, v in batch.items()}
+            batch = {k: jax.tree.map(
+                lambda l, a=self.axes.get(k, 0): cut(l, a), v)
+                for k, v in batch.items()}
         return global_batch_from_local(batch, self.mesh, self.axes)
 
     def __iter__(self):

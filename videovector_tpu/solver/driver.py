@@ -103,9 +103,11 @@ class SolverDriver:
         batch0 = self.train_source.next_batch()
         self._first_batch = batch0
         # the batch consumed here for shape specs is RE-FED as training
-        # iteration 0 (_data_iter first=): the reference trains on the
-        # stream's first batch, so dropping it would shift the whole data
-        # order vs a seeded reference run
+        # iteration 0 (_data_iter first=). NOT redundant with
+        # _first_batch: under role_major_data, _first_batch is rebound to
+        # the TRANSPOSED view (for shape specs/vis) while the re-fed copy
+        # must stay raw — the data iter's transform transposes it like
+        # any other stream batch
         self._first_batch_raw = batch0
         params, meta = self.train_net.init(
             jax.random.PRNGKey(seed), _spec_from_batch(batch0))
@@ -244,8 +246,16 @@ class SolverDriver:
                         continue
                     for pname, arr in lp.items():
                         tgt = params[lname].get(pname)
-                        if tgt is not None and tuple(arr.shape) != \
-                                tuple(tgt.shape):
+                        if tgt is None:
+                            # injecting a param init never produced would
+                            # desync the pytree from lr_mults/decay_mults
+                            # and fail later as a tree-structure error
+                            raise ValueError(
+                                f"finetune weights {weights_path!r}: layer "
+                                f"{lname!r} has param {pname!r} the net "
+                                f"does not (e.g. a bias for a "
+                                f"bias_term:false layer)")
+                        if tuple(arr.shape) != tuple(tgt.shape):
                             raise ValueError(
                                 f"finetune weights {weights_path!r}: layer "
                                 f"{lname!r} param {pname!r} has shape "
