@@ -142,3 +142,41 @@ def test_mvn(rng):
     arr = np.asarray(y)
     np.testing.assert_allclose(arr.mean(axis=(2, 3)), 0.0, atol=1e-5)
     np.testing.assert_allclose(arr.std(axis=(2, 3)), 1.0, atol=1e-3)
+
+
+def test_id_lookup_out_of_range_is_loud(rng):
+    """Out-of-range ids fill with NaN (the loud analogue of the
+    reference's bounds CHECK) instead of silently clamping to the last
+    table row and corrupting its gradient."""
+    from videovector_tpu.ops.embedding import id_to_weight_lookup
+    table = jnp.asarray(rng.randn(4, 3).astype(np.float32))
+    good = id_to_weight_lookup(jnp.asarray([0, 3]), table)
+    assert np.isfinite(np.asarray(good)).all()
+    bad = id_to_weight_lookup(jnp.asarray([0, 9]), table)
+    assert np.isnan(np.asarray(bad)[1]).all()
+    np.testing.assert_array_equal(np.asarray(bad)[0], np.asarray(table)[0])
+
+
+def test_inner_product_negative_regularization_inert(rng):
+    """ref inner_product_layer.cpp:80-90 guards with regularization > 0 —
+    a negative value must not scale the weight gradient."""
+    from videovector_tpu.ops.linear import inner_product
+    x = jnp.asarray(rng.randn(4, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 2).astype(np.float32))
+
+    def loss(w_, r):
+        return jnp.sum(inner_product(x, w_, regularization=r) ** 2)
+
+    g_neg = jax.grad(lambda w_: loss(w_, -2.0))(w)
+    g_off = jax.grad(lambda w_: loss(w_, 0.0))(w)
+    np.testing.assert_array_equal(np.asarray(g_neg), np.asarray(g_off))
+
+
+def test_dropout_rate_one_rejected(rng, key):
+    """rate >= 1 would send 0/0 NaNs through the VJP; the reference
+    DCHECKs threshold < 1."""
+    import pytest
+    from videovector_tpu.ops.activations import dropout
+    x = jnp.asarray(rng.randn(3, 3).astype(np.float32))
+    with pytest.raises(ValueError, match="dropout"):
+        dropout(x, rate=1.0, rng=key, deterministic=False)

@@ -200,14 +200,21 @@ class MedNet:
             tgt = name_map.get(name, name)
             if "w" not in lp:
                 continue
+            def bias(width):
+                # bias_term: false layers carry no "b" — forward() always
+                # adds one, so substitute zeros (identical math) instead
+                # of a None that crashes at the first call
+                b = lp.get("b")
+                return b if b is not None else jnp.zeros((width,),
+                                                         jnp.float32)
             if lp["w"].ndim == 4:  # conv: OIHW → HWIO
                 out[tgt] = {"w": jnp.transpose(lp["w"], (2, 3, 1, 0)),
-                            "b": lp.get("b")}
+                            "b": bias(lp["w"].shape[0])}
             else:
                 w = lp["w"]
                 if tgt == "fc6":
                     c, h, wd = fc6_chw
                     w = w.reshape(c, h, wd, -1).transpose(1, 2, 0, 3) \
                          .reshape(c * h * wd, -1)
-                out[tgt] = {"w": w, "b": lp.get("b")}
+                out[tgt] = {"w": w, "b": bias(w.shape[1])}
         return out

@@ -113,8 +113,17 @@ class TrajectoryModel:
             err = err * mask
             denom = jnp.maximum(jnp.sum(batch["is_valid"]), 1.0) * labels.shape[0]
         else:
+            mask = None
             denom = labels.shape[0] * labels.shape[1]
         # Euclidean-loss normalization: Σ/(2·num) with num = T·B items
         loss = jnp.sum(err) / denom / 2.0
-        ade = jnp.sqrt(jnp.sum((pred - labels) ** 2, axis=-1)).mean()
+        # metric masked like the loss: padded is_valid=0 slots carry
+        # garbage predictions vs zero labels and would inflate the ade
+        dist = jnp.sqrt(jnp.sum((pred - labels) ** 2, axis=-1))  # (T, B)
+        if mask is not None:
+            m = mask.reshape(1, -1)
+            ade = jnp.sum(dist * m) / jnp.maximum(jnp.sum(m) * dist.shape[0],
+                                                  1.0)
+        else:
+            ade = dist.mean()
         return loss, {"ade": ade}

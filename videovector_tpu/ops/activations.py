@@ -61,6 +61,10 @@ def dropout(x, *, rate: float, rng, deterministic: bool = False):
     """
     if deterministic or rate == 0.0:
         return x
+    if rate >= 1.0:
+        # keep=0 sends a 0/0 through the VJP of x/keep → NaN gradients on
+        # step one with no error; the reference DCHECKs threshold < 1
+        raise ValueError(f"dropout rate must be < 1 (got {rate})")
     keep = 1.0 - rate
     mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, jnp.zeros_like(x))

@@ -12,6 +12,13 @@ import jax.numpy as jnp
 
 
 def id_to_weight_lookup(ids, table):
-    """ids: int array (M,) or (M, 1); table: (num_ids, dim) → (M, dim)."""
+    """ids: int array (M,) or (M, 1); table: (num_ids, dim) → (M, dim).
+
+    Out-of-range ids fill with NaN (mode="fill") so a corrupt id stream
+    surfaces as a NaN loss — the loud analogue of the reference's bounds
+    CHECK (Blob::offset aborts). jnp.take's default mode="clip" would
+    silently return row num_ids-1 for every bad id AND scatter their
+    gradients into that one row."""
     flat = ids.reshape(-1).astype(jnp.int32)
-    return jnp.take(table, flat, axis=0)
+    return jnp.take(table, flat, axis=0, mode="fill",
+                    fill_value=jnp.nan)

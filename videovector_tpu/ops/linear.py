@@ -30,7 +30,10 @@ def inner_product(x, w, b=None, *, regularization: float = 0.0,
     Caffe flattens C·H·W], w: (K, N), b: (N,)."""
     if x.ndim > 2:
         x = x.reshape(x.shape[0], -1)
-    if regularization != 0.0:
+    if regularization > 0.0:
+        # ref inner_product_layer.cpp:80-90 guards with
+        # `if (regularization_ > 0)` — a negative value is inert there,
+        # so scaling the weight grad for it would diverge
         y = _inner_product_reg(x, w, regularization)
     else:
         y = _matmul(x, w, preferred_dtype)

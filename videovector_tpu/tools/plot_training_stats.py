@@ -20,9 +20,14 @@ import datetime
 import re
 import sys
 
-ITER_LOSS_RE = re.compile(r"Iteration (\d+), loss = ([-\d.eE+]+)")
-ITER_LR_RE = re.compile(r"Iteration (\d+), lr = ([-\d.eE+]+)")
-TEST_OUT_RE = re.compile(r"Test net output #\d+: (\S+) = ([-\d.eE+]+)")
+ITER_LOSS_RE = re.compile(
+    r"Iteration (\d+), loss = ([-\d.eE+]+|-?nan|-?inf)")
+ITER_LR_RE = re.compile(
+    r"Iteration (\d+), lr = ([-\d.eE+]+|-?nan|-?inf)")
+# nan/inf alternates: a DIVERGED run's lines are the ones a plot
+# exists to show; the numeric char class alone dropped them
+TEST_OUT_RE = re.compile(
+    r"Test net output #\d+: (\S+) = ([-\d.eE+]+|-?nan|-?inf)")
 TEST_ITER_RE = re.compile(r"Iteration (\d+), Testing net")
 # glog line prefix: I0210 13:39:22.381027 25210 file.py:12] ...
 GLOG_TS_RE = re.compile(r"^[IWEF](\d{2})(\d{2}) (\d{2}):(\d{2}):(\d{2})"
@@ -65,8 +70,11 @@ def extract_seconds(path: str, year: int | None = None) -> dict[int, float]:
                     continue
                 if start is None:
                     start = dt
-                # year rollover (Dec→Jan logs): never negative
-                if dt < start:
+                # year rollover (Dec→Jan logs): only a LARGE negative
+                # step is a rollover — slightly out-of-order buffered log
+                # lines (microseconds before the anchor) must not gain a
+                # year
+                if dt < start - datetime.timedelta(days=180):
                     dt = dt.replace(year=dt.year + 1)
                 out.setdefault(int(m.group(1)),
                                (dt - start).total_seconds())

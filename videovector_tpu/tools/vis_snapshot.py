@@ -27,16 +27,23 @@ def vis_snapshot(net, params, blobs: dict, out_path: str, *,
             "params": {p: list(np.asarray(a).shape)
                        for p, a in params.get(layer.get("name"), {}).items()},
         })
+    def num(v):
+        # strict JSON has no NaN/Infinity tokens; a diverged run (the
+        # exact case worth visualizing) must still produce parseable
+        # output — encode non-finite values as strings
+        v = float(v)
+        return v if np.isfinite(v) else str(v)
+
     for name, arr in blobs.items():
         arr = np.asarray(arr)
         flat = arr.reshape(-1)
         doc["blobs"][name] = {
             "shape": list(arr.shape),
-            "mean_abs": float(np.abs(arr).mean()),
-            "min": float(arr.min()),
-            "max": float(arr.max()),
-            "values": [float(v) for v in flat[:max_elements]],
+            "mean_abs": num(np.abs(arr).mean()),
+            "min": num(arr.min()),
+            "max": num(arr.max()),
+            "values": [num(v) for v in flat[:max_elements]],
         }
     with open(out_path, "w") as f:
-        json.dump(doc, f)
+        json.dump(doc, f, allow_nan=False)
     return doc

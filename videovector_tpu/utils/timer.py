@@ -19,9 +19,16 @@ from dataclasses import dataclass, field
 
 
 def device_fence(x) -> None:
-    """Force completion of everything `x` depends on."""
-    import jax.numpy as jnp
-    float(jnp.sum(x)) if hasattr(x, "dtype") else None
+    """Force completion of everything `x` depends on — any pytree of
+    arrays (block_until_ready is unreliable on the axon platform, so a
+    small D2H fetch per array leaf is the fence; a silent no-op for
+    tuple/dict inputs would record dispatch time as the measurement)."""
+    import jax
+    import numpy as np
+    for leaf in jax.tree.leaves(x):
+        if hasattr(leaf, "dtype"):
+            np.asarray(jax.device_get(leaf.ravel()[:1] if leaf.ndim
+                                      else leaf))
 
 
 @dataclass
@@ -39,11 +46,12 @@ class Timer:
     def stop(self, fence=None) -> float:
         if fence is not None:
             device_fence(fence)
+        if not self._running:
+            return 0.0  # stop without start: no garbage epoch delta
         dt = (time.perf_counter() - self._t0) * 1e3
-        if self._running:
-            self.total_ms += dt
-            self.calls += 1
-            self._running = False
+        self.total_ms += dt
+        self.calls += 1
+        self._running = False
         return dt
 
     @property
