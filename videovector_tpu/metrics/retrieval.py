@@ -453,8 +453,10 @@ def _scan_report_impl(feats, vids, cls, table_j, qpos, qcls, qrows,
     lax.scan over query chunks stacking per-query (ap, acc@1, acc@5,
     include) from the chunk engines plus the stable top-5 retrieved from
     OTHER videos (ref:src/caffe/layers/retrieval_stats_layer.cpp:315-321)
-    — `lax.top_k` on −distance, whose lower-index tie rule reproduces the
-    stable ascending (distance, index) order bit-for-bit."""
+    — k=5 iterated argmin+mask passes, whose first-occurrence tie rule
+    reproduces the stable ascending (distance, index) order bit-for-bit
+    (see the inline note: lax.top_k gave the same bytes but rides the
+    slow sort lanes)."""
     k5 = min(5, feats.shape[0])
 
     def body(_, xs):
