@@ -487,9 +487,12 @@ int64_t vvr_count(void* h) {
   return static_cast<Reader*>(h)->entries.size();
 }
 
-// value pointer + length for record i (zero-copy into the mmap)
+// value pointer + length for record i (zero-copy into the mmap).
+// i is caller-supplied (an index store can carry any integer) — bounds-check
+// it like every other untrusted input; NULL + len=-1 signals out of range.
 const uint8_t* vvr_value(void* h, int64_t i, int64_t* len) {
   auto* r = static_cast<Reader*>(h);
+  if (i < 0 || size_t(i) >= r->entries.size()) { *len = -1; return nullptr; }
   const Entry& e = r->entries[i];
   *len = e.length;
   return r->base + e.offset;
@@ -497,6 +500,7 @@ const uint8_t* vvr_value(void* h, int64_t i, int64_t* len) {
 
 const char* vvr_key(void* h, int64_t i, int64_t* len) {
   auto* r = static_cast<Reader*>(h);
+  if (i < 0 || size_t(i) >= r->entries.size()) { *len = -1; return nullptr; }
   const Entry& e = r->entries[i];
   *len = e.key.size();
   return e.key.data();

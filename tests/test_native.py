@@ -261,3 +261,80 @@ def test_native_reader_rejects_corrupt_files(tmp_path, rng):
     with pytest.raises(ValueError):
         r.datum_floats(0, 32)
     r.close()
+
+
+def test_native_reader_index_out_of_range(tmp_path, rng):
+    """vvr_value's record index is caller-supplied (index stores carry
+    arbitrary integers): out-of-range must raise IndexError, not read past
+    the entry table (previously an unchecked entries[i])."""
+    _ensure_lib()
+    path = str(tmp_path / "r.vvr")
+    with RecordWriter(path) as w:
+        for i in range(3):
+            w.append(f"k{i}", bytes(rng.bytes(8)))
+    r = native.NativeRecordReader(path)
+    assert r.value(2)  # last valid
+    for bad in (3, 7, 10 ** 9, -1):
+        with pytest.raises(IndexError):
+            r.value(bad)
+        with pytest.raises(IndexError):
+            r.datum_floats(bad, 8)
+    r.close()
+
+
+def test_native_reader_bitflip_fuzz(tmp_path, rng):
+    """Random single-bitflips anywhere in a valid store (weighted toward
+    the index/footer region, where every corrupted byte is a pointer) must
+    either fail open with IOError, serve (possibly garbage) bytes, or fail
+    Datum decode with ValueError — never crash or read out of the mapping.
+    The Python RecordReader is held to the same bar on the same bytes."""
+    _ensure_lib()
+    path = str(tmp_path / "ok.vvr")
+    feats = rng.randn(6, 16).astype(np.float32)
+    with RecordWriter(path) as w:
+        for i, f in enumerate(feats):
+            w.append(f"key{i}", Datum(float_data=f).encode())
+    blob = bytearray(open(path, "rb").read())
+    nbytes = len(blob)
+
+    def probe_native(p):
+        try:
+            r = native.NativeRecordReader(p)
+        except IOError:
+            return
+        try:
+            for i in range(min(len(r), 16)):
+                r.value(i)
+                try:
+                    r.datum_floats(i, 16)
+                except ValueError:
+                    pass
+        finally:
+            r.close()
+
+    def probe_python(p):
+        try:
+            r = RecordReader(p)
+        except Exception:
+            return  # any clean failure is acceptable for corrupt bytes
+        try:
+            for i in range(min(len(r), 16)):
+                bytes(r.value(i))
+        except Exception:
+            pass
+        finally:
+            r.close()
+
+    fuzzed = str(tmp_path / "fuzz.vvr")
+    for trial in range(160):
+        if trial % 2 == 0:
+            # index/footer region: every byte is an offset/length/key-len
+            pos = int(rng.randint(max(0, nbytes - nbytes // 4), nbytes))
+        else:
+            pos = int(rng.randint(0, nbytes))
+        bit = 1 << int(rng.randint(0, 8))
+        blob[pos] ^= bit
+        open(fuzzed, "wb").write(bytes(blob))
+        probe_native(fuzzed)
+        probe_python(fuzzed)
+        blob[pos] ^= bit  # restore for the next independent flip

@@ -145,6 +145,8 @@ class NativeRecordReader:
     def value(self, i: int) -> bytes:
         ln = ctypes.c_int64()
         ptr = self._lib.vvr_value(self._h, i, ctypes.byref(ln))
+        if not ptr:  # out-of-range index (i is untrusted: index stores)
+            raise IndexError(f"record index {i} out of range [0, {len(self)})")
         return ctypes.string_at(ptr, ln.value)
 
     def datum_floats(self, i: int, dim: int) -> np.ndarray:
@@ -152,6 +154,8 @@ class NativeRecordReader:
         (no Python-side wire parsing)."""
         ln = ctypes.c_int64()
         ptr = self._lib.vvr_value(self._h, i, ctypes.byref(ln))
+        if not ptr:
+            raise IndexError(f"record index {i} out of range [0, {len(self)})")
         out = np.empty(dim, np.float32)
         n = self._lib.vv_datum_floats(
             ptr, ln.value, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
