@@ -1,0 +1,195 @@
+"""Differential validation of the binary codec (config/binproto.py) and the
+text parser (config/textformat.py) against the OFFICIAL protobuf stack:
+protoc-compile the reference's caffe.proto at test time (format constants
+only — no reference code runs) and require
+
+  1. official-serialized bytes → binproto.decode → binproto.encode →
+     official-parse == the original message (full round trip through our
+     codec is invisible to the reference runtime);
+  2. the real flagship prototxt parsed by OUR text parser then
+     binproto-encoded == the same file parsed by google.protobuf
+     text_format (the two independent stacks agree on the shipped config);
+  3. ours-built SolverState/SolverParameter bytes parse correctly with the
+     official runtime (the .solverstate interop direction).
+
+This is the strongest byte-compatibility evidence available without a
+running Caffe binary: every wire detail (packed floats, zigzag, enums,
+nested messages, field presence) must agree with protobuf itself.
+"""
+
+from __future__ import annotations
+
+import importlib
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from videovector_tpu.config import binproto
+from videovector_tpu.config.textformat import Message, parse
+
+REF_PROTO_DIR = "/root/reference/src/caffe/proto"
+REF_PROTOTXT = ("/root/reference/projects/videovec_embedding/"
+                "mednet_embedding_train.prototxt")
+
+
+@pytest.fixture(scope="module")
+def caffe_pb2(tmp_path_factory):
+    pytest.importorskip("google.protobuf")
+    if not os.path.exists(os.path.join(REF_PROTO_DIR, "caffe.proto")):
+        pytest.skip("reference caffe.proto not available")
+    tmp = str(tmp_path_factory.mktemp("pbgen"))
+    try:
+        subprocess.run(
+            ["protoc", f"--proto_path={REF_PROTO_DIR}",
+             f"--python_out={tmp}", "caffe.proto"],
+            check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        pytest.skip("protoc unavailable or incompatible")
+    sys.path.insert(0, tmp)
+    try:
+        yield importlib.import_module("caffe_pb2")
+    finally:
+        sys.path.remove(tmp)
+
+
+def _rich_net(pb):
+    """A NetParameter touching every wire shape: nested messages, packed
+    floats, negative ints, enums, repeated strings, bools, bytes-ish
+    strings."""
+    m = pb.NetParameter()
+    m.name = "crosscheck"
+    m.input.append("data")
+    m.input_dim.extend([4, 3, 11, 11])
+    m.force_backward = True
+    m.state.phase = pb.TRAIN
+    m.state.level = -3
+    m.state.stage.extend(["a", "b"])
+
+    l1 = m.layers.add()
+    l1.name = "conv1"
+    l1.type = pb.LayerParameter.CONVOLUTION
+    l1.bottom.append("data")
+    l1.top.append("conv1")
+    l1.blobs_lr.extend([1.0, 2.0])
+    l1.weight_decay.extend([1.0, 0.0])
+    cp = l1.convolution_param
+    cp.num_output = 7
+    cp.kernel_size = 3
+    cp.pad = 1
+    cp.stride = 2
+    cp.group = 1
+    cp.weight_filler.type = "gaussian"
+    cp.weight_filler.std = 0.017
+    b = l1.blobs.add()
+    b.num, b.channels, b.height, b.width = 7, 3, 3, 3
+    vals = (np.arange(7 * 3 * 3 * 3, dtype=np.float32) - 50.0) / 16.0
+    vals[0] = -0.0
+    vals[1] = 1.5e-38
+    b.data.extend(vals.tolist())          # packed repeated float
+    b.diff.extend((-vals[:5]).tolist())
+
+    l2 = m.layers.add()
+    l2.name = "shots"
+    l2.type = pb.LayerParameter.VIDEO_SAMPLED_SHOTS_DATA
+    l2.top.append("windows")
+    inc = l2.include.add()
+    inc.phase = pb.TRAIN
+    inc.stage.append("deploy")
+    vp = l2.video_sampled_shots_data_param
+    vp.source = "/tmp/éxotic–path.vvr"    # non-ASCII string bytes
+    vp.batch_size = 128
+    vp.context_size = 5
+    vp.num_negative_samples = 10
+    vp.max_buffer_size = 5000
+    vp.negative_swap_percentage = 50
+    vp.context_type = vp.PAST_CONTINUOUS_FIXED
+
+    l3 = m.layers.add()
+    l3.name = "loss"
+    l3.type = pb.LayerParameter.MAX_MARGIN_LOSS
+    l3.bottom.extend(["s_true", "s_neg"])
+    l3.top.append("loss")
+    l3.loss_weight.append(0.25)
+    l3.max_margin_loss_param.margin = 2.0
+    l3.max_margin_loss_param.norm = pb.MaxMarginLossParameter.L2
+    l3.max_margin_loss_param.use_direct_weight = True
+    return m
+
+
+def test_official_bytes_roundtrip_through_binproto(caffe_pb2):
+    m = _rich_net(caffe_pb2)
+    wire = m.SerializeToString()
+    ours = binproto.decode(wire, "NetParameter")
+    re = binproto.encode(ours, "NetParameter")
+    back = caffe_pb2.NetParameter()
+    back.ParseFromString(re)
+    assert back == m, (
+        "binproto round trip changed the message:\n"
+        f"original:\n{m}\nafter:\n{back}")
+
+
+def test_flagship_prototxt_two_stacks_agree(caffe_pb2):
+    from google.protobuf import text_format
+    if not os.path.exists(REF_PROTOTXT):
+        pytest.skip("reference prototxt not available")
+    txt = open(REF_PROTOTXT).read()
+    theirs = caffe_pb2.NetParameter()
+    text_format.Parse(txt, theirs)
+    ours = parse(txt)
+    re = binproto.encode(ours, "NetParameter")
+    back = caffe_pb2.NetParameter()
+    back.ParseFromString(re)
+    assert back == theirs, (
+        "our textformat+binproto disagree with google text_format on the "
+        "reference flagship prototxt")
+
+
+def test_solverstate_bytes_parse_officially(caffe_pb2):
+    st = Message()
+    st.add("iter", 1234)
+    st.add("learned_net", "model_iter_1234.caffemodel")
+    for k in range(2):
+        h = Message()
+        h.add("num", 1)
+        h.add("channels", 1)
+        h.add("height", 2)
+        h.add("width", 3)
+        for v in np.linspace(-1.0, 1.0, 6).astype(np.float32):
+            h.add("data", float(v))
+        st.add("history", h)
+    wire = binproto.encode(st, "SolverState")
+    official = caffe_pb2.SolverState()
+    official.ParseFromString(wire)
+    assert official.iter == 1234
+    assert official.learned_net == "model_iter_1234.caffemodel"
+    assert len(official.history) == 2
+    np.testing.assert_allclose(
+        list(official.history[1].data),
+        np.linspace(-1.0, 1.0, 6).astype(np.float32))
+
+    # and the reverse: official bytes through our decoder
+    ours = binproto.decode(official.SerializeToString(), "SolverState")
+    assert int(ours.get("iter")) == 1234
+    assert len(ours.get_list("history")) == 2
+
+
+def test_solver_parameter_enums_and_defaults(caffe_pb2):
+    sp = caffe_pb2.SolverParameter()
+    sp.net = "n.prototxt"
+    sp.base_lr = 0.001
+    sp.lr_policy = "inv"
+    sp.solver_mode = caffe_pb2.SolverParameter.CPU
+    sp.solver_type = caffe_pb2.SolverParameter.ADAGRAD
+    sp.random_seed = -1          # negative varint (int32 sign extension)
+    sp.test_iter.extend([100, 50])
+    ours = binproto.decode(sp.SerializeToString(), "SolverParameter")
+    assert ours.get("solver_mode") == "CPU"
+    assert ours.get("solver_type") == "ADAGRAD"
+    assert int(ours.get("random_seed")) == -1
+    assert [int(v) for v in ours.get_list("test_iter")] == [100, 50]
+    back = caffe_pb2.SolverParameter()
+    back.ParseFromString(binproto.encode(ours, "SolverParameter"))
+    assert back == sp

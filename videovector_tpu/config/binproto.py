@@ -152,7 +152,9 @@ def _f32(x):
     ints — matching the text parser's auto-typing so text→bin→text is
     byte-identical)."""
     f = float(np.format_float_positional(np.float32(x)))
-    return int(f) if f.is_integer() and abs(f) < 2**53 else f
+    if f.is_integer() and abs(f) < 2**53 and not (f == 0.0 and np.signbit(f)):
+        return int(f)
+    return f  # -0.0 stays a float: int() would drop the sign bit
 
 
 def _dec_scalar(msg: Message, fname: str, kind: str, wt: int, v) -> None:
