@@ -281,3 +281,56 @@ def test_every_message_type_random_roundtrip(caffe_pb2):
                             f"official:\n{a}\nround-tripped:\n{b}")
             checked += 1
     assert checked >= 150
+
+
+def test_text_printer_and_parser_cross_stack(caffe_pb2):
+    """TEXT-side twin of the binary fuzz: (a) google-printed text of random
+    messages must parse with OUR textformat parser into a message that
+    binproto-encodes back to the official content; (b) our schema-aware
+    to_text must parse with google's text_format. Exercises float
+    formatting (exponents, -0, subnormals), octal/UTF-8 string escapes,
+    enum names, and nested braces on every message type."""
+    from google.protobuf import text_format
+    from videovector_tpu.config.proto_schema import MESSAGES
+
+    names = sorted(n for n in caffe_pb2.DESCRIPTOR.message_types_by_name
+                   if n in MESSAGES)
+    rng = np.random.RandomState(13)
+    for name in names:
+        for trial in range(2):
+            m = getattr(caffe_pb2, name)()
+            _fill_random(m, rng)
+            official_txt = text_format.MessageToString(m)
+
+            # (a) google text -> our parse -> binproto -> google parse
+            ours = parse(official_txt)
+            back = getattr(caffe_pb2, name)()
+            back.ParseFromString(binproto.encode(ours, name))
+            a, b = official_txt, text_format.MessageToString(back)
+            assert a == b, (f"{name}: google text through our parser "
+                            f"diverged:\n{a}\nvs\n{b}")
+
+            # (b) our printer -> google parse
+            printed = binproto.to_text(binproto.decode(
+                m.SerializeToString(), name), name)
+            reparsed = getattr(caffe_pb2, name)()
+            text_format.Parse(printed, reparsed)
+            c = text_format.MessageToString(reparsed)
+            assert a == c, (f"{name}: our to_text isn't google-parseable "
+                            f"to the same message:\n{a}\nvs\n{c}\n"
+                            f"printed:\n{printed}")
+
+
+def test_cpp_minus_zero_float_literal(caffe_pb2):
+    """C++ SimpleFtoa prints float -0.0 as '-0' (python protobuf prints
+    '-0.0', so the generic fuzz can't hit this): a reference-written
+    prototxt carrying '-0' must keep the sign through our text parser and
+    binary codec."""
+    import math
+    txt = ('layers { name: "c" type: CONVOLUTION '
+           'blobs { num: 1 channels: 1 height: 1 width: 2 '
+           'data: -0 data: 1 } }')
+    ours = parse(txt)
+    back = caffe_pb2.NetParameter()
+    back.ParseFromString(binproto.encode(ours, "NetParameter"))
+    assert math.copysign(1.0, back.layers[0].blobs[0].data[0]) == -1.0

@@ -62,12 +62,15 @@ def _enc_scalar(buf: bytearray, fnum: int, kind: str, v) -> None:
         _tag(buf, fnum, _WT_VARINT)
         write_varint(buf, 1 if _truthy(v) else 0)
     elif kind == "s":
-        data = str(v).encode()
+        # surrogateescape inverts textformat._unquote for byte-escaped
+        # literals that aren't valid UTF-8 (plain .encode() would raise)
+        data = str(v).encode("utf-8", "surrogateescape")
         _tag(buf, fnum, _WT_LEN)
         write_varint(buf, len(data))
         buf += data
     elif kind == "y":
-        data = v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+        data = v if isinstance(v, (bytes, bytearray)) \
+            else str(v).encode("utf-8", "surrogateescape")
         _tag(buf, fnum, _WT_LEN)
         write_varint(buf, len(data))
         buf += bytes(data)
@@ -195,6 +198,30 @@ def _dec_scalar(msg: Message, fname: str, kind: str, wt: int, v) -> None:
         raise ValueError(f"unknown scalar kind {kind}")
 
 
+def _escape_bytes(raw: bytes) -> str:
+    """Protobuf TextFormat byte-escape (C++ CEscape semantics): printable
+    ASCII raw except quote/backslash, \\n \\r \\t named, everything else
+    3-digit octal — parseable by both textformat._unquote and the
+    reference's strict reader."""
+    out = []
+    for byte in raw:
+        if byte == 0x22:
+            out.append('\\"')
+        elif byte == 0x5C:
+            out.append("\\\\")
+        elif byte == 0x0A:
+            out.append("\\n")
+        elif byte == 0x0D:
+            out.append("\\r")
+        elif byte == 0x09:
+            out.append("\\t")
+        elif 0x20 <= byte < 0x7F:
+            out.append(chr(byte))
+        else:
+            out.append("\\%03o" % byte)
+    return "".join(out)
+
+
 def to_text(msg: Message, msg_type: str, indent: int = 0) -> str:
     """Schema-aware prototxt printer: string fields are ALWAYS quoted and
     enums never are — strict protobuf TextFormat, parseable by the
@@ -223,6 +250,13 @@ def to_text(msg: Message, msg_type: str, indent: int = 0) -> str:
                 # TextFormat reader this output exists for)
                 from videovector_tpu.config.textformat import _escape
                 lines.append(f'{pad}{fname}: "{_escape(str(v))}"')
+            elif detail == "y":
+                # bytes print as a protobuf-escaped quoted literal
+                # (printable ASCII raw, the rest 3-digit octal) — NOT a
+                # Python repr, which no TextFormat parser reads back
+                raw = v if isinstance(v, (bytes, bytearray)) \
+                    else str(v).encode("utf-8", "surrogateescape")
+                lines.append(f'{pad}{fname}: "{_escape_bytes(raw)}"')
             elif detail == "b":
                 lines.append(
                     f"{pad}{fname}: {'true' if _truthy(v) else 'false'}")

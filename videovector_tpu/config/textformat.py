@@ -253,9 +253,14 @@ class _Parser:
             if tok.lower().startswith(("0x", "-0x", "+0x")):
                 return int(tok, 16)
             try:
-                return int(tok)
+                v = int(tok)
             except ValueError:
                 return float(tok)
+            if v == 0 and tok.startswith("-"):
+                # C++ SimpleFtoa prints float -0.0 as "-0"; keep the sign
+                # (int 0 would drop it through the binary codec)
+                return -0.0
+            return v
         if kind == "ident":
             if tok == "true":
                 return True
