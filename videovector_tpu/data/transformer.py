@@ -18,7 +18,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from videovector_tpu.data.wire import Datum

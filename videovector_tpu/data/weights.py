@@ -19,7 +19,7 @@ from dataclasses import dataclass, field as dfield
 import numpy as np
 
 from videovector_tpu.data.wire import (
-    BlobProto, iter_fields, read_varint, write_bytes, write_int, write_msg,
+    BlobProto, iter_fields, write_bytes, write_int, write_msg,
     _decode_int32,
 )
 

@@ -21,7 +21,6 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from videovector_tpu import ops
 from videovector_tpu.core import fillers

@@ -20,7 +20,7 @@ rules caffe.proto:193-209) is applied at construction.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import jax

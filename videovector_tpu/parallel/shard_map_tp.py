@@ -20,7 +20,6 @@ with one psum over "data" inside the same shard_map.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

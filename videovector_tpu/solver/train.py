@@ -15,10 +15,9 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Iterator
 
 import jax
-import numpy as np
 
 from videovector_tpu.solver.checkpoint import (
-    AsyncSnapshotter, restore, snapshot,
+    AsyncSnapshotter, restore,
 )
 from videovector_tpu.solver.solvers import (
     SolverConfig, init_solver_state, learning_rate, solver_update,
