@@ -314,3 +314,34 @@ def test_prefetcher_stop_iteration_repeats_and_close_unblocks(rng):
     assert time.time() - t0 < 5.0
     with pytest.raises(StopIteration):
         next(pf2)
+
+
+def test_per_element_output_reporting(rng):
+    """Every ELEMENT of every output blob is a train metric and a test
+    report column (ref solver.cpp:195-217 and :280-315) — non-scalar
+    outputs used to be silently dropped by the solver loop. Scalar
+    outputs keep their bare names; multi-element ones expand to name[j]."""
+    def loss_fn(p, batch, key):
+        loss = jnp.sum(p["w"] * batch["x"]) ** 2
+        return loss, {"probe_vec": jnp.asarray([1.0, 2.0, 3.0]),
+                      "probe_scalar": jnp.float32(7.0)}
+
+    def eval_fn(p, batch):
+        return {"evec": jnp.asarray([[0.5, 1.5]]),   # shape (1, 2) blob
+                "escalar": jnp.float32(4.0)}
+
+    def data():
+        while True:
+            yield {"x": jnp.ones((3,), jnp.float32)}
+
+    params = {"w": jnp.asarray([0.1, 0.2, 0.3])}
+    cfg = SolverConfig(base_lr=0.01, momentum=0.9, max_iter=2, display=1,
+                       test_interval=1, test_iter=(2,))
+    res = train(loss_fn, params, data(), cfg,
+                eval_fn=eval_fn, test_data=data())
+    _, m = res.metrics_history[0]
+    assert m["probe_vec[0]"] == 1.0 and m["probe_vec[2]"] == 3.0
+    assert m["probe_scalar"] == 7.0
+    _, t = res.test_history[0]
+    assert t["evec[0]"] == 0.5 and t["evec[1]"] == 1.5
+    assert t["escalar"] == 4.0

@@ -287,8 +287,9 @@ class SolverDriver:
                 loss, outputs, carry, *tail = net.apply(
                     p, feed, rng=key, state=carry_in, return_state=True,
                     return_sink_blobs=train_sinks)
-                aux = {k: jnp.sum(v) for k, v in outputs.items()
-                       if getattr(v, "size", 2) == 1}
+                # every element of every output blob is a train metric
+                # (ref solver.cpp:195-217 prints result[j]->count() lines)
+                aux = {k: jnp.ravel(v) for k, v in outputs.items()}
                 aux["__carry__"] = carry
                 if train_sinks:
                     aux["__sinks__"] = tail[0]
@@ -318,8 +319,10 @@ class SolverDriver:
                     else:
                         loss, outputs, *tail = test_net.apply(
                             p, feed, return_sink_blobs=sinks)
-                    out = {k: jnp.sum(v) for k, v in outputs.items()
-                           if getattr(v, "size", 2) == 1}
+                    # every element of every output blob accumulates into
+                    # the test report (ref Solver::Test solver.cpp:280-315;
+                    # size-1 blobs behave exactly as before)
+                    out = {k: jnp.ravel(v) for k, v in outputs.items()}
                     if include_loss:  # ref test_compute_loss, caffe.proto:116
                         out["loss"] = loss
                     if stateful:
@@ -436,8 +439,8 @@ class SolverDriver:
     def _loss_with_outputs(net, p, batch, key, sinks: bool = False):
         loss, outputs, *tail = net.apply(p, batch, rng=key,
                                          return_sink_blobs=sinks)
-        aux = {k: jnp.sum(v) for k, v in outputs.items()
-               if getattr(v, "size", 2) == 1}
+        # ref solver.cpp:195-217: every element of every output blob
+        aux = {k: jnp.ravel(v) for k, v in outputs.items()}
         if sinks:
             aux["__sinks__"] = tail[0]
         return loss, aux

@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from typing import Any, Callable, Iterator
 
 import jax
+import numpy as np
 
 from videovector_tpu.solver.checkpoint import (
     AsyncSnapshotter, restore,
@@ -339,7 +340,7 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         merged: dict[str, float] = {}
         for net_id, (estep, tdata) in enumerate(zip(eval_steps, test_datas)):
             n = cfg.test_iter[net_id] if net_id < len(cfg.test_iter) else 1
-            sums: dict[str, float] = {}
+            sums: dict[str, np.ndarray] = {}
             t_carry = None  # recurrent state carries across test batches too
             for _ in range(n):
                 batch = next(tdata)
@@ -351,13 +352,23 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                 if sblobs is not None and sink_fns[net_id] is not None:
                     sink_fns[net_id](sblobs)
                 for k, v in out.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
+                    # every ELEMENT of every output blob accumulates — the
+                    # reference's test_score loop (solver.cpp:280-293)
+                    arr = np.asarray(v, np.float64).reshape(-1)
+                    sums[k] = sums[k] + arr if k in sums else arr
             avg = {k: v / n for k, v in sums.items()}
             log.info("Iteration %d, Testing net (#%d)", it, net_id)
-            for i, (k, v) in enumerate(sorted(avg.items())):
-                log.info("    Test net output #%d: %s = %g", i, k, v)
+            i = 0
             prefix = "" if len(eval_steps) == 1 else f"net{net_id}/"
-            merged.update({prefix + k: v for k, v in avg.items()})
+            for k in sorted(avg):
+                vec = avg[k]
+                for j, x in enumerate(vec):
+                    # one line per element, the blob's name repeated — the
+                    # reference's report format (solver.cpp:301-315)
+                    log.info("    Test net output #%d: %s = %g", i, k, x)
+                    key = k if vec.size == 1 else f"{k}[{j}]"
+                    merged[prefix + key] = float(x)
+                    i += 1
         result.test_history.append((it, merged))
 
     it = start_iter
@@ -448,17 +459,26 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                     train_sink_fn(sblobs)
 
             if cfg.display and it % cfg.display == 0:
-                loss = float(metrics["loss"])
+                # an output blob named "loss" (shape (1,) after the ravel)
+                # may shadow the scalar step loss under this key
+                loss = float(np.asarray(metrics["loss"]).reshape(-1)[0])
                 lr = float(learning_rate(cfg, it))
                 log.info("Iteration %d, lr = %g", it, lr)
                 log.info("Iteration %d, loss = %g", it, loss)
-                for i, (k, v) in enumerate(sorted(metrics.items())):
+                entry: dict[str, float] = {"loss": loss}
+                i = 1
+                for k in sorted(metrics):
                     if k == "loss":
                         continue
-                    log.info("    Train net output #%d: %s = %g",
-                             i, k, float(v))
-                result.metrics_history.append(
-                    (it, {k: float(v) for k, v in metrics.items()}))
+                    # one line per ELEMENT of each output blob, name
+                    # repeated (ref solver.cpp:195-217 score_index loop)
+                    vec = np.asarray(metrics[k], np.float64).reshape(-1)
+                    for j, x in enumerate(vec):
+                        log.info("    Train net output #%d: %s = %g",
+                                 i, k, x)
+                        entry[k if vec.size == 1 else f"{k}[{j}]"] = float(x)
+                        i += 1
+                result.metrics_history.append((it, entry))
             it += 1
     except KeyboardInterrupt:
         # emergency snapshot on interrupt (the reference aborts and loses
