@@ -491,7 +491,27 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
 
     if cfg.snapshot_after_train and cfg.snapshot_prefix:
         _snap(it)
-    if cfg.test_interval:
+    # the reference's post-loop passes (ref:src/caffe/solver.cpp:225-238):
+    # a display-gated EXTRA train forward (params already updated max_iter
+    # times — forward only, to print the final loss; it consumes one data
+    # batch exactly like the reference's Net::Forward does) and a final
+    # TestAll gated on max_iter % test_interval — NOT unconditional
+    if cfg.display and it % cfg.display == 0:
+        try:
+            batch = next(data)
+        except StopIteration:
+            batch = None  # finite test iterator — the reference's data
+            # layers are infinite, so this path has no reference twin
+        if batch is not None:
+            if carry is not None:
+                batch = {**batch, "__carry__": carry}
+            fwd = (lambda p, b, k: loss_fn(p, b, k)[0])
+            if jit:
+                fwd = jax.jit(fwd)
+            final_loss = float(np.asarray(
+                fwd(params, batch, jax.random.fold_in(rng, it))).reshape(-1)[0])
+            log.info("Iteration %d, loss = %g", it, final_loss)
+    if cfg.test_interval and it % cfg.test_interval == 0:
         run_test(params, it)
     snapshotter.wait()  # all writes durable before train() returns
     result.params = params
