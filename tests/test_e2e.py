@@ -383,8 +383,10 @@ def test_cli_test_threads_lstm_state(tmp_path):
                      "--iterations", "2"]) == 0
     finally:
         logger.removeHandler(handler)
-    losses = [float(m.split("loss = ")[1]) for m in handler.lines
-              if m.startswith("Batch ")]
+    # per-batch per-element lines, reference format "Batch i, <name> = v"
+    # (tools/caffe.cpp:156-169); this net's single output blob is "l"
+    losses = [float(m.split(" = ")[1]) for m in handler.lines
+              if m.startswith("Batch ") and ", l = " in m]
     assert len(losses) == 2
 
     # expected: hand-thread the carry through Net.apply with the same

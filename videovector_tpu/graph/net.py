@@ -215,6 +215,20 @@ class Net:
 
         self._check_types()
 
+    def output_loss_weights(self) -> dict[str, float]:
+        """blob name -> loss weight of its (latest) producing top — the
+        reference's blob_loss_weights_ lookup behind the display suffix
+        '(* w = x loss)' on loss-weighted output lines
+        (ref:src/caffe/solver.cpp:204-214, tools/caffe.cpp:177-185)."""
+        out: dict[str, float] = {}
+        for layer in self.layers:
+            if layer.get("type") in DATA_LAYER_TYPES:
+                continue
+            ws = self.loss_weights.get(layer.get("name"), [])
+            for i, t in enumerate(str(x) for x in layer.get_list("top")):
+                out[t] = ws[i] if i < len(ws) else 0.0
+        return out
+
     # ------------------------------------------------------------------
     def _check_types(self):
         for layer in self.layers:

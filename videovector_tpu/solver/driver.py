@@ -422,6 +422,9 @@ class SolverDriver:
                      param_layer_order=layer_order,
                      caffe_export=caffe_export,
                      batch_axes=src_axes,
+                     train_output_weights=net.output_loss_weights(),
+                     test_output_weights=[tn.output_loss_weights()
+                                          for tn in self.test_nets],
                      fused_accum=not net.stateful_layer_names)
         finally:
             # stop the prefetch threads and release their queued device

@@ -226,6 +226,8 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
           caffe_export: Callable | None = None,
           batch_axes: dict | None = None,
           fused_accum: bool = True,
+          train_output_weights: dict | None = None,
+          test_output_weights: list | None = None,
           rng=None, jit: bool = True) -> TrainResult:
     """loss_fn(params, batch, rng) -> (loss, aux_dict).
     eval_fn(params, batch) -> dict of scalars; averaged over cfg.test_iter[0]
@@ -258,7 +260,11 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
     fused_accum: run iter_size / grad_microbatch accumulation as ONE jitted
     lax.scan step (the chip-record schedule, PERF.md) instead of a host loop
     of separate grad calls. Must be False for stateful (cross-batch LSTM
-    carry) nets — the driver passes this automatically."""
+    carry) nets — the driver passes this automatically.
+    train_output_weights / test_output_weights: {output blob: loss weight}
+    maps (Net.output_loss_weights) — loss-weighted output lines carry the
+    reference's ' (* w = x loss)' display suffix
+    (ref:src/caffe/solver.cpp:204-214, :306-314)."""
     # private copies: the jitted step donates its param/state buffers, and the
     # caller's arrays must survive the call
     params = jax.tree.map(jax.numpy.array, params)
@@ -358,14 +364,27 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                     sums[k] = sums[k] + arr if k in sums else arr
             avg = {k: v / n for k, v in sums.items()}
             log.info("Iteration %d, Testing net (#%d)", it, net_id)
-            i = 0
             prefix = "" if len(eval_steps) == 1 else f"net{net_id}/"
+            # test_compute_loss prints its own line, NOT an output row
+            # (ref solver.cpp:297-300); the history keeps the "loss" key
+            tl = avg.pop("loss", None)
+            if tl is not None:
+                log.info("Test loss: %g", tl[0])
+                merged[prefix + "loss"] = float(tl[0])
+            wmap = (test_output_weights[net_id]
+                    if test_output_weights
+                    and net_id < len(test_output_weights) else {}) or {}
+            i = 0
             for k in sorted(avg):
                 vec = avg[k]
+                w = wmap.get(k, 0.0)
                 for j, x in enumerate(vec):
-                    # one line per element, the blob's name repeated — the
-                    # reference's report format (solver.cpp:301-315)
-                    log.info("    Test net output #%d: %s = %g", i, k, x)
+                    # one line per element, the blob's name repeated, loss-
+                    # weighted outputs suffixed — the reference's report
+                    # format (solver.cpp:301-315)
+                    suffix = f" (* {w:g} = {w * x:g} loss)" if w else ""
+                    log.info("    Test net output #%d: %s = %g%s",
+                             i, k, x, suffix)
                     key = k if vec.size == 1 else f"{k}[{j}]"
                     merged[prefix + key] = float(x)
                     i += 1
@@ -471,11 +490,14 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                     if k == "loss":
                         continue
                     # one line per ELEMENT of each output blob, name
-                    # repeated (ref solver.cpp:195-217 score_index loop)
+                    # repeated, loss-weighted outputs suffixed
+                    # (ref solver.cpp:195-217 score_index loop)
+                    w = (train_output_weights or {}).get(k, 0.0)
                     vec = np.asarray(metrics[k], np.float64).reshape(-1)
                     for j, x in enumerate(vec):
-                        log.info("    Train net output #%d: %s = %g",
-                                 i, k, x)
+                        suffix = f" (* {w:g} = {w * x:g} loss)" if w else ""
+                        log.info("    Train net output #%d: %s = %g%s",
+                                 i, k, x, suffix)
                         entry[k if vec.size == 1 else f"{k}[{j}]"] = float(x)
                         i += 1
                 result.metrics_history.append((it, entry))

@@ -218,14 +218,20 @@ def cmd_test(args) -> int:
         for k, v in outputs.items():
             arr = np.asarray(v).reshape(-1)
             sums[k] = (sums[k] + arr) if k in sums else arr.copy()
-        log.info("Batch %d, loss = %g", i, float(loss))
+            # per-batch per-element lines, the reference's loop
+            # (ref:tools/caffe.cpp:156-169)
+            for x in arr:
+                log.info("Batch %d, %s = %g", i, k, x)
     log.info("Loss: %g", loss_sum / args.iterations)
     # every ELEMENT of every output blob gets its per-iteration mean, one
-    # line per element with the blob's name — the reference's report loop
-    # (ref:tools/caffe.cpp:155-186); size-1 blobs print one line as before
+    # line per element with the blob's name; loss-weighted outputs carry
+    # the reference's '(* w = x loss)' suffix (ref:tools/caffe.cpp:173-185)
+    out_w = net.output_loss_weights()
     for k, v in sorted(sums.items()):
+        w = out_w.get(k, 0.0)
         for x in v / args.iterations:
-            log.info("%s = %g", k, x)
+            suffix = f" (* {w:g} = {w * x:g} loss)" if w else ""
+            log.info("%s = %g%s", k, x, suffix)
     return 0
 
 
