@@ -481,8 +481,6 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                 # an output blob named "loss" (shape (1,) after the ravel)
                 # may shadow the scalar step loss under this key
                 loss = float(np.asarray(metrics["loss"]).reshape(-1)[0])
-                lr = float(learning_rate(cfg, it))
-                log.info("Iteration %d, lr = %g", it, lr)
                 log.info("Iteration %d, loss = %g", it, loss)
                 entry: dict[str, float] = {"loss": loss}
                 i = 1
@@ -500,6 +498,11 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                                  i, k, x, suffix)
                         entry[k if vec.size == 1 else f"{k}[{j}]"] = float(x)
                         i += 1
+                # lr logs AFTER the output lines — the reference prints it
+                # from ComputeUpdateValue (solver.cpp:491-494), which runs
+                # after Solve's loss/output display
+                log.info("Iteration %d, lr = %g",
+                         it, float(learning_rate(cfg, it)))
                 result.metrics_history.append((it, entry))
             it += 1
     except KeyboardInterrupt:
