@@ -229,3 +229,35 @@ def test_dummy_data_constant_fills_once():
     b = _dummy_forward("constant", "value: 2.5", jax.random.PRNGKey(2))
     np.testing.assert_array_equal(a, b)
     np.testing.assert_allclose(a, 2.5)
+
+
+def test_blobs_lr_count_and_sign_checks():
+    """A non-empty blobs_lr / weight_decay list must cover every param
+    blob exactly and be non-negative (ref Net::GetLearningRateAndWeightDecay
+    CHECKs, net.cpp:467-499) — a short list used to silently default the
+    missing blob's multiplier to 1 (leaving a blob the user froze
+    trainable)."""
+    import jax
+    import numpy as np
+    import pytest
+    from videovector_tpu.config.textformat import parse
+    from videovector_tpu.graph.net import Net
+
+    def build(extra):
+        txt = f"""
+name: "m"
+input: "data"
+layers {{ name: "ip" type: INNER_PRODUCT bottom: "data" top: "ip"
+         inner_product_param {{ num_output: 3 }} {extra} }}
+"""
+        net = Net(parse(txt), "TRAIN")
+        batch = {"data": np.zeros((2, 4), np.float32)}
+        return net.init(jax.random.PRNGKey(0), batch)
+
+    build("blobs_lr: 1 blobs_lr: 2")                      # exact count ok
+    with pytest.raises(ValueError, match="blobs_lr has 1 entries"):
+        build("blobs_lr: 0")                              # short list
+    with pytest.raises(ValueError, match="weight_decay has 3 entries"):
+        build("weight_decay: 1 weight_decay: 0 weight_decay: 1")
+    with pytest.raises(ValueError, match="negative blobs_lr"):
+        build("blobs_lr: -1 blobs_lr: 1")

@@ -394,6 +394,22 @@ class Net:
             share_names = [str(s) for s in layer.get_list("param")]
             lr_mults = [float(v) for v in layer.get_list("blobs_lr")]
             decay_mults = [float(v) for v in layer.get_list("weight_decay")]
+            # a non-empty multiplier list must cover every param blob
+            # exactly, and multipliers are non-negative — the reference
+            # CHECK_EQs/CHECK_GEs (net.cpp:467-499); silently defaulting a
+            # missing entry to 1 would leave a blob the user meant to
+            # freeze trainable
+            for fname, mults in (("blobs_lr", lr_mults),
+                                 ("weight_decay", decay_mults)):
+                if mults and len(mults) != len(lparams):
+                    raise ValueError(
+                        f"layer {lname!r}: {fname} has {len(mults)} entries "
+                        f"for {len(lparams)} param blobs (the reference "
+                        f"CHECK_EQs the counts, net.cpp:472-496)")
+                if any(v < 0 for v in mults):
+                    raise ValueError(
+                        f"layer {lname!r}: negative {fname} multiplier "
+                        f"(reference CHECK_GE, net.cpp:476,491)")
             lmeta: dict[str, ParamMeta] = {}
             for i, pname in enumerate(list(lparams.keys())):
                 m = ParamMeta(
