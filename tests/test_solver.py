@@ -124,3 +124,12 @@ def test_solver_config_from_flagship_prototxt():
     assert cfg.momentum == pytest.approx(0.9)
     assert cfg.max_iter == 200000
     assert cfg.solver_type == "SGD"
+
+
+def test_adagrad_rejects_momentum():
+    """ref AdaGradSolver::constructor_sanity_check
+    (include/caffe/solver.hpp:120-123): momentum is silently dead in the
+    AdaGrad update rule, so a nonzero value is a config error."""
+    import pytest
+    with pytest.raises(ValueError, match="AdaGrad"):
+        SolverConfig(solver_type="ADAGRAD", base_lr=0.1, momentum=0.9)

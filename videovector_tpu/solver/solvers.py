@@ -64,6 +64,13 @@ class SolverConfig:
     snapshot_format: str = "vv"
     extras: dict = field(default_factory=dict)
 
+    def __post_init__(self):
+        if self.solver_type == "ADAGRAD" and self.momentum:
+            # the update rule has no momentum term — a nonzero value would
+            # be silently ignored (ref AdaGradSolver constructor_sanity_
+            # check, include/caffe/solver.hpp:120-123)
+            raise ValueError("Momentum cannot be used with AdaGrad.")
+
     @classmethod
     def from_message(cls, msg) -> "SolverConfig":
         """Build from a parsed solver prototxt Message."""
