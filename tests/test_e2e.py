@@ -264,6 +264,7 @@ def test_snapshot_vis_and_debug_info_hooks(mini_project, tmp_path):
     solver_msg = parse_file(mini_project["solver"])
     solver_msg.fields["max_iter"] = [6]
     solver_msg.fields["test_interval"] = [0]
+    solver_msg.fields.pop("test_iter", None)  # the reference CHECKs test_interval>0 when test nets exist
     solver_msg.add("snapshot_vis", 3)
     solver_msg.add("snapshot_vis_dir", str(tmp_path / "vis"))
     solver_msg.add("debug_info", True)
@@ -283,6 +284,7 @@ def test_driver_training_is_deterministic(mini_project):
     solver_msg.fields["max_iter"] = [8]
     solver_msg.fields["display"] = [2]
     solver_msg.fields["test_interval"] = [0]
+    solver_msg.fields.pop("test_iter", None)  # the reference CHECKs test_interval>0 when test nets exist
 
     def run():
         driver = SolverDriver(solver_msg).build()
@@ -490,6 +492,7 @@ layers {{ name: "dump_train" type: WRITE_TO_FILE bottom: "ctxn"
         solver_msg.fields["net"] = [str(net_path)]
         solver_msg.fields["max_iter"] = [max_iter]
         solver_msg.fields["test_interval"] = [0]
+        solver_msg.fields.pop("test_iter", None)  # the reference CHECKs test_interval>0 when test nets exist
         solver_msg.fields["display"] = [1]
         return SolverDriver(solver_msg).build().train()
 
@@ -520,6 +523,7 @@ def test_cli_finetune_from_caffemodel(mini_project, tmp_path):
     solver_msg = parse_file(mini_project["solver"])
     solver_msg.fields["max_iter"] = [1]
     solver_msg.fields["test_interval"] = [0]
+    solver_msg.fields.pop("test_iter", None)  # the reference CHECKs test_interval>0 when test nets exist
     solver_msg.fields["display"] = [0]
     driver = SolverDriver(solver_msg).build()
     # craft recognizable fc7 weights and save as .caffemodel
@@ -880,3 +884,83 @@ def test_cli_strictness_checks(mini_project, tmp_path):
         main(["train", "--solver", mini_project["solver"],
               "--snapshot", str(tmp_path / "x.vvstate"),
               "--weights", str(tmp_path / "y.caffemodel")])
+
+
+def test_solver_net_states_and_generic_test_instances(mini_project):
+    """ref Solver::InitTrainNet/InitTestNets NetState assembly
+    (solver.cpp:72-81, :141-152): solver train_state/test_state merge
+    into the nets' states (stages concatenate), and extra test_iter
+    entries spawn extra GENERIC-net test instances — two test_iter +
+    two test_state over one `net:` builds two differently-staged nets."""
+    from videovector_tpu.config.textformat import Message, parse_file
+
+    # add stage-gated probe layers to the net
+    with open(mini_project["net"], "a") as f:
+        f.write("""
+layers { name: "tr_probe" type: POWER bottom: "loss" top: "tr_probe"
+  power_param { power: 2.0 } include: { phase: TRAIN stage: "trs" } }
+layers { name: "te_probe" type: POWER bottom: "map" top: "te_probe"
+  power_param { power: 2.0 } include: { phase: TEST stage: "deep" } }
+""")
+    msg = parse_file(mini_project["solver"])
+    msg.fields["max_iter"] = [3]
+    msg.fields["display"] = [1]
+    msg.fields["test_interval"] = [3]
+    msg.fields["test_iter"] = [1, 1]          # two generic instances
+    st0, st1 = Message(), Message()
+    st1.add("stage", "deep")
+    msg.add("test_state", st0)
+    msg.add("test_state", st1)
+    ts = Message()
+    ts.add("stage", "trs")
+    msg.add("train_state", ts)
+
+    driver = SolverDriver(msg).build()
+    assert len(driver.test_nets) == 2
+    res = driver.train()
+    # the staged TRAIN probe became a train metric
+    assert any("tr_probe" in k for k in res.metrics_history[0][1])
+    merged = res.test_history[-1][1]
+    assert "net0/map" in merged
+    assert "net1/te_probe" in merged          # stage "deep" only on net1
+    # net1's probe CONSUMES map, so map is net0-only (available_blobs)
+    assert "net1/map" not in merged
+    assert not any(k.startswith("net0/te_probe") for k in merged)
+
+
+def test_solver_init_checks(mini_project):
+    """ref Solver::Init CHECKs (solver.cpp:47-113): exactly one train-net
+    field; test_iter covers every test net; test_state count matches;
+    test_interval > 0 when test nets exist."""
+    from videovector_tpu.config.textformat import Message, parse_file
+
+    def fresh():
+        return parse_file(mini_project["solver"])
+
+    msg = fresh()
+    msg.add("train_net", mini_project["net"])  # net AND train_net
+    with pytest.raises(ValueError, match="more than"):
+        SolverDriver(msg)
+
+    msg = fresh()
+    msg.fields.pop("net")
+    with pytest.raises(ValueError, match="must specify a train net"):
+        SolverDriver(msg)
+
+    msg = fresh()
+    msg.add("test_net", mini_project["net"])
+    msg.fields.pop("test_iter")               # dedicated net, no test_iter
+    with pytest.raises(ValueError, match="test_iter must be specified"):
+        SolverDriver(msg)
+
+    msg = fresh()
+    st = Message()
+    msg.add("test_state", st)
+    msg.add("test_state", st)                 # 2 states, 1 instance
+    with pytest.raises(ValueError, match="test_state"):
+        SolverDriver(msg)
+
+    msg = fresh()
+    msg.fields["test_interval"] = [0]         # test nets but no interval
+    with pytest.raises(ValueError, match="test_interval"):
+        SolverDriver(msg)

@@ -225,6 +225,7 @@ def test_engine_driver_fused_matches_host_loop(tmp_path, rng):
     msg = parse_file(str(solver_path))
     msg.fields["max_iter"] = [6]
     msg.fields["test_interval"] = [0]
+    msg.fields.pop("test_iter", None)  # the reference CHECKs test_interval>0 when test nets exist
     msg.fields["display"] = [1]
 
     res_fused = SolverDriver(msg).build().train()
@@ -329,6 +330,7 @@ def test_engine_compute_dtype_bf16(tmp_path, rng):
     msg = parse_file(str(solver_path))
     msg.fields["max_iter"] = [20]
     msg.fields["test_interval"] = [0]
+    msg.fields.pop("test_iter", None)  # the reference CHECKs test_interval>0 when test nets exist
     msg.fields["display"] = [1]
     msg.fields["random_seed"] = [5]
     res_f32 = SolverDriver(msg).build().train()

@@ -25,6 +25,10 @@ def _solver_with(mini, **overrides):
     msg = parse_file(mini["solver"])
     for k, v in overrides.items():
         msg.fields[k] = [v]
+    if overrides.get("test_interval") == 0:
+        # no test nets: the reference CHECKs test_interval>0 when
+        # test_iter entries exist
+        msg.fields.pop("test_iter", None)
     return msg
 
 

@@ -30,6 +30,26 @@ def _spec_from_batch(batch):
     return {k: jax.ShapeDtypeStruct(v.shape, jnp.float32) for k, v in batch.items()}
 
 
+_PHASE_NAMES = {"0": "TRAIN", "1": "TEST"}
+
+
+def _merge_net_state(default_phase: str, *states):
+    """(phase, level, stages) under proto MergeFrom semantics: each present
+    scalar overwrites, repeated `stage` concatenates — the reference's
+    NetState assembly (ref:src/caffe/solver.cpp:72-81, :141-152)."""
+    phase, level, stages = default_phase, 0, []
+    for st in states:
+        if st is None:
+            continue
+        if st.has("phase"):
+            p = str(st.get("phase"))
+            phase = _PHASE_NAMES.get(p, p)
+        if st.has("level"):
+            level = int(st.get("level"))
+        stages.extend(str(s) for s in st.get_list("stage"))
+    return phase, level, tuple(stages)
+
+
 class SolverDriver:
     def __init__(self, solver_msg: Message, *, net_dir: str = "."):
         self._solver_msg = solver_msg
@@ -48,29 +68,70 @@ class SolverDriver:
                 return cand if os.path.exists(cand) else p
             return p
 
-        # net sources, in the reference's precedence: inline net_param /
-        # train_net_param beat file paths (ref:src/caffe/solver.cpp:47-82
-        # InitTrainNet — "precedence: net_param > net > train_net...")
+        # exactly ONE of the four train-net fields (ref InitTrainNet
+        # CHECK_GE/CHECK_LE, solver.cpp:47-55)
+        fields = "net, net_param, train_net, train_net_param"
+        n_train = sum(solver_msg.get(f) is not None
+                      for f in ("net", "net_param", "train_net",
+                                "train_net_param"))
+        if n_train < 1:
+            raise ValueError("SolverParameter must specify a train net "
+                             f"using one of these fields: {fields}")
+        if n_train > 1:
+            raise ValueError("SolverParameter must not contain more than "
+                             "one of these fields specifying a train_net: "
+                             f"{fields}")
         inline = (solver_msg.get("net_param")
                   or solver_msg.get("train_net_param"))
         if inline is not None:
             self.net_msg = inline
         else:
-            net_path = resolve(solver_msg.get("net")
-                               or solver_msg.get("train_net"))
-            if net_path is None:
-                raise ValueError(
-                    "solver prototxt needs a net/net_param/train_net field")
-            self.net_msg = parse_file(net_path)
-        # separate test nets (ref repeated SolverParameter.test_net /
-        # test_net_param; Solver::InitTestNets) — falls back to the TEST
-        # phase of the merged net
+            self.net_msg = parse_file(resolve(
+                solver_msg.get("net") or solver_msg.get("train_net")))
+        has_generic = (solver_msg.get("net") is not None
+                       or solver_msg.get("net_param") is not None)
+        # the train net's NetState: TRAIN, then the net's own `state`,
+        # then solver `train_state` (highest precedence) — proto MergeFrom
+        # semantics: scalars overwrite, repeated stages concatenate
+        # (ref InitTrainNet, solver.cpp:72-81)
+        self.train_state = _merge_net_state(
+            "TRAIN", self.net_msg.get("state"),
+            solver_msg.get("train_state"))
+
+        # test-net instances (ref InitTestNets, solver.cpp:85-157):
+        # dedicated test_net_param entries, then test_net files, then
+        # (test_iter count − dedicated) instances of the GENERIC net; the
+        # test_iter list must cover every instance
         inline_tests = list(solver_msg.get_list("test_net_param"))
         test_paths = [resolve(str(p)) for p in solver_msg.get_list("test_net")]
-        self.test_net_msgs = (
-            inline_tests + [parse_file(p) for p in test_paths]
-            if (inline_tests or test_paths) else [self.net_msg])
-        self.has_test = bool(solver_msg.get("test_interval"))
+        n_dedicated = len(inline_tests) + len(test_paths)
+        n_test_iter = len(solver_msg.get_list("test_iter"))
+        if has_generic:
+            if n_test_iter < n_dedicated:
+                raise ValueError(
+                    "test_iter must be specified for each test network.")
+            n_instances = n_test_iter
+        else:
+            if n_test_iter != n_dedicated:
+                raise ValueError(
+                    "test_iter must be specified for each test network.")
+            n_instances = n_dedicated
+        self.test_net_msgs = (inline_tests
+                              + [parse_file(p) for p in test_paths]
+                              + [self.net_msg] * (n_instances - n_dedicated))
+        test_states = list(solver_msg.get_list("test_state"))
+        if test_states and len(test_states) != n_instances:
+            raise ValueError("test_state must be unspecified or specified "
+                             "once per test net.")
+        self.test_net_states = [
+            _merge_net_state("TEST", msg.get("state"),
+                             test_states[i] if test_states else None)
+            for i, msg in enumerate(self.test_net_msgs)]
+        if n_instances and not solver_msg.get("test_interval"):
+            # ref CHECK_GT(test_interval, 0) when test nets exist
+            raise ValueError("test_interval must be > 0 when test nets "
+                             "are specified")
+        self.has_test = n_instances > 0
 
     @classmethod
     def from_prototxt(cls, solver_path: str) -> "SolverDriver":
@@ -98,8 +159,11 @@ class SolverDriver:
         # throughput mode matching the hand model's compute_dtype. TEST
         # nets stay f32 so eval metrics keep reference numerics.
         cd = self._solver_msg.get("compute_dtype") or None
-        self.train_net = Net(self.net_msg, phase="TRAIN", compute_dtype=cd)
-        self.train_source = self._build_sources(self.train_net, "TRAIN", seed)
+        tr_phase, tr_level, tr_stages = self.train_state
+        self.train_net = Net(self.net_msg, phase=tr_phase, level=tr_level,
+                             stages=tr_stages, compute_dtype=cd)
+        self.train_source = self._build_sources(self.train_net, tr_phase,
+                                                seed)
         batch0 = self.train_source.next_batch()
         self._first_batch = batch0
         # the batch consumed here for shape specs is RE-FED as training
@@ -136,9 +200,12 @@ class SolverDriver:
         self._test_first_batches: list = []
         if self.has_test:
             for i, msg in enumerate(self.test_net_msgs):
-                test_net = Net(msg, phase="TEST")
+                te_phase, te_level, te_stages = self.test_net_states[i]
+                test_net = Net(msg, phase=te_phase, level=te_level,
+                               stages=te_stages)
                 test_net.param_meta = {}
-                source = self._build_sources(test_net, "TEST", seed + 1 + i)
+                source = self._build_sources(test_net, te_phase,
+                                             seed + 1 + i)
                 # the test net reuses the train net's params (shared by layer
                 # name — ref ShareTrainedLayersWith, net.cpp)
                 tb = source.next_batch()
