@@ -39,10 +39,6 @@ ITERS = 200
 
 def measure_tpu() -> float:
     import jax
-    # rbg PRNG: hardware-friendly dropout mask generation — threefry costs
-    # ~25% of the step on v5e (measured); dropout only needs statistical
-    # quality, not cryptographic counter-based keys.
-    jax.config.update("jax_default_prng_impl", "rbg")
     # persistent compile cache: the axon tunnel's remote compile is slow and
     # flaky after hiccups; reuse executables across bench invocations.
     try:
@@ -84,7 +80,12 @@ def measure_tpu() -> float:
     data = jax.jit(lambda k: jax.random.normal(
         k, (cfg.num_roles, BATCH, FEAT), jnp.float32))(jax.random.PRNGKey(0))
     batch = {"data": data}
-    key = jax.random.PRNGKey(1)
+    # rbg PRNG for the dropout-mask keys: hardware-friendly mask generation —
+    # threefry costs ~25% of the step on v5e (measured); dropout only needs
+    # statistical quality, not cryptographic counter-based keys. Scoped to
+    # these keys (typed key impl) rather than jax.config's process-wide
+    # default so importing this module never changes other code's streams.
+    key = jax.random.key(1, impl="rbg")
 
     for _ in range(WARMUP):
         params, state, loss = step(params, state, batch, key)

@@ -25,6 +25,27 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# Global jax config values every test relies on implicitly. A test (or a
+# module it imports) flipping one of these changes OTHER tests' numerics —
+# e.g. jax_default_prng_impl changes every PRNGKey stream, which once made a
+# later solver-trajectory test fail only in full-suite order. Fail the
+# polluting test loudly instead of the innocent downstream one.
+_GUARDED_CONFIG = ("jax_default_prng_impl", "jax_default_matmul_precision",
+                   "jax_enable_x64", "jax_platforms", "jax_numpy_dtype_promotion")
+
+
+@pytest.fixture(autouse=True)
+def _jax_config_guard():
+    before = {k: getattr(jax.config, k) for k in _GUARDED_CONFIG}
+    yield
+    after = {k: getattr(jax.config, k) for k in _GUARDED_CONFIG}
+    changed = {k: (before[k], after[k]) for k in _GUARDED_CONFIG
+               if before[k] != after[k]}
+    assert not changed, (
+        f"test left global jax config mutated: {changed} — scope the change "
+        "(typed-key impl, context manager, or restore in teardown)")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(1701)

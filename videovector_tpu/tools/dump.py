@@ -41,10 +41,6 @@ def _write_blob(path: str, arr: np.ndarray) -> None:
 def dump_network(model_path: str, out_dir: str, *,
                  weights: list[str] = (), batch: dict | None = None) -> dict:
     import jax
-    # parity dumps must be numerically faithful: on TPU, f32 matmuls default
-    # to fast bf16 passes (~1e-3 error) — force full f32 accumulation here
-    # (this tool is for debugging, never the perf path)
-    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
     from videovector_tpu.config.textformat import parse_file
     from videovector_tpu.graph.data_factory import MergedSource, make_data_source
@@ -58,12 +54,17 @@ def dump_network(model_path: str, out_dir: str, *,
                    for l in net.layers if l.get("type") in DATA_LAYER_TYPES]
         batch = MergedSource(sources).next_batch()
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
-    params, _ = net.init(jax.random.PRNGKey(0), {
-        k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
-        for k, v in batch.items()})
-    for wp in weights:
-        params = _load_weights(wp, params)
-    _, blobs = net.apply(params, batch, return_blobs=True)
+    # parity dumps must be numerically faithful: on TPU, f32 matmuls default
+    # to fast bf16 passes (~1e-3 error) — force full f32 accumulation for
+    # this net's trace (scoped: this tool is imported as a library, so a
+    # process-global config flip would leak into the caller's numerics)
+    with jax.default_matmul_precision("highest"):
+        params, _ = net.init(jax.random.PRNGKey(0), {
+            k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
+            for k, v in batch.items()})
+        for wp in weights:
+            params = _load_weights(wp, params)
+        _, blobs = net.apply(params, batch, return_blobs=True)
 
     os.makedirs(out_dir, exist_ok=True)
     out = {}
