@@ -276,6 +276,36 @@ def test_snapshot_vis_and_debug_info_hooks(mini_project, tmp_path):
     assert any(l["name"] == "fc7" for l in doc["layers"])
 
 
+def test_snapshot_vis_blob_selection_and_truncate(mini_project, tmp_path):
+    """snapshot_vis_blobs csv + snapshot_vis_truncate_len (ref
+    solver.cpp:352-405): only the named blobs dump; the net-structure
+    section appears only when the FIRST name is "network"; truncate_len
+    bounds the per-blob sample."""
+    from videovector_tpu.config.textformat import parse_file
+    solver_msg = parse_file(mini_project["solver"])
+    solver_msg.fields["max_iter"] = [2]
+    solver_msg.fields["test_interval"] = [0]
+    solver_msg.fields.pop("test_iter", None)
+    solver_msg.add("snapshot_vis", 2)
+    solver_msg.add("snapshot_vis_dir", str(tmp_path / "vis"))
+    solver_msg.add("snapshot_vis_blobs", "loss,ctxn")
+    solver_msg.add("snapshot_vis_truncate_len", 5)
+    driver = SolverDriver(solver_msg).build()
+    driver.train()
+    doc = json.load(open(tmp_path / "vis" / "vis_iter_0.json"))
+    assert sorted(doc["blobs"]) == ["ctxn", "loss"]
+    assert doc["layers"] == []          # first name is not "network"
+    assert len(doc["blobs"]["ctxn"]["values"]) == 5
+
+    # "network" as the first token re-enables the structure dump
+    solver_msg.fields["snapshot_vis_blobs"] = ["network,loss"]
+    driver2 = SolverDriver(solver_msg).build()
+    driver2.train()
+    doc2 = json.load(open(tmp_path / "vis" / "vis_iter_0.json"))
+    assert any(l["name"] == "fc7" for l in doc2["layers"])
+    assert sorted(doc2["blobs"]) == ["loss"]
+
+
 def test_driver_training_is_deterministic(mini_project):
     """Same solver + same seeds → identical loss trajectory (guards stable
     dropout streams, sampler seeding, init seeding)."""

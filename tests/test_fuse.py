@@ -259,3 +259,54 @@ def test_disable_env(monkeypatch):
     msg = _generated_net(negatives=3)
     n1 = Net(msg, "TRAIN", fuse_scoring=True)
     assert not n1.fuse_scoring
+
+
+def _gen_net_no_dropout(**kw):
+    from generate_net import emit
+    txt = emit("train.vvr", "test.vvr", batch=16, test_batch=8,
+               negatives=5, embed=48, buffer_size=480,
+               weight_std=0.01, dropout=0.0, **kw)
+    return parse(txt)
+
+
+def test_unstable_prod_grad_declines_fusion():
+    """An ELTWISE PROD with stable_prod_grad: false selects the reference's
+    DIVISION backward (eltwise_layer.cpp:132-134) — the fused batched-dot
+    grad is the stable form, so the fusion pass must leave that layer (and
+    whatever depended on it) per-layer. Outputs and grads must still match
+    the unfused net exactly. The embedding tower's ReLU puts exact zeros
+    into the normalized vectors, so the division backward faithfully
+    produces 0/0 = NaN in the tower grads — precisely what the reference's
+    caffe_div would do ("may be numerically unstable", caffe.proto:728-731);
+    both nets must agree on the NaN pattern AND on every finite entry."""
+    msg = _gen_net_no_dropout()
+    flipped = 0
+    for layer in msg.get_list("layers"):
+        if layer.get("type") != "ELTWISE":
+            continue
+        ep = layer.get_msg("eltwise_param")
+        if ep.get("operation") == "PROD":
+            ep.add("stable_prod_grad", False)
+            flipped += 1
+    assert flipped > 0
+    rng = np.random.RandomState(0)
+    batch = {"data": jnp.asarray(rng.randn(16, 10, 48, 1), jnp.float32)}
+    n0, n1, p = _pair(msg, "TRAIN", batch)
+    key = jax.random.PRNGKey(7)
+    l0, g0 = jax.value_and_grad(lambda p: n0.apply(p, batch, rng=key)[0])(p)
+    l1, g1 = jax.value_and_grad(lambda p: n1.apply(p, batch, rng=key)[0])(p)
+    assert float(l0) == float(l1)
+    saw_nan = False
+    for a, b in zip(jtu.tree_leaves(g0), jtu.tree_leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        saw_nan |= bool(np.isnan(a).any())
+        fin = ~np.isnan(a)
+        np.testing.assert_allclose(a[fin], b[fin], atol=1e-6)
+    assert saw_nan  # the division rule actually fired (stable is NaN-free)
+    # the PROD layers (and their downstream SUM/CONCAT consumers) fell out
+    # of the motif: strictly fewer absorbed layers than the stable graph
+    n1s = Net(_gen_net_no_dropout(), "TRAIN", fuse_scoring=True)
+    n1s.init(jax.random.PRNGKey(0), batch)
+    n1s.apply(p, batch, rng=key)
+    assert n1._last_absorbed < n1s._last_absorbed

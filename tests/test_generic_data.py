@@ -180,6 +180,41 @@ def test_video_shot_window_source(tmp_path, rng):
                               max_buffer_size=2)
 
 
+def test_display_all_ids_logs_items(tmp_path, rng, caplog):
+    """display_all_ids: one Item-id:Video-id:Shot-id warning per item
+    (ref video_shot_window_data_layer.cpp:469-471)."""
+    import logging
+
+    path = str(tmp_path / "wins.vvr")
+    dim = 4
+    with RecordWriter(path) as wtr:
+        for i in range(5):
+            mk = lambda v: Datum(float_data=np.full(dim, v, np.float32))
+            w = VideoShotWindow(video_id=i + 1, shot_id=i * 2,
+                                target_shot_word=mk(i),
+                                context_shot_words=[mk(i + 100)])
+            wtr.append(str(i), w.encode())
+    # the package logger has propagate=False (glog-format handler), so
+    # caplog's root-logger handler never sees it — attach directly
+    pkg_logger = logging.getLogger("videovector_tpu")
+    pkg_logger.addHandler(caplog.handler)
+    try:
+        src = VideoShotWindowSource(path, batch_size=2, display_all_ids=True)
+        src.next_batch()
+        msgs = [r.getMessage() for r in caplog.records]
+        assert "Item-id:Video-id:Shot-id:0:1:0" in msgs
+        assert "Item-id:Video-id:Shot-id:1:2:2" in msgs
+
+        # off by default: no per-item lines
+        caplog.clear()
+        src2 = VideoShotWindowSource(path, batch_size=2)
+        src2.next_batch()
+        assert not [m for m in caplog.records
+                    if "Item-id" in m.getMessage()]
+    finally:
+        pkg_logger.removeHandler(caplog.handler)
+
+
 # ---------------------------------------------------------------------------
 # Reference window geometry (ref window_data_layer.cpp:238-324): hand-computed
 # pad-then-warp boxes, including edge-touching windows.

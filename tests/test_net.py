@@ -277,3 +277,91 @@ def test_infogain_matrix_loads_from_source_file(tmp_path, rng):
                                           jnp.asarray(labels),
                                           jnp.asarray(H)))
     np.testing.assert_allclose(float(loss), want, rtol=1e-6)
+
+
+def test_id_to_weight_mapping_engine_layer(rng):
+    """ID_TO_WEIGHT_MAPPING from a prototxt: the table is
+    (max_ids, num_output) — the reference reads `max_ids` for K_
+    (ref id_to_weight_mapping_layer.cpp:16-29; a `num_ids` name existed
+    nowhere in caffe.proto). Forward gathers rows; backward scatter-adds
+    only the touched rows (no grad to the ids)."""
+    net = Net(parse("""
+    input: "ids"
+    layers { name: "emb" type: ID_TO_WEIGHT_MAPPING bottom: "ids" top: "w"
+      id_to_weight_mapping_param { max_ids: 7 num_output: 3
+        weight_filler { type: "gaussian" std: 1.0 } } }
+    layers { name: "loss" type: EUCLIDEAN_LOSS bottom: "w" bottom: "w0"
+      top: "l" }
+    input: "w0"
+    """), phase="TRAIN")
+    ids = jnp.asarray([[2], [5], [2]], jnp.float32)  # ref feeds float ids
+    spec = {"ids": jax.ShapeDtypeStruct((3, 1), jnp.float32),
+            "w0": jax.ShapeDtypeStruct((3, 3), jnp.float32)}
+    params, _ = net.init(jax.random.PRNGKey(0), spec)
+    assert params["emb"]["table"].shape == (7, 3)
+    w0 = jnp.zeros((3, 3), jnp.float32)
+    _, blobs = net.apply(params, {"ids": ids, "w0": w0}, return_blobs=True)
+    table = np.asarray(params["emb"]["table"])
+    np.testing.assert_array_equal(np.asarray(blobs["w"]),
+                                  table[[2, 5, 2]])
+    g = jax.grad(net.loss_fn)(params, {"ids": ids, "w0": w0})
+    gt = np.asarray(g["emb"]["table"])
+    # untouched rows get zero grad; row 2 accumulates two samples' grads
+    assert np.all(gt[[0, 1, 3, 4, 6]] == 0)
+    assert np.any(gt[2] != 0) and np.any(gt[5] != 0)
+
+
+def test_memory_data_param_positivity_check():
+    """A MEMORY_DATA layer that DECLARES memory_data_param must declare all
+    four dims positive (ref memory_data_layer.cpp:18-20 CHECK_GT); a
+    param-less MEMORY_DATA keeps taking shapes from the fed batch."""
+    bad = """
+    layers { name: "d" type: MEMORY_DATA top: "x" top: "y"
+      memory_data_param { batch_size: 4 channels: 3 height: 2 } }
+    """
+    with pytest.raises(ValueError, match="memory_data_param"):
+        Net(parse(bad), phase="TRAIN")
+    ok = """
+    layers { name: "d" type: MEMORY_DATA top: "x" top: "y"
+      memory_data_param { batch_size: 4 channels: 3 height: 2 width: 1 } }
+    layers { name: "s" type: SILENCE bottom: "x" bottom: "y" }
+    """
+    Net(parse(ok), phase="TRAIN")   # builds
+
+
+def test_rectangular_geometry_and_exclusivity_checks():
+    """pad_h/pad_w + stride_h/stride_w work end-to-end, and the reference's
+    exclusivity CHECKs hold: the square and rectangular forms cannot mix,
+    and a lone _h (or _w) is an error (ref conv_layer.cpp:14-29,
+    pooling_layer.cpp:18-32)."""
+    ok = Net(parse("""
+    input: "x"
+    layers { name: "c" type: CONVOLUTION bottom: "x" top: "y"
+      convolution_param { num_output: 1 kernel_h: 2 kernel_w: 3
+        stride_h: 2 stride_w: 1 pad_h: 1 pad_w: 0
+        weight_filler { type: "constant" value: 1.0 } } }
+    """), phase="TEST")
+    spec = {"x": _spec((1, 1, 4, 4))}
+    p, _ = ok.init(jax.random.PRNGKey(0), spec)
+    x = jnp.arange(16, dtype=jnp.float32).reshape(1, 1, 4, 4)
+    _, blobs = ok.apply(p, {"x": x}, return_blobs=True)
+    # H: (4 + 2*1 - 2)/2 + 1 = 3 ; W: (4 + 0 - 3)/1 + 1 = 2
+    assert blobs["y"].shape == (1, 1, 3, 2)
+
+    def build(param_body):
+        net = Net(parse(f"""
+        input: "x"
+        layers {{ name: "c" type: CONVOLUTION bottom: "x" top: "y"
+          convolution_param {{ num_output: 1 {param_body}
+            weight_filler {{ type: "constant" value: 1.0 }} }} }}
+        """), phase="TEST")
+        net.init(jax.random.PRNGKey(0), spec)
+
+    with pytest.raises(ValueError, match="BOTH"):
+        build("kernel_h: 2")                       # lone _h
+    with pytest.raises(ValueError, match="exclusive"):
+        build("kernel_size: 2 kernel_h: 2 kernel_w: 2")
+    with pytest.raises(ValueError, match="BOTH"):
+        build("kernel_size: 2 stride_w: 2")        # lone stride_w
+    with pytest.raises(ValueError, match="exclusive"):
+        build("kernel_size: 2 pad: 1 pad_h: 1 pad_w: 1")

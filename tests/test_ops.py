@@ -180,3 +180,38 @@ def test_dropout_rate_one_rejected(rng, key):
     x = jnp.asarray(rng.randn(3, 3).astype(np.float32))
     with pytest.raises(ValueError, match="dropout"):
         dropout(x, rate=1.0, rng=key, deterministic=False)
+
+
+def test_eltwise_prod_stable_vs_division_grad(rng):
+    """stable_prod_grad semantics (ref eltwise_layer.cpp:120-134,
+    caffe.proto:728-731): the default stable backward computes each
+    input's grad as the product of the OTHERS; stable_prod_grad=false
+    reproduces the reference's top/bottom division — identical wherever
+    no input is zero, NaN (0/0) exactly at zeros of the divided input."""
+    from videovector_tpu import ops
+
+    a = jnp.asarray(rng.randn(4, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(4, 3).astype(np.float32))
+
+    def loss(fn):
+        return lambda x, y: jnp.sum(fn(x, y) * 2.0)
+
+    gs = jax.grad(loss(lambda x, y: ops.eltwise_prod(x, y)), argnums=(0, 1))
+    gd = jax.grad(loss(lambda x, y: ops.eltwise_prod(
+        x, y, stable_grad=False)), argnums=(0, 1))
+    for s, d in zip(gs(a, b), gd(a, b)):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(d), rtol=1e-6)
+    # grads match the closed form: d/da sum(2ab) = 2b
+    np.testing.assert_allclose(np.asarray(gs(a, b)[0]), 2 * np.asarray(b),
+                               rtol=1e-6)
+
+    a0 = a.at[0, 0].set(0.0)
+    g_stable = gs(a0, b)[0]
+    g_div = gd(a0, b)[0]
+    assert np.isfinite(np.asarray(g_stable)).all()
+    assert np.isnan(np.asarray(g_div)[0, 0])  # 0/0, the documented hazard
+    # everywhere else the division form still agrees
+    mask = np.ones_like(np.asarray(a0), bool)
+    mask[0, 0] = False
+    np.testing.assert_allclose(np.asarray(g_div)[mask],
+                               np.asarray(g_stable)[mask], rtol=1e-6)

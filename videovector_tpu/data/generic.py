@@ -543,10 +543,12 @@ class VideoShotWindowSource:
     def __init__(self, path: str, batch_size: int, *,
                  num_negative_samples: int = 0, max_buffer_size: int = 0,
                  negative_swap_percentage: int = 0,
-                 negative_path: str | None = None, seed: int = 1234):
+                 negative_path: str | None = None, seed: int = 1234,
+                 display_all_ids: bool = False):
         self.reader = open_store(path)
         self.batch_size = batch_size
         self.num_negatives = num_negative_samples
+        self.display_all_ids = display_all_ids
         self.rng = np.random.RandomState(seed)
         self._cursor = 0
         first = VideoShotWindow.decode(bytes(self.reader.value(0)))
@@ -620,6 +622,12 @@ class VideoShotWindowSource:
                     f"{w.video_id}:{w.shot_id}",
                     np.asarray(w.target_shot_word.float_data, np.float32))
             vids[item] = w.video_id
+            if self.display_all_ids:
+                # ref video_shot_window_data_layer.cpp:469-471 (LOG(WARNING))
+                from videovector_tpu.utils.logging import get_logger
+                get_logger(__name__).warning(
+                    "Item-id:Video-id:Shot-id:%d:%d:%d",
+                    item, w.video_id, w.shot_id)
         return {"data": data, "video_id": vids}
 
     def __iter__(self):

@@ -569,11 +569,13 @@ class VideoShotWindowTestSource:
     via include flags), second top = video_id."""
 
     def __init__(self, dataset: TestWindowDataset, batch_size: int, *,
-                 include_positives: bool = True, include_negatives: bool = True):
+                 include_positives: bool = True, include_negatives: bool = True,
+                 display_all_ids: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.include_positives = include_positives
         self.include_negatives = include_negatives
+        self.display_all_ids = display_all_ids
         self.positive_size = dataset.positive_size if include_positives else 0
         self.negative_size = dataset.negative_size if include_negatives else 0
         self.channels = (dataset.context_size + self.positive_size
@@ -601,6 +603,15 @@ class VideoShotWindowTestSource:
                     data[item, c] = np.asarray(d.float_data, np.float32)
                     c += 1
             vids[item] = w.video_id
+            if self.display_all_ids:
+                # ref video_shot_window_test_data_layer.cpp:235-238
+                # (LOG(WARNING); shot column = first positive shot id)
+                from videovector_tpu.utils.logging import get_logger
+                pid = (w.positive_shot_id[0]
+                       if getattr(w, "positive_shot_id", None) else 0)
+                get_logger(__name__).warning(
+                    "Item-id:Video-id:Shot-id:%d:%d:%d",
+                    item, w.video_id, pid)
         return {"data": data, "video_ids": vids}
 
     def __iter__(self):

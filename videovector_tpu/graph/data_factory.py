@@ -128,7 +128,8 @@ def make_data_source(layer: Message, *, phase: str = "TRAIN", seed: int = 1234):
             num_negative_samples=int(p.get("num_negative_samples", 0)),
             max_buffer_size=int(p.get("max_buffer_size", 0)),
             negative_swap_percentage=int(p.get("negative_swap_percentage", 0)),
-            negative_path=p.get("negative_dataset") or None, seed=seed)
+            negative_path=p.get("negative_dataset") or None, seed=seed,
+            display_all_ids=bool(p.get("display_all_ids", False)))
         return _RenamingSource(src, ["data", "video_id"], tops)
 
     if ltype == "VIDEO_SHOT_WINDOW_TEST_DATA":
@@ -140,7 +141,8 @@ def make_data_source(layer: Message, *, phase: str = "TRAIN", seed: int = 1234):
         src = VideoShotWindowTestSource(
             ds, int(p.get("batch_size", 1)),
             include_positives=bool(p.get("include_positives", True)),
-            include_negatives=bool(p.get("include_negatives", True)))
+            include_negatives=bool(p.get("include_negatives", True)),
+            display_all_ids=bool(p.get("display_all_ids", False)))
         return _RenamingSource(src, ["data", "video_ids"], tops)
 
     if ltype == "FIXED_VIDEO_SHOT_TEST_DATA":

@@ -213,8 +213,12 @@ class ScoringFusion:
                     return None
                 return [("ctx", tuple((c, s) for c, s in zip(coeffs, bsyms)))]
             if op == "PROD" and len(bsyms) == 2 \
+                    and bool(p.get("stable_prod_grad", True)) \
                     and all(s[0] in ("role", "drole", "ctx", "norm")
                             for s in bsyms):
+                # stable_prod_grad=false selects the reference's DIVISION
+                # backward (ops.eltwise_prod) — the fused batched-dot grad
+                # is the stable form, so such a layer must stay unfused
                 return [("prod", bsyms[0], bsyms[1])]
             return None
 

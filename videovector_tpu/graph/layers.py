@@ -149,7 +149,9 @@ def _inner_product():
 def _id_to_weight():
     def init(key, cfg, in_shapes):
         p = cfg.get_msg("id_to_weight_mapping_param")
-        num_ids = int(p.get("num_ids"))
+        # table rows = max_ids (K_), cols = num_output (N_)
+        # (ref:src/caffe/layers/id_to_weight_mapping_layer.cpp:16-29)
+        num_ids = int(p.get("max_ids"))
         dim = int(p.get("num_output"))
         wfill = fillers.get_filler(p.get_msg("weight_filler") if p.has("weight_filler") else None)
         return {"table": wfill(key, (num_ids, dim), jnp.float32)}
@@ -168,18 +170,23 @@ def _kernel_geometry(p):
     """kernel_size/kernel_h/kernel_w (+ stride/pad twins) per Caffe
     ConvolutionParameter/PoolingParameter conventions."""
     def pair(base, default):
+        square_key = base if base != "kernel" else "kernel_size"
         if p.has(f"{base}_h") or p.has(f"{base}_w"):
-            if base == "kernel" and not (p.has("kernel_h")
-                                         and p.has("kernel_w")):
-                # ref conv_layer.cpp:19-21: "For non-square filters both
-                # kernel_h and kernel_w are required" — the missing one
-                # would default to a 0-width kernel and surface later as
-                # an opaque zero-size XLA error
-                raise ValueError("non-square filters need BOTH kernel_h "
-                                 "and kernel_w (the reference CHECKs)")
+            if not (p.has(f"{base}_h") and p.has(f"{base}_w")):
+                # ref conv_layer.cpp:14-29: "X is X OR X_h and X_w are
+                # required" — the missing one would silently take the
+                # square default (0-width kernel / wrong stride)
+                raise ValueError(f"non-square geometry needs BOTH {base}_h "
+                                 f"and {base}_w (the reference CHECKs, "
+                                 f"conv_layer.cpp:14-29)")
+            if p.has(square_key):
+                # ref CHECKs the square and rectangular forms exclusive
+                raise ValueError(f"{square_key} cannot be combined with "
+                                 f"{base}_h/{base}_w (ref conv_layer.cpp:"
+                                 f"14-29 CHECKs them exclusive)")
             return (int(p.get(f"{base}_h", default)),
                     int(p.get(f"{base}_w", default)))
-        v = int(p.get(base if base != "kernel" else "kernel_size", default))
+        v = int(p.get(square_key, default))
         return (v, v)
     kernel = pair("kernel", 0)
     if kernel[0] <= 0 or kernel[1] <= 0:
@@ -485,7 +492,9 @@ def _eltwise():
         p = cfg.get_msg("eltwise_param")
         op = p.get("operation", "SUM")
         if op == "PROD":
-            return [ops.eltwise_prod(*inputs)]
+            return [ops.eltwise_prod(
+                *inputs,
+                stable_grad=bool(p.get("stable_prod_grad", True)))]
         if op == "MAX":
             return [ops.eltwise_max(*inputs)]
         coeffs = [float(c) for c in p.get_list("coeff")] or None

@@ -136,6 +136,21 @@ class Net:
                 tops = [str(t) for t in layer.get_list("top")]
                 self.data_layer_tops[layer.get("name")] = tops
                 self.input_names.extend(tops)
+                if layer.get("type") == "MEMORY_DATA" \
+                        and layer.has("memory_data_param"):
+                    # ref memory_data_layer.cpp:18-20 CHECK_GT(batch_size *
+                    # channels * height * width, 0). A param-less
+                    # MEMORY_DATA stays the documented extension: shapes
+                    # come from the fed batch (our Reset() equivalent).
+                    mp = layer.get_msg("memory_data_param")
+                    dims = [int(mp.get(k, 0) or 0) for k in
+                            ("batch_size", "channels", "height", "width")]
+                    if min(dims) <= 0:
+                        raise ValueError(
+                            f"layer {layer.get('name')!r}: batch_size, "
+                            f"channels, height, and width must be specified "
+                            f"and positive in memory_data_param (got "
+                            f"{dims}; ref memory_data_layer.cpp:18-20)")
 
         # host sinks (WRITE_TO_FILE / HDF5_OUTPUT): dumped host-side from the
         # returned blobs (jit graphs cannot do file IO)

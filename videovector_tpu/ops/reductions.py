@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -16,12 +17,44 @@ def sum_reduce(x, num_output: int = 1):
     return jnp.broadcast_to(s, (x.shape[0], num_output))
 
 
-def eltwise_prod(*xs):
-    """Eltwise PROD (ref:src/caffe/layers/eltwise_layer.cpp)."""
+def eltwise_prod(*xs, stable_grad: bool = True):
+    """Eltwise PROD (ref:src/caffe/layers/eltwise_layer.cpp).
+
+    `stable_grad` = EltwiseParameter.stable_prod_grad (default true): the
+    stable backward computes each input's grad as the product of the OTHER
+    inputs (ref eltwise_layer.cpp:121-131) — which is exactly what autodiff
+    of the chained multiply yields, so the default needs no custom rule.
+    stable_prod_grad=false reproduces the reference's division formulation
+    grad_i = (top / bottom_i) · top_diff (ref :132-134) — different only
+    where an input is 0 (0/0 → NaN there, by design: "may be numerically
+    unstable", caffe.proto:728-731)."""
+    if stable_grad or len(xs) == 1:
+        out = xs[0]
+        for x in xs[1:]:
+            out = out * x
+        return out
+    return _prod_div_grad(tuple(xs))
+
+
+@jax.custom_vjp
+def _prod_div_grad(xs):
     out = xs[0]
     for x in xs[1:]:
         out = out * x
     return out
+
+
+def _prod_div_fwd(xs):
+    out = _prod_div_grad(xs)
+    return out, (xs, out)
+
+
+def _prod_div_bwd(res, g):
+    xs, out = res
+    return (tuple((out / x) * g for x in xs),)
+
+
+_prod_div_grad.defvjp(_prod_div_fwd, _prod_div_bwd)
 
 
 def eltwise_sum(*xs, coeffs=None):

@@ -59,6 +59,12 @@ class SolverDriver:
         # reference visualization/debug knobs (ref solver.cpp:183-193)
         self.snapshot_vis = int(solver_msg.get("snapshot_vis", 0) or 0)
         self.snapshot_vis_dir = solver_msg.get("snapshot_vis_dir", ".")
+        # csv blob selection + sample truncation (ref solver.cpp:352-353,
+        # 401-405: empty csv = all blobs; truncate_len 0 = the default)
+        _vb = solver_msg.get("snapshot_vis_blobs", "") or ""
+        self.snapshot_vis_blobs = [s for s in _vb.split(",") if s]
+        self.snapshot_vis_truncate = int(
+            solver_msg.get("snapshot_vis_truncate_len", 0) or 0)
         self.debug_info_every = (int(solver_msg.get("display", 0) or 0)
                                  if solver_msg.get("debug_info") else 0)
 
@@ -421,7 +427,9 @@ class SolverDriver:
                                      rng=jax.random.PRNGKey(it),
                                      return_blobs=True)
                 vis_snapshot(net, p, blobs, os.path.join(
-                    self.snapshot_vis_dir, f"vis_iter_{it}.json"))
+                    self.snapshot_vis_dir, f"vis_iter_{it}.json"),
+                    vis_blobs=self.snapshot_vis_blobs,
+                    max_elements=self.snapshot_vis_truncate or 64)
 
             hooks.append((self.snapshot_vis, vis_hook))
         if self.debug_info_every:
