@@ -2,10 +2,12 @@
 vis_snapshot."""
 
 import json
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from videovector_tpu.config.textformat import parse
 from videovector_tpu.config.upgrade import net_needs_upgrade, upgrade_net
@@ -161,3 +163,21 @@ def test_debug_info_and_vis_snapshot(tmp_path, rng):
     assert any(l["name"] == "ip" for l in loaded["layers"])
     assert "p" in loaded["blobs"]
     assert loaded["blobs"]["loss"]["shape"] == []
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/src"),
+                    reason="reference not mounted")
+def test_proto_field_coverage_has_no_gaps():
+    """Every caffe.proto field the reference implementation reads is read
+    here too (scripts/audit_field_coverage.py; indirect reads and
+    XLA-obviated engine switches are enumerated IN the script). A new GAP
+    means a reference-visible config knob silently does nothing."""
+    import subprocess
+    import sys as _sys
+    out = subprocess.run(
+        [_sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                       "scripts", "audit_field_coverage.py")],
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    first = out.stdout.splitlines()[0]
+    assert "(0)" in first, out.stdout
