@@ -90,3 +90,29 @@ def test_parity_tool(tmp_path, rng):
     assert by_name["y"][5] is False
     assert main([str(tmp_path / "a.npz"), str(tmp_path / "a.npz")]) == 0
     assert main([str(tmp_path / "a.npz"), str(tmp_path / "b.npz")]) == 1
+
+
+def test_extraction_net_generator_builds():
+    """projects/videovec_embedding/generate_extraction_net.py emits the
+    reference extraction topology (conv1..pool5 -> fc6 -> fc7(ip1_nonorm)
+    -> relu(ip2), ref videovec_extraction.prototxt) with reference layer
+    names for .caffemodel name-matched loading."""
+    import os
+    import sys
+
+    from videovector_tpu.config.textformat import parse
+    from videovector_tpu.graph.net import Net
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "projects", "videovec_embedding"))
+    from generate_extraction_net import emit
+
+    txt = emit("list.txt", "mean.blob", batch=2)
+    net = Net(parse(txt), phase="TEST")
+    names = [l.get("name") for l in net.layers]
+    for want in ("data", "conv1", "norm1", "conv5", "pool5", "fc6", "fc7",
+                 "fc7_relu"):
+        assert want in names
+    # the conventional extraction blob exists as a top
+    tops = [str(t) for l in net.layers for t in l.get_list("top")]
+    assert "ip2" in tops and "ip1_nonorm" in tops

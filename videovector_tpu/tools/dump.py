@@ -100,10 +100,18 @@ def main(argv=None) -> int:
                    help="name=path.blob — feed a fixed BlobProto as a graph "
                         "input instead of pulling from the net's data layers "
                         "(the dump_network parity workflow)")
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the XLA CPU backend (the reference binary "
+                        "hardcodes GPU, dump_network.cpp:28)")
     p = sub.add_parser("learned_blobs")
     p.add_argument("--weights", required=True, help=".vvmodel file")
     p.add_argument("--out", required=True)
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the XLA CPU backend")
     args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.command == "network":
         batch = None
         if args.input:

@@ -168,8 +168,15 @@ def main(argv=None) -> int:
     parser.add_argument("--mesh", default="",
                         help="data-parallel extraction over a device mesh, "
                              "e.g. 8 or 8x1")
+    parser.add_argument("--cpu", action="store_true",
+                        help="run on the XLA CPU backend")
+    parser.add_argument("--gpu", default=None,
+                        help="accelerator device id; -1 = CPU (the "
+                             "reference binary's GPU/CPU + device-id args, "
+                             "ref tools/extract_features.cpp:52-66)")
     args = parser.parse_args(argv)
-    from videovector_tpu.tools.cli import _parse_mesh
+    from videovector_tpu.tools.cli import _apply_device_mode, _parse_mesh
+    _apply_device_mode(args)
     extract(args.model, args.weights, args.blobs.split(","), args.out,
             args.num_batches, backend=args.backend,
             mesh=_parse_mesh(args.mesh))
