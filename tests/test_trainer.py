@@ -345,3 +345,49 @@ def test_per_element_output_reporting(rng):
     _, t = res.test_history[0]
     assert t["evec[0]"] == 0.5 and t["evec[1]"] == 1.5
     assert t["escalar"] == 4.0
+
+
+def test_keyboard_interrupt_writes_emergency_snapshot(rng, tmp_path):
+    """Ctrl-C mid-training writes a snapshot at the interrupted iteration
+    before re-raising (the reference aborts and loses progress since the
+    last scheduled snapshot; solver/train.py's except KeyboardInterrupt).
+    Resuming from it continues the run."""
+    import pytest
+
+    ds = _structured_dataset(rng, num_videos=6)
+    data_cfg = SampledShotsConfig(batch_size=8, context_type="WINDOW",
+                                  context_size=5, seed=7,
+                                  num_negative_samples=2, max_buffer_size=16,
+                                  negative_swap_percentage=0)
+    mcfg = VideoEmbeddingConfig(feature_dim=32, embed_dim=16, num_context=4,
+                                num_negatives=2, margin=1.0, dropout_rate=0.0,
+                                compute_dtype="float32")
+    model = VideoEmbeddingModel(mcfg)
+    params0 = model.init(jax.random.PRNGKey(1))
+
+    def loss_fn(p, batch, key):
+        return model.loss(p, {"data": jnp.asarray(batch["data"])},
+                          rng=key, train=True)
+
+    def interrupting(src, at):
+        for i, b in enumerate(src):
+            if i == at:
+                raise KeyboardInterrupt
+            yield b
+
+    cfg = SolverConfig(base_lr=0.02, momentum=0.9, max_iter=20,
+                       snapshot_prefix=str(tmp_path / "emerg"))
+    with pytest.raises(KeyboardInterrupt):
+        train(loss_fn, params0, interrupting(
+            iter(VideoSampledShotsSource(ds, data_cfg)), 4), cfg)
+    snaps = glob.glob(str(tmp_path / "emerg_iter_*.vvstate"))
+    assert snaps, "no emergency snapshot written"
+    # the snapshot resumes (params + momentum + iter load cleanly)
+    from videovector_tpu.solver.checkpoint import restore as _restore
+    params, state = _restore(snaps[0])
+    assert int(state["iter"]) == 4
+    cfg2 = SolverConfig(base_lr=0.02, momentum=0.9, max_iter=6)
+    res = train(loss_fn, params0,
+                iter(VideoSampledShotsSource(ds, data_cfg)), cfg2,
+                resume_state_path=snaps[0])
+    assert int(res.state["iter"]) == 6  # continued 4 -> 6, not from 0
