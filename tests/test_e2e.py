@@ -829,6 +829,45 @@ layers { name: "norm" type: NORMALIZATION bottom: "out" top: "outn" }
         assert got["outn"].shape == (n, 6)
 
 
+def test_serving_sharded_matches_single_device(tmp_path):
+    """shard_serving: data-parallel serving over the mesh "data" axis must
+    reproduce the single-device artifact outputs exactly (shards are
+    independent — no collectives) and reject non-divisible batches."""
+    import pytest
+    from videovector_tpu.parallel import make_mesh
+    from videovector_tpu.tools.serving import (export_serving, load_serving,
+                                               shard_serving)
+    net = tmp_path / "deploy.prototxt"
+    net.write_text("""
+name: "deploy"
+input: "data"
+input_dim: 4 input_dim: 1 input_dim: 16 input_dim: 1
+layers { name: "ip" type: INNER_PRODUCT bottom: "data" top: "out"
+  inner_product_param { num_output: 6 weight_filler { type: "xavier" } } }
+layers { name: "norm" type: NORMALIZATION bottom: "out" top: "outn" }
+""")
+    out = str(tmp_path / "m.vvserve")
+    export_serving(str(net), [], ["outn"], out, symbolic_batch=True)
+    call, meta = load_serving(out)
+    mesh = make_mesh(data=8)
+    sharded = shard_serving(call, meta, mesh)
+    batch = {"data": np.random.RandomState(0)
+             .randn(16, 1, 16, 1).astype(np.float32)}
+    got = sharded(batch)
+    want = call(batch)
+    np.testing.assert_allclose(np.asarray(got["outn"]),
+                               np.asarray(want["outn"]), atol=1e-6)
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded({"data": batch["data"][:6]})
+
+
+def test_serving_cli_run_mesh(mini_project, tmp_path):
+    from videovector_tpu.tools.serving import main
+    out = str(tmp_path / "m.vvserve")
+    assert main(["export", mini_project["net"], out, "--blobs", "ctxn"]) == 0
+    assert main(["run", out, "--mesh", "8"]) == 0
+
+
 def test_resize_and_crop_images(tmp_path):
     """Reference dataset-prep utility: shorter side -> N, center square crop
     (ref tools/extra/resize_and_crop_images.py)."""

@@ -215,6 +215,36 @@ def load_serving(path: str):
     return exp.call, meta
 
 
+def shard_serving(call, meta, mesh):
+    """Data-parallel serving: returns a callable that shards input batches
+    over the mesh's "data" axis and runs the frozen artifact once per
+    device shard (shard_map — the shards are independent, so no
+    collectives; throughput scales linearly over ICI-free devices).
+
+    The artifact must accept the per-device batch: export with
+    --symbolic_batch (any divisible global batch), or feed a global batch
+    of artifact_batch × ndev. Beyond the reference (single-GPU serving);
+    the TPU-native deployment analogue of `extract_features --mesh`."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    shard_map = jax.shard_map
+
+    ndev = mesh.shape["data"]
+
+    def sharded_call(batch):
+        for k, v in batch.items():
+            if v.shape[0] % ndev:
+                raise ValueError(
+                    f"input {k!r} batch {v.shape[0]} not divisible by the "
+                    f"mesh data axis ({ndev})")
+        in_specs = {k: P("data") for k in batch}
+        f = shard_map(call, mesh=mesh, in_specs=(in_specs,),
+                      out_specs=P("data"), check_vma=False)
+        return jax.jit(f)(batch)
+
+    return sharded_call
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="vvtpu-serve")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -248,6 +278,10 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("run", help="smoke-run an artifact on random inputs")
     p.add_argument("artifact")
+    p.add_argument("--mesh", default="",
+                   help="data-parallel serving over a device mesh, e.g. 8 "
+                        "(batch shards over devices; artifact runs per "
+                        "shard, no collectives)")
 
     args = parser.parse_args(argv)
     if args.command == "export":
@@ -266,8 +300,15 @@ def main(argv=None) -> int:
     elif args.command == "run":
         call, meta = load_serving(args.artifact)
         rng = np.random.RandomState(0)
-        batch = {k: rng.randn(*[8 if d == -1 else d
-                                for d in shape]).astype(dtype)
+        mult = 1
+        if args.mesh:
+            from videovector_tpu.tools.cli import _parse_mesh
+            mesh = _parse_mesh(args.mesh)
+            call = shard_serving(call, meta, mesh)
+            mult = mesh.shape["data"]
+        batch = {k: rng.randn(*[8 * mult if d == -1 else
+                                (d * mult if i == 0 else d)
+                                for i, d in enumerate(shape)]).astype(dtype)
                  for k, (shape, dtype) in meta["inputs"].items()}
         out = call(batch)
         for name, arr in out.items():
