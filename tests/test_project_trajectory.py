@@ -188,3 +188,93 @@ def test_serving_export_stateful_lstm_state_io(tmp_path, rng):
         h = np.asarray(outd["state:enc:h"])
     # the carry actually mattered (state is nonzero after batch 1)
     assert float(np.abs(c).max()) > 0
+
+
+def _stateful_lstm_artifact(tmp_path, rng, symbolic_batch=False):
+    from videovector_tpu.tools.serving import export_serving, load_serving
+    train, _ = _write_data(tmp_path, rng, t_obs=5, t_pred=2)
+    net_text = f"""
+    name: "lstm_serve"
+    layers {{ name: "d" type: TRACKING_WINDOWS_DATA
+      top: "observed" top: "cont_obs" top: "predicted" top: "cont_pred"
+      top: "gt"
+      tracking_windows_data_param {{ source: "{train}" batch_size: 6
+        temporal_observed_size: 5 temporal_predicted_size: 2 }} }}
+    layers {{ name: "enc" type: LSTM bottom: "observed" bottom: "cont_obs"
+      top: "h" inner_product_param {{ num_output: 10
+        weight_filler {{ type: "gaussian" std: 0.2 }} }} }}
+    layers {{ name: "sil1" type: SILENCE bottom: "predicted" }}
+    layers {{ name: "sil2" type: SILENCE bottom: "cont_pred" }}
+    layers {{ name: "sil3" type: SILENCE bottom: "gt" }}
+    """
+    net_path = tmp_path / "lstm_serve.prototxt"
+    net_path.write_text(net_text)
+    out = str(tmp_path / "lstm.vvserve")
+    meta = export_serving(str(net_path), [], ["h"], out,
+                          symbolic_batch=symbolic_batch)
+    call, meta2 = load_serving(out)
+    return call, meta2
+
+
+def test_serving_batch_axes_recorded_time_major(tmp_path, rng):
+    """The artifact records per-tensor batch axes: time-major LSTM blobs
+    (T, B, ...) → axis 1, state carries (B, H) → axis 0 — the layout
+    data-parallel serving and --symbolic_batch must split/symbolize."""
+    _, meta = _stateful_lstm_artifact(tmp_path, rng)
+    ax = meta["batch_axes"]
+    assert ax["observed"] == 1 and ax["cont_obs"] == 1
+    assert ax["state:enc:c"] == 0 and ax["state:enc:h"] == 0
+    assert ax["h"] == 1  # output h is (T, B, H)
+
+
+def test_serving_sharded_stateful_threads_state(tmp_path, rng):
+    """shard_serving on a stateful time-major artifact: sequence tops split
+    on axis 1, state carries on axis 0 — threading the carry through 3
+    sharded calls matches the single-device artifact exactly (each shard
+    owns its sub-batch's state; no cross-shard coupling)."""
+    from videovector_tpu.parallel import make_mesh
+    from videovector_tpu.tools.serving import shard_serving
+    call, meta = _stateful_lstm_artifact(tmp_path, rng, symbolic_batch=True)
+    sharded = shard_serving(call, meta, make_mesh(data=2))
+
+    r = np.random.RandomState(7)
+    batches = [{"observed": r.randn(5, 6, 3).astype(np.float32),
+                "cont_obs": np.vstack([np.zeros((1, 6), np.float32),
+                                       np.ones((4, 6), np.float32)]),
+                "predicted": r.randn(2, 6, 3).astype(np.float32),
+                "cont_pred": np.ones((2, 6), np.float32),
+                "gt": r.randn(2, 6, 2).astype(np.float32)}
+               for _ in range(3)]
+    for fn in (call, sharded):
+        c = np.zeros((6, 10), np.float32)
+        h = np.zeros((6, 10), np.float32)
+        outs = []
+        for b in batches:
+            o = fn({**b, "state:enc:c": c, "state:enc:h": h})
+            outs.append(np.asarray(o["h"]))
+            c, h = np.asarray(o["state:enc:c"]), np.asarray(o["state:enc:h"])
+        if fn is call:
+            want, want_c = outs, c
+    for got, ref in zip(outs, want):
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(c, want_c, rtol=1e-5, atol=1e-6)
+    assert float(np.abs(c).max()) > 0
+
+
+def test_serving_symbolic_batch_time_major(tmp_path, rng):
+    """--symbolic_batch on a stateful net symbolizes the BATCH axis (axis 1
+    for time-major tops, axis 0 for state) — the time axis stays static."""
+    call, meta = _stateful_lstm_artifact(tmp_path, rng, symbolic_batch=True)
+    assert meta["inputs"]["observed"][0] == [5, -1, 3]
+    assert meta["inputs"]["state:enc:c"][0] == [-1, 10]
+    r = np.random.RandomState(3)
+    for b in (2, 9):
+        o = call({"observed": r.randn(5, b, 3).astype(np.float32),
+                  "cont_obs": np.ones((5, b), np.float32),
+                  "predicted": r.randn(2, b, 3).astype(np.float32),
+                  "cont_pred": np.ones((2, b), np.float32),
+                  "gt": r.randn(2, b, 2).astype(np.float32),
+                  "state:enc:c": np.zeros((b, 10), np.float32),
+                  "state:enc:h": np.zeros((b, 10), np.float32)})
+        assert np.asarray(o["h"]).shape == (5, b, 10)
+        assert np.asarray(o["state:enc:h"]).shape == (b, 10)

@@ -80,9 +80,10 @@ def export_serving(model_path: str, weight_paths: list[str],
         if all(str(t) in batch0 for t in l.get_list("top")):
             continue  # caller supplied this layer's shapes
         sources.append(make_data_source(l, phase="TEST"))
-    if sources:
+    merged0 = MergedSource(sources) if sources else None
+    if merged0 is not None:
         batch0.update({k: np.asarray(v)
-                       for k, v in MergedSource(sources).next_batch().items()})
+                       for k, v in merged0.next_batch().items()})
     input_names = list(net_msg.get_list("input"))
     input_dims = [int(d) for d in net_msg.get_list("input_dim")]
     for idx, name in enumerate(input_names):
@@ -91,6 +92,14 @@ def export_serving(model_path: str, weight_paths: list[str],
     if not batch0:
         raise ValueError("net has neither data layers nor input "
                          "declarations (pass input_shapes / --input_shape)")
+    # per-input batch axis (the axis data-parallel sharding splits and
+    # --symbolic_batch symbolizes): 0 for declared inputs; time-major
+    # sources (tracking (T, B, ...)) declare theirs via batch_axes()
+    in_axes = {k: 0 for k in batch0}
+    if merged0 is not None:
+        for k, a in merged0.batch_axes().items():
+            if k in in_axes:
+                in_axes[k] = int(a)
 
     params, _ = net.init(jax.random.PRNGKey(0), {
         k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
@@ -147,6 +156,7 @@ def export_serving(model_path: str, weight_paths: list[str],
         for ln in stateful:
             state0[f"state:{ln}:c"] = np.zeros(st0[ln].c.shape, np.float32)
             state0[f"state:{ln}:h"] = np.zeros(st0[ln].h.shape, np.float32)
+        in_axes.update({k: 0 for k in state0})  # LstmState is (B, H)
 
     def serve(batch):
         feed = {k: v for k, v in batch.items() if not k.startswith("state:")}
@@ -170,10 +180,37 @@ def export_serving(model_path: str, weight_paths: list[str],
         return out
 
     all_inputs = {**batch0, **state0}
+
+    # infer each OUTPUT's batch axis abstractly: double every input at its
+    # batch axis and see which output dims double (exact — only batch dims
+    # vary). Nets with a static-batch constraint (e.g. FLATTEN_BATCH with
+    # an explicit batch_size) refuse the doubled trace; their outputs fall
+    # back to axis 0 in consumers, matching the pre-batch_axes behavior.
+    def _mult_spec(m: int):
+        return {k: jax.ShapeDtypeStruct(
+            tuple(int(d) * m if i == in_axes[k] else int(d)
+                  for i, d in enumerate(v.shape)), jnp.float32)
+            for k, v in all_inputs.items()}
+
+    out_axes: dict = {}
+    try:
+        out1 = jax.eval_shape(serve, _mult_spec(1))
+        out2 = jax.eval_shape(serve, _mult_spec(2))
+        for name in out1:
+            doubled = [i for i, (a, b) in enumerate(zip(out1[name].shape,
+                                                        out2[name].shape))
+                       if a != b and b == 2 * a]
+            out_axes[name] = doubled[0] if doubled else None
+    except Exception as e:  # static-batch net: axes stay unrecorded
+        log.info("output batch-axis inference skipped (static-batch "
+                 "net?): %s", e)
+
     if symbolic_batch:
         (b,) = jexport.symbolic_shape("b")
-        spec = {k: jax.ShapeDtypeStruct((b,) + v.shape[1:], jnp.float32)
-                for k, v in all_inputs.items()}
+        spec = {k: jax.ShapeDtypeStruct(
+            tuple(b if i == in_axes[k] else int(d)
+                  for i, d in enumerate(v.shape)), jnp.float32)
+            for k, v in all_inputs.items()}
     else:
         spec = {k: jax.ShapeDtypeStruct(v.shape, jnp.float32)
                 for k, v in all_inputs.items()}
@@ -181,9 +218,10 @@ def export_serving(model_path: str, weight_paths: list[str],
     payload = exp.serialize()
 
     meta = {
-        "inputs": {k: [[-1 if symbolic_batch and i == 0 else int(d)
+        "inputs": {k: [[-1 if symbolic_batch and i == in_axes[k] else int(d)
                         for i, d in enumerate(v.shape)], "float32"]
                    for k, v in spec.items()},
+        "batch_axes": {**in_axes, **out_axes},
         "outputs": blob_names + [k for k in sorted(state0)],
         "state": sorted(state0),
         "platforms": list(exp.platforms),
@@ -223,23 +261,37 @@ def shard_serving(call, meta, mesh):
 
     The artifact must accept the per-device batch: export with
     --symbolic_batch (any divisible global batch), or feed a global batch
-    of artifact_batch × ndev. Beyond the reference (single-GPU serving);
-    the TPU-native deployment analogue of `extract_features --mesh`."""
+    of artifact_batch × ndev. Tensors split on their recorded batch axis
+    (meta["batch_axes"]: time-major LSTM blobs are (T, B, ...) → axis 1,
+    state:* carries axis 0); artifacts exported before that field default
+    to axis 0. Beyond the reference (single-GPU serving); the TPU-native
+    deployment analogue of `extract_features --mesh`."""
     import jax
     from jax.sharding import PartitionSpec as P
     shard_map = jax.shard_map
 
     ndev = mesh.shape["data"]
+    axes = meta.get("batch_axes") or {}
+
+    def _spec(name):
+        ax = axes.get(name, 0)
+        if ax is None:
+            raise ValueError(
+                f"output {name!r} has no batch axis (per-shard values "
+                "would differ) — export without it for sharded serving")
+        return ax, P(*([None] * ax + ["data"]))
 
     def sharded_call(batch):
+        in_specs = {}
         for k, v in batch.items():
-            if v.shape[0] % ndev:
+            ax, in_specs[k] = _spec(k)
+            if v.shape[ax] % ndev:
                 raise ValueError(
-                    f"input {k!r} batch {v.shape[0]} not divisible by the "
-                    f"mesh data axis ({ndev})")
-        in_specs = {k: P("data") for k in batch}
+                    f"input {k!r} batch {v.shape[ax]} (axis {ax}) not "
+                    f"divisible by the mesh data axis ({ndev})")
+        out_specs = {n: _spec(n)[1] for n in meta["outputs"]}
         f = shard_map(call, mesh=mesh, in_specs=(in_specs,),
-                      out_specs=P("data"), check_vma=False)
+                      out_specs=out_specs, check_vma=False)
         return jax.jit(f)(batch)
 
     return sharded_call
@@ -306,8 +358,9 @@ def main(argv=None) -> int:
             mesh = _parse_mesh(args.mesh)
             call = shard_serving(call, meta, mesh)
             mult = mesh.shape["data"]
+        axes = meta.get("batch_axes") or {}
         batch = {k: rng.randn(*[8 * mult if d == -1 else
-                                (d * mult if i == 0 else d)
+                                (d * mult if i == axes.get(k, 0) else d)
                                 for i, d in enumerate(shape)]).astype(dtype)
                  for k, (shape, dtype) in meta["inputs"].items()}
         out = call(batch)
