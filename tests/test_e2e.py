@@ -861,6 +861,40 @@ layers { name: "norm" type: NORMALIZATION bottom: "out" top: "outn" }
         sharded({"data": batch["data"][:6]})
 
 
+def test_serving_tensor_parallel_export(tmp_path):
+    """export_serving(mesh=): a multi-device artifact with weights
+    column-sharded over "model" (GSPMD collectives baked in) reproduces
+    the single-device artifact's outputs; mesh_serving runs it."""
+    from videovector_tpu.parallel import make_mesh
+    from videovector_tpu.tools.serving import (export_serving, load_serving,
+                                               mesh_serving)
+    net = tmp_path / "deploy.prototxt"
+    net.write_text("""
+name: "deploy"
+input: "data"
+input_dim: 4 input_dim: 1 input_dim: 16 input_dim: 1
+layers { name: "ip" type: INNER_PRODUCT bottom: "data" top: "out"
+  inner_product_param { num_output: 8 weight_filler { type: "xavier" } } }
+layers { name: "norm" type: NORMALIZATION bottom: "out" top: "outn" }
+""")
+    single = str(tmp_path / "m1.vvserve")
+    export_serving(str(net), [], ["outn"], single)
+    tp = str(tmp_path / "m8.vvserve")
+    meta_tp = export_serving(str(net), [], ["outn"], tp,
+                             mesh=make_mesh(data=2, model=4))
+    assert meta_tp["nr_devices"] == 8
+    assert meta_tp["mesh"] == {"data": 2, "model": 4}
+
+    call1, _ = load_serving(single)
+    call8, meta8 = load_serving(tp)
+    batch = {"data": np.random.RandomState(0)
+             .randn(4, 1, 16, 1).astype(np.float32)}
+    want = call1(batch)
+    got = mesh_serving(call8, meta8)(batch)
+    np.testing.assert_allclose(np.asarray(got["outn"]),
+                               np.asarray(want["outn"]), atol=1e-5)
+
+
 def test_serving_cli_run_mesh(mini_project, tmp_path):
     from videovector_tpu.tools.serving import main
     out = str(tmp_path / "m.vvserve")

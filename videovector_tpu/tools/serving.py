@@ -38,7 +38,8 @@ def export_serving(model_path: str, weight_paths: list[str],
                    quantize: str | None = None,
                    calib_batches: int = 4,
                    calib_data: list | None = None,
-                   compute_dtype: str | None = None) -> dict:
+                   compute_dtype: str | None = None,
+                   mesh=None) -> dict:
     """Freeze phase=TEST forward(params, batch) → {blob: activation} with
     params as constants; write a self-contained artifact. Returns the
     input spec {name: (shape, dtype)}.
@@ -51,7 +52,15 @@ def export_serving(model_path: str, weight_paths: list[str],
     the net's data source) and freezes conv/fc weights as int8 with
     symmetric per-channel scales (tools/quantize.py) — int8×int8→int32 on
     the MXU (v5e: 2× bf16 peak) and a 4× smaller artifact. Accuracy is
-    bounded by tests/test_quantize.py (retrieval-metric deltas)."""
+    bounded by tests/test_quantize.py (retrieval-metric deltas).
+
+    mesh (a jax Mesh with "data"/"model" axes) exports a MULTI-DEVICE
+    artifact: 2-D weight matrices are column-sharded over "model"
+    (tensor-parallel — GSPMD inserts the collectives; latency-critical
+    serving splits the big GEMMs over ICI) and inputs batch-shard over
+    "data". The artifact bakes in the device count; load it with
+    `mesh_serving` on a host with that many devices. Requires that many
+    devices at export time too."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -158,17 +167,44 @@ def export_serving(model_path: str, weight_paths: list[str],
             state0[f"state:{ln}:h"] = np.zeros(st0[ln].h.shape, np.float32)
         in_axes.update({k: 0 for k in state0})  # LstmState is (B, H)
 
+    def _mesh_constrain(p, feed):
+        # multi-device export: column-shard 2-D weights over "model"
+        # (same layout as parallel/train.shard_params) and batch-shard the
+        # feed over "data" at each input's batch axis; GSPMD propagates
+        # shardings and inserts the collectives into the frozen program.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        tp = mesh.shape.get("model", 1) > 1
+
+        def cp(leaf):
+            spec = P(None, "model") if tp and getattr(leaf, "ndim", 0) == 2 \
+                else P()
+            return jax.lax.with_sharding_constraint(
+                leaf, NamedSharding(mesh, spec))
+
+        p = jax.tree.map(cp, p)
+        if mesh.shape.get("data", 1) > 1:
+            def cb(k, leaf):
+                dims = [None] * leaf.ndim
+                dims[in_axes.get(k, 0)] = "data"
+                return jax.lax.with_sharding_constraint(
+                    leaf, NamedSharding(mesh, P(*dims)))
+            feed = {k: cb(k, v) for k, v in feed.items()}
+        return p, feed
+
     def serve(batch):
         feed = {k: v for k, v in batch.items() if not k.startswith("state:")}
+        p = params
+        if mesh is not None:
+            p, feed = _mesh_constrain(p, feed)
         if stateful:
             from videovector_tpu.ops.recurrent import LstmState
             state = {ln: LstmState(batch[f"state:{ln}:c"],
                                    batch[f"state:{ln}:h"])
                      for ln in stateful}
-            _, blobs, st = net.apply(params, feed, state=state,
+            _, blobs, st = net.apply(p, feed, state=state,
                                      return_blobs=True, return_state=True)
         else:
-            _, blobs = net.apply(params, feed, return_blobs=True)
+            _, blobs = net.apply(p, feed, return_blobs=True)
             st = {}
         missing = [n for n in blob_names if n not in blobs]
         if missing:
@@ -225,6 +261,9 @@ def export_serving(model_path: str, weight_paths: list[str],
         "outputs": blob_names + [k for k in sorted(state0)],
         "state": sorted(state0),
         "platforms": list(exp.platforms),
+        "mesh": ({ax: int(sz) for ax, sz in mesh.shape.items()}
+                 if mesh is not None else None),
+        "nr_devices": int(exp.nr_devices),
         "model": model_path,
         "quantize": quantize or "none",
         "compute_dtype": compute_dtype or "float32",
@@ -251,6 +290,29 @@ def load_serving(path: str):
         meta = json.loads(f.read(meta_len).decode())
         exp = jexport.deserialize(bytearray(f.read()))
     return exp.call, meta
+
+
+def mesh_serving(call, meta):
+    """Load-side twin of `export_serving(mesh=...)`: returns a callable
+    that runs a MULTI-DEVICE artifact (weights column-sharded over
+    "model", inputs batch-sharded over "data" — the shardings are baked
+    into the frozen program). Needs `meta["nr_devices"]` local devices;
+    inputs are fed replicated and GSPMD reshards them on entry."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from videovector_tpu.parallel import make_mesh
+
+    ndev = int(meta.get("nr_devices") or 1)
+    if ndev == 1:
+        return call
+    if len(jax.devices()) < ndev:
+        raise ValueError(
+            f"artifact was exported for {ndev} devices; "
+            f"{len(jax.devices())} available")
+    m = meta.get("mesh") or {}
+    mesh = make_mesh(data=int(m.get("data", 1)), model=int(m.get("model", 1)))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(call, in_shardings=rep, out_shardings=rep)
 
 
 def shard_serving(call, meta, mesh):
@@ -327,6 +389,11 @@ def main(argv=None) -> int:
                    help="freeze bf16 GEMM/conv operands (f32 accumulation)"
                         " — the live pipeline's throughput math; default "
                         "keeps f32 reference numerics")
+    p.add_argument("--mesh", default="",
+                   help="DxM: bake a multi-device program (weights column-"
+                        "sharded over the M model axis, batch over D) — "
+                        "tensor-parallel serving; load with mesh_serving "
+                        "on a DxM-device host")
 
     p = sub.add_parser("run", help="smoke-run an artifact on random inputs")
     p.add_argument("artifact")
@@ -342,18 +409,26 @@ def main(argv=None) -> int:
         for spec in args.input_shape:
             name, _, dims = spec.partition("=")
             shapes[name] = tuple(int(d) for d in dims.split(","))
+        from videovector_tpu.tools.cli import _parse_mesh
         export_serving(args.model, args.weights, args.blobs.split(","),
                        args.out, platforms=platforms,
                        symbolic_batch=args.symbolic_batch,
                        input_shapes=shapes or None,
                        quantize=args.quantize or None,
                        calib_batches=args.calib_batches,
-                       compute_dtype=args.compute or None)
+                       compute_dtype=args.compute or None,
+                       mesh=_parse_mesh(args.mesh))
     elif args.command == "run":
         call, meta = load_serving(args.artifact)
         rng = np.random.RandomState(0)
         mult = 1
-        if args.mesh:
+        if int(meta.get("nr_devices") or 1) > 1:
+            if args.mesh:
+                raise SystemExit("--mesh: this artifact already bakes a "
+                                 f"{meta['nr_devices']}-device program; it "
+                                 "runs on its export mesh via mesh_serving")
+            call = mesh_serving(call, meta)
+        elif args.mesh:
             from videovector_tpu.tools.cli import _parse_mesh
             mesh = _parse_mesh(args.mesh)
             call = shard_serving(call, meta, mesh)
