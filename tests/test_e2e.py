@@ -895,6 +895,49 @@ layers { name: "norm" type: NORMALIZATION bottom: "out" top: "outn" }
                                np.asarray(want["outn"]), atol=1e-5)
 
 
+def test_serving_tp_composes_with_quantize_and_symbolic(tmp_path):
+    """The multi-device export composes with the other knobs: int8×TP
+    equals int8 single-device; bf16×TP×symbolic_batch serves any
+    divisible batch."""
+    from videovector_tpu.parallel import make_mesh
+    from videovector_tpu.tools.serving import (export_serving, load_serving,
+                                               mesh_serving)
+    net = tmp_path / "deploy.prototxt"
+    net.write_text("""
+name: "deploy"
+input: "data"
+input_dim: 4 input_dim: 1 input_dim: 16 input_dim: 1
+layers { name: "ip" type: INNER_PRODUCT bottom: "data" top: "out"
+  inner_product_param { num_output: 8 weight_filler { type: "xavier" } } }
+layers { name: "norm" type: NORMALIZATION bottom: "out" top: "outn" }
+""")
+    mesh = make_mesh(data=2, model=4)
+    calib = [{"data": np.random.RandomState(i)
+              .randn(4, 1, 16, 1).astype(np.float32)} for i in range(3)]
+    q1 = str(tmp_path / "q1.vvserve")
+    export_serving(str(net), [], ["outn"], q1, quantize="int8",
+                   calib_data=calib)
+    qtp = str(tmp_path / "qtp.vvserve")
+    export_serving(str(net), [], ["outn"], qtp, quantize="int8",
+                   calib_data=calib, mesh=mesh)
+    btp = str(tmp_path / "btp.vvserve")
+    export_serving(str(net), [], ["outn"], btp, compute_dtype="bfloat16",
+                   symbolic_batch=True, mesh=mesh)
+
+    batch = {"data": np.random.RandomState(9)
+             .randn(4, 1, 16, 1).astype(np.float32)}
+    call1, _ = load_serving(q1)
+    callq, metaq = load_serving(qtp)
+    np.testing.assert_allclose(
+        np.asarray(mesh_serving(callq, metaq)(batch)["outn"]),
+        np.asarray(call1(batch)["outn"]), atol=1e-5)
+    callb, metab = load_serving(btp)
+    out = mesh_serving(callb, metab)(
+        {"data": np.random.RandomState(2)
+         .randn(16, 1, 16, 1).astype(np.float32)})
+    assert np.asarray(out["outn"]).shape == (16, 8)
+
+
 def test_serving_cli_run_mesh(mini_project, tmp_path):
     from videovector_tpu.tools.serving import main
     out = str(tmp_path / "m.vvserve")
