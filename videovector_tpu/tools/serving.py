@@ -332,6 +332,11 @@ def shard_serving(call, meta, mesh):
     from jax.sharding import PartitionSpec as P
     shard_map = jax.shard_map
 
+    if int(meta.get("nr_devices") or 1) > 1:
+        raise ValueError(
+            f"artifact bakes a {meta['nr_devices']}-device program (export "
+            "mesh=...); run it via mesh_serving — shard_serving is for "
+            "single-device artifacts")
     ndev = mesh.shape["data"]
     axes = meta.get("batch_axes") or {}
 
