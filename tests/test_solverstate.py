@@ -97,6 +97,66 @@ def test_solverstate_resume_matches_vvstate_resume(mini_project):
         rtol=1e-5, atol=1e-7)
 
 
+def test_orbax_snapshot_roundtrip(tmp_path):
+    """export_orbax_snapshot / restore_orbax: exact pytree roundtrip
+    through the Orbax (tensorstore) directory format."""
+    from videovector_tpu.solver.checkpoint import (export_orbax_snapshot,
+                                                   restore_orbax)
+    rng = np.random.RandomState(0)
+    params = {"fc7": {"w": rng.randn(6, 4).astype(np.float32),
+                      "b": rng.randn(4).astype(np.float32)}}
+    state = {"iter": jnp.int32(37),
+             "history": {"fc7": {"w": rng.randn(6, 4).astype(np.float32),
+                                 "b": rng.randn(4).astype(np.float32)}}}
+    path = export_orbax_snapshot(str(tmp_path / "snap"), 37, params, state)
+    assert path.endswith("_iter_37.orbax") and os.path.isdir(path)
+    p2, s2 = restore_orbax(path)
+    assert int(s2["iter"]) == 37
+    for name in ("w", "b"):
+        np.testing.assert_array_equal(np.asarray(p2["fc7"][name]),
+                                      params["fc7"][name])
+        np.testing.assert_array_equal(np.asarray(s2["history"]["fc7"][name]),
+                                      state["history"]["fc7"][name])
+    # overwrite semantics: re-export at the same iter must not fail
+    export_orbax_snapshot(str(tmp_path / "snap"), 37, params, state)
+
+
+def test_orbax_resume_matches_vvstate_resume(mini_project):
+    """snapshot_format: "orbax" writes the .orbax directory alongside the
+    native pair, and resuming from it continues the trajectory exactly
+    like the .vvstate resume."""
+    msg = _solver_with(mini_project, max_iter=8, snapshot=8,
+                       test_interval=0, display=1)
+    msg.add("snapshot_format", "orbax")
+    SolverDriver(msg).build().train()
+    prefix = str(mini_project["tmp"] / "snap")
+    assert os.path.isdir(f"{prefix}_iter_8.orbax")
+    assert os.path.exists(f"{prefix}_iter_8.vvstate")
+
+    msg2 = _solver_with(mini_project, max_iter=16, snapshot=0,
+                        test_interval=0, display=1)
+    res_native = SolverDriver(msg2).build().train(
+        resume_state_path=f"{prefix}_iter_8.vvstate")
+    res_orbax = SolverDriver(msg2).build().train(
+        resume_state_path=f"{prefix}_iter_8.orbax")
+
+    ln = [m[1]["loss"] for m in res_native.metrics_history]
+    lo = [m[1]["loss"] for m in res_orbax.metrics_history]
+    assert len(ln) == len(lo) > 0
+    np.testing.assert_allclose(ln, lo, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res_native.params["fc7"]["w"]),
+        np.asarray(res_orbax.params["fc7"]["w"]), rtol=1e-6, atol=1e-8)
+
+
+def test_unknown_snapshot_format_rejected(mini_project):
+    msg = _solver_with(mini_project, max_iter=2, snapshot=0,
+                       test_interval=0)
+    msg.add("snapshot_format", "hdf5")
+    with pytest.raises(ValueError, match="snapshot_format"):
+        SolverDriver(msg).build().train()
+
+
 def _varint(n: int) -> bytes:
     out = bytearray()
     while True:

@@ -469,13 +469,24 @@ class SolverDriver:
         layer_order = [l.get("name") for l in net.layers
                        if l.get("name") in self.params]
         caffe_export = None
-        if str(cfg.snapshot_format).lower() == "caffe":
+        fmt = str(cfg.snapshot_format).lower()
+        if fmt == "caffe":
             from videovector_tpu.solver.checkpoint import export_caffe_snapshot
             net_msg = self.net_msg
 
             def caffe_export(it, p_np, s_np):
                 export_caffe_snapshot(cfg.snapshot_prefix or "snapshot",
                                       it, p_np, s_np, net_msg, layer_order)
+        elif fmt == "orbax":
+            from videovector_tpu.solver.checkpoint import export_orbax_snapshot
+
+            def caffe_export(it, p_np, s_np):
+                export_orbax_snapshot(cfg.snapshot_prefix or "snapshot",
+                                      it, p_np, s_np)
+        elif fmt not in ("vv", ""):
+            raise ValueError(
+                f"unknown snapshot_format {cfg.snapshot_format!r} "
+                "(expected vv, caffe, or orbax)")
 
         # fused iter_size/grad_microbatch accumulation (ONE scanned XLA
         # program per step) for stateless nets; stateful nets must thread

@@ -282,6 +282,9 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
                     "or pass the net's param-layer order)")
             params, state = restore_solverstate(resume_state_path, params,
                                                 param_layer_order)
+        elif resume_state_path.rstrip("/").endswith(".orbax"):
+            from videovector_tpu.solver.checkpoint import restore_orbax
+            params, state = restore_orbax(resume_state_path)
         else:
             params, state = restore(resume_state_path)
         start_iter = int(state["iter"])
