@@ -582,6 +582,34 @@ def test_cli_time(mini_project):
                  "--backward", "--per_layer", "isolated"]) == 0
 
 
+def test_cli_time_memory(mini_project):
+    """`vvtpu time --memory` reports XLA buffer-assignment memory (peak +
+    argument/output/temp components) for the forward and fwd+bwd programs."""
+    import logging
+
+    class _Collect(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.lines = []
+
+        def emit(self, record):
+            self.lines.append(record.getMessage())
+
+    handler = _Collect()
+    logger = logging.getLogger("videovector_tpu")
+    logger.addHandler(handler)
+    try:
+        from videovector_tpu.tools.cli import main
+        assert main(["time", "--model", mini_project["net"],
+                     "--iterations", "1", "--fused_only", "--memory"]) == 0
+    finally:
+        logger.removeHandler(handler)
+    text = "\n".join(handler.lines)
+    assert "Memory (fused forward-backward): peak " in text
+    assert "Memory (forward only): peak " in text
+    assert "arguments " in text and "temporaries " in text
+
+
 def test_segmented_timing_covers_every_layer(mini_project):
     """The segmented mode must report a marginal line for every compute
     layer and a prefix-sum total."""

@@ -344,12 +344,13 @@ def cmd_time(args) -> int:
     mode = getattr(args, "per_layer", "segmented")
     if getattr(args, "fused_only", False):
         mode = "off"
+    memory = getattr(args, "memory", False)
     if mode == "off":
-        return _time_fused(net, params, batch, iters)
+        return _time_fused(net, params, batch, iters, memory=memory)
     if mode == "segmented":
         _time_segmented(net, params, batch, iters,
                         backward=getattr(args, "backward", False))
-        _time_fused(net, params, batch, iters)
+        _time_fused(net, params, batch, iters, memory=memory)
         return 0
 
     # isolated mode: each layer jitted alone (one compile per layer — fine
@@ -399,7 +400,7 @@ def cmd_time(args) -> int:
             log.info("%-24s backward: %.3f ms", lname, dt)
     log.info("Total per-layer forward: %.3f ms", total)
 
-    _time_fused(net, params, batch, iters)
+    _time_fused(net, params, batch, iters, memory=memory)
     return 0
 
 
@@ -483,16 +484,55 @@ def _time_segmented(net, params, batch, iters, backward=False):
     return 0
 
 
-def _time_fused(net, params, batch, iters):
+def _fmt_bytes(n) -> str:
+    n = float(n)
+    for unit in ("B", "KiB", "MiB"):
+        if n < 1024:
+            return f"{n:.0f} {unit}" if unit == "B" else f"{n:.1f} {unit}"
+        n /= 1024
+    return f"{n:.2f} GiB"
+
+
+def _log_memory_stats(tag: str, ma) -> None:
+    """One line of XLA buffer-assignment memory accounting for a compiled
+    program (jax AOT `compiled.memory_analysis()`): peak device (HBM)
+    footprint plus its argument/output/temp/code components. TPU-first
+    extension beyond the reference's `caffe time` (which reports ms only,
+    ref:tools/caffe.cpp:194-266) — peak HBM is what sizes batches and
+    galleries on a TPU host."""
+    if ma is None:  # backends without buffer-assignment stats
+        log.info("Memory (%s): not reported by this backend", tag)
+        return
+    log.info(
+        "Memory (%s): peak %s (arguments %s, outputs %s, temporaries %s, "
+        "code %s)", tag,
+        _fmt_bytes(getattr(ma, "peak_memory_in_bytes", 0)),
+        _fmt_bytes(getattr(ma, "argument_size_in_bytes", 0)),
+        _fmt_bytes(getattr(ma, "output_size_in_bytes", 0)),
+        _fmt_bytes(getattr(ma, "temp_size_in_bytes", 0)),
+        _fmt_bytes(getattr(ma, "generated_code_size_in_bytes", 0)))
+
+
+def _time_fused(net, params, batch, iters, memory=False):
     import jax
     import jax.numpy as jnp
     step = jax.jit(jax.value_and_grad(lambda p: net.loss_fn(p, batch,
                                                             jax.random.PRNGKey(0))))
-    loss, g = step(params)
+    fn = step
+    if memory:
+        # AOT-compile so the executable's buffer assignment is inspectable;
+        # reuse the same executable for the timing loop (no double compile)
+        compiled = step.lower(params).compile()
+        _log_memory_stats("fused forward-backward", compiled.memory_analysis())
+        fwd = jax.jit(lambda p: net.loss_fn(p, batch, jax.random.PRNGKey(0)))
+        _log_memory_stats("forward only",
+                          fwd.lower(params).compile().memory_analysis())
+        fn = compiled
+    loss, g = fn(params)
     float(loss)  # scalar fetch: reliable fence (block_until_ready is not on axon)
     t0 = _time.perf_counter()
     for _ in range(iters):
-        loss, g = step(params)
+        loss, g = fn(params)
     float(loss)
     dt = (_time.perf_counter() - t0) / iters * 1e3
     log.info("Fused forward-backward: %.3f ms (%.1f steps/s)", dt, 1e3 / dt)
@@ -580,6 +620,11 @@ def main(argv=None) -> int:
                    help="run on the XLA CPU backend")
     p.add_argument("--gpu", type=int, default=None,
                    help="reference-script compatibility flag")
+    p.add_argument("--memory", action="store_true",
+                   help="report XLA buffer-assignment memory (peak HBM + "
+                        "argument/output/temp/code bytes) for the forward "
+                        "and fused fwd+bwd programs — sizes batches on a "
+                        "TPU host (beyond the reference's ms-only output)")
     p.add_argument("--backward", action="store_true",
                    help="also time backward per layer (reference "
                         "caffe time prints both; compile cost grows)")
