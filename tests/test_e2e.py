@@ -833,6 +833,8 @@ def test_serving_cli(mini_project, tmp_path):
     out = str(tmp_path / "m.vvserve")
     assert main(["export", mini_project["net"], out, "--blobs", "ctxn"]) == 0
     assert main(["run", out]) == 0
+    # --iterations: timed smoke-bench of the artifact call
+    assert main(["run", out, "--iterations", "2"]) == 0
 
 
 def test_serving_symbolic_batch(tmp_path):

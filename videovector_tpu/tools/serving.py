@@ -406,6 +406,10 @@ def main(argv=None) -> int:
                    help="data-parallel serving over a device mesh, e.g. 8 "
                         "(batch shards over devices; artifact runs per "
                         "shard, no collectives)")
+    p.add_argument("--iterations", type=int, default=0,
+                   help="also time the artifact: N timed calls after a "
+                        "warmup, reporting ms/call and items/s (the "
+                        "deployment twin of `vvtpu time`)")
 
     args = parser.parse_args(argv)
     if args.command == "export":
@@ -447,6 +451,22 @@ def main(argv=None) -> int:
         for name, arr in out.items():
             log.info("%s: shape=%s mean=%.6f", name, tuple(arr.shape),
                      float(np.asarray(arr).mean()))
+        if args.iterations > 0:
+            # scalar fetch per rep: block_until_ready is unreliable on the
+            # axon platform; fetching a value forces a full sync
+            import time as _t
+            first = next(iter(out))
+            float(np.asarray(out[first]).ravel()[0])  # warm fence
+            t0 = _t.perf_counter()
+            for _ in range(args.iterations):
+                out = call(batch)
+            float(np.asarray(out[first]).ravel()[0])
+            dt = (_t.perf_counter() - t0) / args.iterations
+            axes = meta.get("batch_axes") or {}
+            k0, (shape0, _) = next(iter(meta["inputs"].items()))
+            items = batch[k0].shape[axes.get(k0, 0) or 0]
+            log.info("Serving: %.3f ms/call (%.1f calls/s, %.0f items/s)",
+                     dt * 1e3, 1.0 / dt, items / dt)
     return 0
 
 
