@@ -833,8 +833,8 @@ def test_serving_cli(mini_project, tmp_path):
     out = str(tmp_path / "m.vvserve")
     assert main(["export", mini_project["net"], out, "--blobs", "ctxn"]) == 0
     assert main(["run", out]) == 0
-    # --iterations: timed smoke-bench of the artifact call
-    assert main(["run", out, "--iterations", "2"]) == 0
+    # --iterations/--memory: timed smoke-bench + buffer-assignment report
+    assert main(["run", out, "--iterations", "2", "--memory"]) == 0
 
 
 def test_serving_symbolic_batch(tmp_path):
@@ -889,6 +889,19 @@ layers { name: "norm" type: NORMALIZATION bottom: "out" top: "outn" }
                                np.asarray(want["outn"]), atol=1e-6)
     with pytest.raises(ValueError, match="not divisible"):
         sharded({"data": batch["data"][:6]})
+    # the shard_map wrapper must be traced ONCE across repeated calls —
+    # building it fresh per call would miss jit's identity-keyed cache and
+    # recompile every invocation (regression: serving-path retrace bug)
+    traces = {"n": 0}
+
+    def counting(b):
+        traces["n"] += 1
+        return call(b)
+
+    sharded2 = shard_serving(counting, meta, mesh)
+    for _ in range(3):
+        sharded2(batch)
+    assert traces["n"] == 1
 
 
 def test_serving_tensor_parallel_export(tmp_path):

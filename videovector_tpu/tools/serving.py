@@ -348,18 +348,29 @@ def shard_serving(call, meta, mesh):
                 "would differ) — export without it for sharded serving")
         return ax, P(*([None] * ax + ["data"]))
 
+    # the shard_map wrapper is built ONCE per input-key set and cached:
+    # jit caches by function identity, so constructing a fresh shard_map
+    # closure inside every call would miss the cache and retrace+recompile
+    # each invocation (specs depend only on key names, not shapes — shape
+    # changes hit the cached jit's own signature cache)
+    fns: dict = {}
+
     def sharded_call(batch):
-        in_specs = {}
         for k, v in batch.items():
-            ax, in_specs[k] = _spec(k)
+            ax, _ = _spec(k)
             if v.shape[ax] % ndev:
                 raise ValueError(
                     f"input {k!r} batch {v.shape[ax]} (axis {ax}) not "
                     f"divisible by the mesh data axis ({ndev})")
-        out_specs = {n: _spec(n)[1] for n in meta["outputs"]}
-        f = shard_map(call, mesh=mesh, in_specs=(in_specs,),
-                      out_specs=out_specs, check_vma=False)
-        return jax.jit(f)(batch)
+        sig = tuple(sorted(batch))
+        if sig not in fns:
+            in_specs = {k: _spec(k)[1] for k in sig}
+            out_specs = {n: _spec(n)[1] for n in meta["outputs"]}
+            fns[sig] = jax.jit(shard_map(call, mesh=mesh,
+                                         in_specs=(in_specs,),
+                                         out_specs=out_specs,
+                                         check_vma=False))
+        return fns[sig](batch)
 
     return sharded_call
 
@@ -410,6 +421,10 @@ def main(argv=None) -> int:
                    help="also time the artifact: N timed calls after a "
                         "warmup, reporting ms/call and items/s (the "
                         "deployment twin of `vvtpu time`)")
+    p.add_argument("--memory", action="store_true",
+                   help="report the compiled artifact's XLA buffer-"
+                        "assignment memory (peak HBM + argument/output/"
+                        "temp bytes) — sizes serving batches on a TPU host")
 
     args = parser.parse_args(argv)
     if args.command == "export":
@@ -442,11 +457,25 @@ def main(argv=None) -> int:
             mesh = _parse_mesh(args.mesh)
             call = shard_serving(call, meta, mesh)
             mult = mesh.shape["data"]
+        elif args.iterations > 0 and not args.memory:
+            # time the jitted path (what a serving host runs) — the bare
+            # exported call pays per-invocation dispatch overhead
+            import jax
+            call = jax.jit(call)
         axes = meta.get("batch_axes") or {}
         batch = {k: rng.randn(*[8 * mult if d == -1 else
                                 (d * mult if i == axes.get(k, 0) else d)
                                 for i, d in enumerate(shape)]).astype(dtype)
                  for k, (shape, dtype) in meta["inputs"].items()}
+        if args.memory:
+            # AOT-compile the (possibly mesh-wrapped) artifact call so the
+            # executable's buffer assignment is inspectable; reuse it below
+            # so --memory adds no second compile
+            import jax
+            from videovector_tpu.tools.cli import _log_memory_stats
+            compiled = jax.jit(lambda b: call(b)).lower(batch).compile()
+            _log_memory_stats("serving artifact", compiled.memory_analysis())
+            call = compiled
         out = call(batch)
         for name, arr in out.items():
             log.info("%s: shape=%s mean=%.6f", name, tuple(arr.shape),
