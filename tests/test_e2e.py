@@ -986,6 +986,9 @@ def test_serving_cli_run_mesh(mini_project, tmp_path):
     out = str(tmp_path / "m.vvserve")
     assert main(["export", mini_project["net"], out, "--blobs", "ctxn"]) == 0
     assert main(["run", out, "--mesh", "8"]) == 0
+    # flag composition: shard-wrapped call + AOT memory report + timed loop
+    assert main(["run", out, "--mesh", "8", "--iterations", "2",
+                 "--memory"]) == 0
 
 
 def test_resize_and_crop_images(tmp_path):
