@@ -835,6 +835,14 @@ def test_serving_cli(mini_project, tmp_path):
     assert main(["run", out]) == 0
     # --iterations/--memory: timed smoke-bench + buffer-assignment report
     assert main(["run", out, "--iterations", "2", "--memory"]) == 0
+    # info: metadata header without program deserialization
+    assert main(["info", out]) == 0
+    from videovector_tpu.tools.serving import read_meta
+    meta = read_meta(out)
+    assert meta["outputs"] == ["ctxn"]
+    assert meta["payload_bytes"] > 0
+    shape, dtype = meta["output_shapes"]["ctxn"]
+    assert dtype == "float32" and len(shape) >= 2
 
 
 def test_serving_symbolic_batch(tmp_path):

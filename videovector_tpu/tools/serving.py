@@ -229,6 +229,7 @@ def export_serving(model_path: str, weight_paths: list[str],
             for k, v in all_inputs.items()}
 
     out_axes: dict = {}
+    out_shapes: dict = {}
     try:
         out1 = jax.eval_shape(serve, _mult_spec(1))
         out2 = jax.eval_shape(serve, _mult_spec(2))
@@ -237,6 +238,8 @@ def export_serving(model_path: str, weight_paths: list[str],
                                                         out2[name].shape))
                        if a != b and b == 2 * a]
             out_axes[name] = doubled[0] if doubled else None
+            out_shapes[name] = [[int(d) for d in out1[name].shape],
+                                str(out1[name].dtype)]
     except Exception as e:  # static-batch net: axes stay unrecorded
         log.info("output batch-axis inference skipped (static-batch "
                  "net?): %s", e)
@@ -259,6 +262,9 @@ def export_serving(model_path: str, weight_paths: list[str],
                    for k, v in spec.items()},
         "batch_axes": {**in_axes, **out_axes},
         "outputs": blob_names + [k for k in sorted(state0)],
+        # shapes at the EXAMPLE batch (the batch dim varies when
+        # symbolic_batch; its axis per tensor is in batch_axes)
+        "output_shapes": out_shapes,
         "state": sorted(state0),
         "platforms": list(exp.platforms),
         "mesh": ({ax: int(sz) for ax, sz in mesh.shape.items()}
@@ -276,6 +282,20 @@ def export_serving(model_path: str, weight_paths: list[str],
         f.write(payload)
     log.info("Exported %s -> %s (%d bytes, platforms=%s)", model_path,
              out_path, len(payload), ",".join(exp.platforms))
+    return meta
+
+
+def read_meta(path: str) -> dict:
+    """Read just the artifact's JSON metadata header (inputs/outputs/
+    platforms/mesh/quantize + payload size) — no program deserialization,
+    so it is instant on any host."""
+    with open(path, "rb") as f:
+        if f.read(8) != _MAGIC:
+            raise ValueError(f"{path}: not a vvserve artifact")
+        (meta_len,) = struct.unpack("<I", f.read(4))
+        meta = json.loads(f.read(meta_len).decode())
+        f.seek(0, 2)
+        meta["payload_bytes"] = f.tell() - 12 - meta_len
     return meta
 
 
@@ -411,6 +431,11 @@ def main(argv=None) -> int:
                         "tensor-parallel serving; load with mesh_serving "
                         "on a DxM-device host")
 
+    p = sub.add_parser("info", help="print an artifact's metadata (inputs/"
+                                    "outputs/platforms/mesh/quantize) as "
+                                    "JSON, without loading the program")
+    p.add_argument("artifact")
+
     p = sub.add_parser("run", help="smoke-run an artifact on random inputs")
     p.add_argument("artifact")
     p.add_argument("--mesh", default="",
@@ -442,6 +467,8 @@ def main(argv=None) -> int:
                        calib_batches=args.calib_batches,
                        compute_dtype=args.compute or None,
                        mesh=_parse_mesh(args.mesh))
+    elif args.command == "info":
+        print(json.dumps(read_meta(args.artifact), indent=2, sort_keys=True))
     elif args.command == "run":
         call, meta = load_serving(args.artifact)
         rng = np.random.RandomState(0)
