@@ -944,6 +944,10 @@ layers { name: "norm" type: NORMALIZATION bottom: "out" top: "outn" }
     got = mesh_serving(call8, meta8)(batch)
     np.testing.assert_allclose(np.asarray(got["outn"]),
                                np.asarray(want["outn"]), atol=1e-5)
+    # the run CLI composes mesh_serving with --iterations/--memory on the
+    # baked 8-device program
+    from videovector_tpu.tools.serving import main
+    assert main(["run", tp, "--iterations", "2", "--memory"]) == 0
 
 
 def test_serving_tp_composes_with_quantize_and_symbolic(tmp_path):
