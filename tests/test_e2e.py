@@ -790,6 +790,30 @@ layers { name: "ip" type: INNER_PRODUCT bottom: "data" top: "out"
 layers { name: "relu" type: RELU bottom: "out" top: "out" }
 """)
     assert main(["time", "--model", str(net), "--iterations", "2"]) == 0
+    # loss-less net: the fused timing must NOT measure a constant-folded
+    # zero-loss program — it reduces the net outputs to a scalar instead
+    # (regression: a deploy net timed ~0 real work before)
+    import logging
+
+    class _Collect(logging.Handler):
+        def __init__(self):
+            super().__init__()
+            self.lines = []
+
+        def emit(self, record):
+            self.lines.append(record.getMessage())
+
+    handler = _Collect()
+    logger = logging.getLogger("videovector_tpu")
+    logger.addHandler(handler)
+    try:
+        assert main(["time", "--model", str(net), "--iterations", "1",
+                     "--fused_only", "--memory"]) == 0
+    finally:
+        logger.removeHandler(handler)
+    text = "\n".join(handler.lines)
+    assert "no loss layer" in text
+    assert "Memory (fused forward-backward): peak " in text
 
 
 def test_serving_export_roundtrip(mini_project, tmp_path):

@@ -516,15 +516,32 @@ def _log_memory_stats(tag: str, ma) -> None:
 def _time_fused(net, params, batch, iters, memory=False):
     import jax
     import jax.numpy as jnp
-    step = jax.jit(jax.value_and_grad(lambda p: net.loss_fn(p, batch,
-                                                            jax.random.PRNGKey(0))))
+    has_loss = any(w != 0.0 for ws in net.loss_weights.values() for w in ws)
+    if has_loss:
+        def scalar(p):
+            return net.loss_fn(p, batch, jax.random.PRNGKey(0))
+    else:
+        # loss-less (deploy) net: a constant-zero loss would constant-fold
+        # the entire fwd+bwd program and the "timing" would measure
+        # nothing. Reduce every net output to a scalar instead (ones
+        # cotangents) — the same convention as the isolated per-layer
+        # backward and the reference's Backward-on-whatever-diffs
+        # (ref:tools/caffe.cpp:241-249)
+        log.info("net has no loss layer: timing forward+backward of "
+                 "sum(outputs)")
+
+        def scalar(p):
+            _, outputs = net.apply(p, batch, rng=jax.random.PRNGKey(0))
+            return sum(jnp.sum(o.astype(jnp.float32))
+                       for o in outputs.values())
+    step = jax.jit(jax.value_and_grad(scalar))
     fn = step
     if memory:
         # AOT-compile so the executable's buffer assignment is inspectable;
         # reuse the same executable for the timing loop (no double compile)
         compiled = step.lower(params).compile()
         _log_memory_stats("fused forward-backward", compiled.memory_analysis())
-        fwd = jax.jit(lambda p: net.loss_fn(p, batch, jax.random.PRNGKey(0)))
+        fwd = jax.jit(scalar)
         _log_memory_stats("forward only",
                           fwd.lower(params).compile().memory_analysis())
         fn = compiled
