@@ -124,6 +124,59 @@ def measure_tpu() -> float:
     return steps_per_sec * BATCH * NUM_NEG  # triplets/sec
 
 
+def measure_frontier(iters: int = 50) -> tuple[float, float]:
+    """The CHIP-RECORD schedule (not the headline): B=1024, role-major
+    feed, fused grad_microbatch=8 scan (PERF.md round-4 record — the
+    B=128 reference config is at its ~877 steps/s measured ceiling, so
+    round-over-round progress shows here). Returns (ms/step, triplets/s).
+    Logged to stderr only; the headline JSON keeps the reference config."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from videovector_tpu.models import VideoEmbeddingConfig, VideoEmbeddingModel
+    from videovector_tpu.solver import SolverConfig, init_solver_state
+    from videovector_tpu.solver.train import build_fused_step
+
+    B, GM = 1024, 8
+    cfg = VideoEmbeddingConfig(feature_dim=FEAT, embed_dim=EMBED,
+                               num_negatives=NUM_NEG,
+                               compute_dtype="bfloat16")
+    model = VideoEmbeddingModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    solver_cfg = SolverConfig(base_lr=0.001, momentum=0.9, weight_decay=5e-4,
+                              lr_policy="inv", gamma=0.001, power=0.75)
+    state = init_solver_state(solver_cfg, params)
+
+    def loss_fn(p, b, k):
+        return model.loss(p, b, rng=k, train=True, role_major=True)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    fstep = build_fused_step(grad_fn, solver_cfg, 1, GM,
+                             batch_axes={"data": 1}, jit=False)
+    batch = {"data": jax.jit(lambda k: jax.random.normal(
+        k, (cfg.num_roles, B, FEAT), jnp.float32))(jax.random.PRNGKey(0))}
+
+    def one(carry, k):
+        p, s = carry
+        p2, s2, m = fstep(p, s, (batch,), k)
+        return (p2, s2), m["loss"]
+
+    @jax.jit
+    def run(p, s, keys):
+        (p, s), losses = lax.scan(one, (p, s), keys)
+        return losses[-1]
+
+    keys = jax.random.split(jax.random.key(1, impl="rbg"), iters)
+    float(run(params, state, keys))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run(params, state, keys))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
+    return dt * 1e3, B * NUM_NEG / dt
+
+
 def main():
     # Fail fast instead of hanging forever if the TPU tunnel is wedged
     # (the experimental axon platform can block indefinitely on execute).
@@ -135,6 +188,8 @@ def main():
         os._exit(1)
 
     signal.signal(signal.SIGALRM, _alarm)
+    deadline = time.monotonic() + int(
+        os.environ.get("VVTPU_BENCH_TIMEOUT", "540"))
     signal.alarm(int(os.environ.get("VVTPU_BENCH_TIMEOUT", "540")))
     triplets_per_sec = measure_tpu()
     signal.alarm(0)
@@ -150,7 +205,33 @@ def main():
         "value": round(triplets_per_sec, 1),
         "unit": "triplets/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    }), flush=True)
+
+    # Frontier record to STDERR (the headline JSON above is final and
+    # already flushed — this extra measurement may not survive a cold
+    # compile through the tunnel, so any failure past here exits 0).
+    def _soft_alarm(signum, frame):
+        print("bench frontier: skipped (out of time budget)",
+              file=sys.stderr)
+        os._exit(0)
+
+    remaining = int(deadline - time.monotonic()) - 10
+    if remaining < 60:
+        print("bench frontier: skipped (out of time budget)",
+              file=sys.stderr)
+        return
+    signal.signal(signal.SIGALRM, _soft_alarm)
+    signal.alarm(remaining)
+    try:
+        ms, tps = measure_frontier()
+        print(f"bench frontier (stderr, not the headline): B=1024 gm=8 "
+              f"role-major fused step = {ms:.3f} ms/step, "
+              f"{tps:,.0f} triplets/s", file=sys.stderr)
+    except Exception as e:  # the headline already printed — never fail now
+        print(f"bench frontier: failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+    finally:
+        signal.alarm(0)
 
 
 if __name__ == "__main__":

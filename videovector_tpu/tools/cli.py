@@ -493,6 +493,17 @@ def _fmt_bytes(n) -> str:
     return f"{n:.2f} GiB"
 
 
+def _safe_memory_analysis(compiled):
+    """`compiled.memory_analysis()`, or None when the backend has no
+    buffer-assignment stats — some backends RAISE (NotImplementedError /
+    XlaRuntimeError) instead of returning None, and --memory must degrade
+    to the 'not reported' line rather than crash the whole invocation."""
+    try:
+        return compiled.memory_analysis()
+    except Exception:
+        return None
+
+
 def _log_memory_stats(tag: str, ma) -> None:
     """One line of XLA buffer-assignment memory accounting for a compiled
     program (jax AOT `compiled.memory_analysis()`): peak device (HBM)
@@ -540,10 +551,11 @@ def _time_fused(net, params, batch, iters, memory=False):
         # AOT-compile so the executable's buffer assignment is inspectable;
         # reuse the same executable for the timing loop (no double compile)
         compiled = step.lower(params).compile()
-        _log_memory_stats("fused forward-backward", compiled.memory_analysis())
+        _log_memory_stats("fused forward-backward",
+                          _safe_memory_analysis(compiled))
         fwd = jax.jit(scalar)
-        _log_memory_stats("forward only",
-                          fwd.lower(params).compile().memory_analysis())
+        _log_memory_stats("forward only", _safe_memory_analysis(
+            fwd.lower(params).compile()))
         fn = compiled
     loss, g = fn(params)
     float(loss)  # scalar fetch: reliable fence (block_until_ready is not on axon)
@@ -641,7 +653,11 @@ def main(argv=None) -> int:
                    help="report XLA buffer-assignment memory (peak HBM + "
                         "argument/output/temp/code bytes) for the forward "
                         "and fused fwd+bwd programs — sizes batches on a "
-                        "TPU host (beyond the reference's ms-only output)")
+                        "TPU host (beyond the reference's ms-only output). "
+                        "NOTE: the forward-only report is a SECOND compiled "
+                        "program; over a remote-compile link that is an "
+                        "extra multi-minute compile unless the persistent "
+                        "cache (jax_compilation_cache_dir) is warm")
     p.add_argument("--backward", action="store_true",
                    help="also time backward per layer (reference "
                         "caffe time prints both; compile cost grows)")

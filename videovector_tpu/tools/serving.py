@@ -4,8 +4,14 @@ The reference's deployment story is "ship the prototxt + .caffemodel and
 run extract_features" (ref:tools/extract_features.cpp:26-211). The
 TPU-native equivalent is ahead-of-time export: the TEST-phase forward with
 the weights BOUND AS CONSTANTS serializes to one self-contained StableHLO
-artifact (jax.export) that any JAX runtime — or a C++ PJRT host — can load
-and call with zero framework code, no prototxt, no weight files.
+artifact (jax.export) that any JAX runtime can load and call with zero
+framework code, no prototxt, no weight files — the container is 12 header
+bytes + JSON meta + a standard jax.export payload, and a stdlib-only
+loader is tested in tests/test_serving_portability.py (a subprocess that
+never imports videovector_tpu reproduces load_serving bit-for-bit). The
+payload's StableHLO module is what a C++ PJRT host would compile; no such
+host exists in this environment, so that path is a design property, not a
+tested one.
 
   vvtpu-serve export  net.prototxt w.caffemodel out.vvserve --blobs=ip2
   vvtpu-serve run     out.vvserve            # smoke-run on random inputs
@@ -499,9 +505,11 @@ def main(argv=None) -> int:
             # executable's buffer assignment is inspectable; reuse it below
             # so --memory adds no second compile
             import jax
-            from videovector_tpu.tools.cli import _log_memory_stats
+            from videovector_tpu.tools.cli import (_log_memory_stats,
+                                                   _safe_memory_analysis)
             compiled = jax.jit(lambda b: call(b)).lower(batch).compile()
-            _log_memory_stats("serving artifact", compiled.memory_analysis())
+            _log_memory_stats("serving artifact",
+                              _safe_memory_analysis(compiled))
             call = compiled
         out = call(batch)
         for name, arr in out.items():
@@ -519,10 +527,20 @@ def main(argv=None) -> int:
             float(np.asarray(out[first]).ravel()[0])
             dt = (_t.perf_counter() - t0) / args.iterations
             axes = meta.get("batch_axes") or {}
-            k0, (shape0, _) = next(iter(meta["inputs"].items()))
-            items = batch[k0].shape[axes.get(k0, 0) or 0]
-            log.info("Serving: %.3f ms/call (%.1f calls/s, %.0f items/s)",
-                     dt * 1e3, 1.0 / dt, items / dt)
+            # items/s only when some input has a RECORDED batch axis — a
+            # recorded-but-None axis means a static-batch net (no batch
+            # dimension to count items over), and guessing axis 0 would
+            # misreport time-major or side inputs (ADVICE r4)
+            items_ax = next(((k, ax) for k, ax in axes.items()
+                             if ax is not None and k in batch), None)
+            if items_ax is not None:
+                k0, ax0 = items_ax
+                items = batch[k0].shape[ax0]
+                log.info("Serving: %.3f ms/call (%.1f calls/s, %.0f items/s)",
+                         dt * 1e3, 1.0 / dt, items / dt)
+            else:
+                log.info("Serving: %.3f ms/call (%.1f calls/s)",
+                         dt * 1e3, 1.0 / dt)
     return 0
 
 
