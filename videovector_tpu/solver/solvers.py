@@ -62,6 +62,17 @@ class SolverConfig:
     # extension: "vv" (native npz pair) or "caffe" (ALSO write the
     # reference-consumable .caffemodel/.solverstate pair each snapshot)
     snapshot_format: str = "vv"
+    # extension: PRNG implementation for the per-iteration key that feeds
+    # the stochastic layers (dropout masks, DummyData refills). "threefry"
+    # = jax's default counter-based stream (reference-numerics default —
+    # existing trajectories stay bit-identical); "rbg" = the hardware RNG,
+    # ~4x cheaper mask generation on TPU (threefry masks measured at ~25%
+    # of the flagship B=128 step, PERF.md). Scoped: the key is a TYPED key
+    # (jax.random.key(impl=...)) built inside train(), never a process-wide
+    # jax.config flip — importing/running a solver never changes other
+    # code's PRNG streams. Dropout needs statistical quality only, not
+    # counter-based reproducibility across jax versions.
+    dropout_prng: str = "threefry"
     extras: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -70,6 +81,10 @@ class SolverConfig:
             # be silently ignored (ref AdaGradSolver constructor_sanity_
             # check, include/caffe/solver.hpp:120-123)
             raise ValueError("Momentum cannot be used with AdaGrad.")
+        if self.dropout_prng not in ("threefry", "rbg"):
+            raise ValueError(
+                f"dropout_prng must be 'threefry' or 'rbg', "
+                f"got {self.dropout_prng!r}")
 
     @classmethod
     def from_message(cls, msg) -> "SolverConfig":
@@ -92,6 +107,7 @@ class SolverConfig:
             ("test_compute_loss", "test_compute_loss"),
             ("random_seed", "random_seed"),
             ("snapshot_format", "snapshot_format"),
+            ("dropout_prng", "dropout_prng"),
         ]:
             if msg.has(fname):
                 kw[key] = msg.get(fname)

@@ -291,7 +291,15 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         log.info("Restoring previous solver status from %s (iter %d)",
                  resume_state_path, start_iter)
     if rng is None:
-        rng = jax.random.PRNGKey(cfg.random_seed if cfg.random_seed >= 0 else 0)
+        seed = cfg.random_seed if cfg.random_seed >= 0 else 0
+        if getattr(cfg, "dropout_prng", "threefry") != "threefry":
+            # typed key with the configured impl (solver `dropout_prng:
+            # "rbg"` = hardware-RNG dropout masks, the TPU throughput
+            # mode) — fold_in/split preserve the impl, so the whole
+            # stochastic-layer stream rides it without any global config
+            rng = jax.random.key(seed, impl=cfg.dropout_prng)
+        else:
+            rng = jax.random.PRNGKey(seed)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
