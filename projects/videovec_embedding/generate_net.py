@@ -22,9 +22,14 @@ def emit(train_source: str, test_source: str, *, batch: int = 128,
          embed: int = 4096, margin: float = 2.0, buffer_size: int = 5000,
          swap: int = 50, same_video_negs: int = 6,
          weight_std: float = 0.001, dropout: float = 0.9,
-         id_to_class_file: str = "") -> str:
+         id_to_class_file: str = "",
+         device_negatives: bool = False) -> str:
     ctx = context_size - 1  # context shots (window minus target)
     lines = [f'name: "videovec_embedding_d{embed}"']
+    if device_negatives:
+        # the on-device sampler draws ALL negatives from the device
+        # reservoir — same-video hard negatives are a host-path feature
+        same_video_negs = 0
 
     # --- data layers ---
     lines.append(f"""
@@ -40,7 +45,8 @@ layers {{
     negative_swap_percentage: {swap}
     max_same_video_negs: {same_video_negs}
     context_type: WINDOW
-    context_size: {context_size}
+    context_size: {context_size}{'''
+    device_negatives: true''' if device_negatives else ''}
   }}
   include: {{ phase: TRAIN }}
 }}

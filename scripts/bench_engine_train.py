@@ -35,6 +35,13 @@ def main():
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--dtype", default="bfloat16",
                    help="engine/model compute dtype (bfloat16 | f32)")
+    p.add_argument("--prng", default="rbg", choices=["rbg", "threefry"],
+                   help="PRNG impl for the per-step keys (the dropout-mask "
+                        "stream) — a TYPED key, matching what `vvtpu "
+                        "train` builds under the solver dropout_prng "
+                        "extension; NEVER a process-wide jax.config flip "
+                        "(the round-4 measurement bug: certified numbers "
+                        "came from a global flip the product didn't have)")
     p.add_argument("--workdir", default="/tmp/vvtpu_engine_bench")
     p.add_argument("--skip-native", action="store_true")
     p.add_argument("--role-major", action="store_true", dest="role_major",
@@ -45,7 +52,7 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(ROOT, ".jax_cache"))
-    jax.config.update("jax_default_prng_impl", "rbg")
+    key_impl = {"rbg": "rbg", "threefry": "threefry2x32"}[args.prng]
     import jax.numpy as jnp
     import numpy as np
     from generate_net import emit
@@ -79,7 +86,7 @@ def main():
             (p, s), losses = lax.scan(one, (p, s), keys)
             return losses[-1]
 
-        keys = jax.random.split(jax.random.PRNGKey(1), iters)
+        keys = jax.random.split(jax.random.key(1, impl=key_impl), iters)
         float(run(params, state, keys))  # compile + warm
         best = float("inf")
         for _ in range(3):
@@ -114,7 +121,7 @@ def main():
         batch = {"data": jax.jit(lambda k: jax.random.normal(
             k, (bsz, 15, args.feat, 1), jnp.float32))(jax.random.PRNGKey(0))}
         gm = auto_grad_microbatch(batch, {"data": 0})
-        row = {"batch": bsz, "gm": gm}
+        row = {"batch": bsz, "gm": gm, "prng": args.prng}
         for label, g in (("gm1", 1), (f"gm{gm}", gm)):
             if label in row:
                 continue

@@ -71,6 +71,50 @@ def make_data_source(layer: Message, *, phase: str = "TRAIN", seed: int = 1234):
         cfg = SampledShotsConfig.from_message(p)
         cfg.seed = seed
         cfg.output_video_ids = len(tops) > 1
+        if p.get("device_negatives"):
+            # extension: the on-device negative sampler (the TPU input-
+            # scaling path, data/device_sampler.py). The host ships only
+            # (B, C, D) target+context — negatives come from a DEVICE
+            # reservoir sampled/updated inside the jitted train step, a
+            # (C+N)/C cut of H2D bytes (flagship: 31.5 MB → 10.5 MB/step).
+            # Statistical twin of the host reservoir (replacing
+            # ref:src/caffe/layers/video_sampled_shots_data_layer.cpp:
+            # 24-44,885-905), validated in tests/test_device_sampler*.py.
+            if cfg.num_negative_samples <= 0 or cfg.max_buffer_size <= 0:
+                raise ValueError(
+                    "device_negatives needs num_negative_samples > 0 and "
+                    "max_buffer_size > 0")
+            if cfg.max_same_video_negs > 0:
+                raise ValueError(
+                    "device_negatives samples ALL negatives from the "
+                    "device reservoir; same-video hard negatives are a "
+                    "host-path feature — set max_same_video_negs: 0 or "
+                    "drop device_negatives")
+            from videovector_tpu.data.shots import NegativeReservoir
+            ds = ShotDataset.from_records(
+                convert_dir_or_file(p.get("source")))
+            neg = p.get("negative_dataset")
+            neg_ds = (ShotDataset.from_records(convert_dir_or_file(neg))
+                      if neg else None)
+            # seed the DEVICE buffer with the reference's initial fill
+            # (one random shot per video, key dedup — NegativeReservoir)
+            host_res = NegativeReservoir(
+                cfg.max_buffer_size, ds.feature_dim,
+                cfg.negative_swap_percentage, np.random.RandomState(seed))
+            host_res.fill(neg_ds or ds, all_shots=neg_ds is not None)
+            n_negs = cfg.num_negative_samples
+            from dataclasses import replace as _dc_replace
+            host_cfg = _dc_replace(cfg, num_negative_samples=0,
+                                   max_same_video_negs=0)
+            src = VideoSampledShotsSource(ds, host_cfg)
+            wrapped = _RenamingSource(src, ["data", "video_id"], tops)
+            wrapped.device_negatives = {
+                "top": tops[0],
+                "num_negatives": n_negs,
+                "swap_percentage": float(cfg.negative_swap_percentage),
+                "buffer": host_res.buffer.copy(),
+            }
+            return wrapped
         # fast path: the C++ sampler (WINDOW mode, no separate negative
         # dataset, VVR store — LMDB sources go through the Python reader)
         # with its own prefetch thread; VVTPU_NATIVE_DATA=0 disables
@@ -277,6 +321,18 @@ class MergedSource:
             if hasattr(s, "batch_axes"):
                 out.update(s.batch_axes())
         return out
+
+    @property
+    def device_negatives(self) -> dict | None:
+        """The one child source configured with `device_negatives: true`
+        (the on-device sampler wiring), or None. Two such layers in one
+        net is a config error — the driver carries ONE device reservoir."""
+        found = [s.device_negatives for s in self.sources
+                 if getattr(s, "device_negatives", None)]
+        if len(found) > 1:
+            raise ValueError("at most one data layer may set "
+                             "device_negatives")
+        return found[0] if found else None
 
     def __iter__(self):
         while True:

@@ -179,8 +179,25 @@ class SolverDriver:
         # must stay raw — the data iter's transform transposes it like
         # any other stream batch
         self._first_batch_raw = batch0
-        params, meta = self.train_net.init(
-            jax.random.PRNGKey(seed), _spec_from_batch(batch0))
+        # on-device negative sampler (data-layer `device_negatives: true`,
+        # graph/data_factory.py): the host batch carries only (B, C, D)
+        # target+context; the net sees (B, C+N, D) assembled inside the
+        # jitted step from the device reservoir — widen its init spec
+        self.device_negatives = getattr(self.train_source,
+                                        "device_negatives", None)
+        spec0 = _spec_from_batch(batch0)
+        if self.device_negatives:
+            dn = self.device_negatives
+            s = spec0[dn["top"]].shape
+            spec0[dn["top"]] = jax.ShapeDtypeStruct(
+                (s[0], s[1] + dn["num_negatives"]) + tuple(s[2:]),
+                jnp.float32)
+            if self.snapshot_vis or self.debug_info_every:
+                raise ValueError(
+                    "device_negatives cannot combine with snapshot_vis/"
+                    "debug_info (their hooks forward the raw host batch, "
+                    "which has no negative channels)")
+        params, meta = self.train_net.init(jax.random.PRNGKey(seed), spec0)
         self.params = params
 
         # extension: solver `role_major_data: true` feeds eligible data
@@ -192,6 +209,12 @@ class SolverDriver:
         # (tested: tests/test_fuse.py role-major rows).
         self.role_major_keys: tuple = ()
         if self._solver_msg.get("role_major_data"):
+            if self.device_negatives:
+                raise ValueError(
+                    "role_major_data cannot combine with device_negatives "
+                    "(the device sampler assembles batch-major (B, C+N, D) "
+                    "inside the step; role_major_data is a >=256-batch "
+                    "relayout knob — drop one of the two)")
             cands = self.train_net.role_major_candidates(batch0)
             if cands:
                 self.train_net.role_major_inputs = tuple(cands)
@@ -350,7 +373,14 @@ class SolverDriver:
         # jitted step through the "__sinks__" aux channel
         train_sinks = bool(net.host_sinks)
 
+        initial_carry = None
         if net.stateful_layer_names:
+            if self.device_negatives:
+                raise ValueError(
+                    "device_negatives cannot combine with stateful "
+                    "(cross-batch LSTM carry) nets — both need the carry "
+                    "channel")
+
             # cross-batch LSTM state carry (ref lstm_layer.cpp:171-173):
             # carry rides the aux channel under a reserved key; train()
             # moves it from step output into the next step's batch
@@ -367,6 +397,45 @@ class SolverDriver:
                 if train_sinks:
                     aux["__sinks__"] = tail[0]
                 return loss, aux
+        elif self.device_negatives:
+            # on-device negative sampler: assemble the full (B, C+N, D)
+            # batch inside the jitted step — negatives gathered from the
+            # device reservoir, reservoir updated with this batch's
+            # target+context rows, both riding the carry channel
+            # (replaces the host reservoir ship,
+            # ref:video_sampled_shots_data_layer.cpp:885-905)
+            from videovector_tpu.data.device_sampler import (
+                DeviceReservoir, train_batch_with_device_negatives,
+            )
+            dn = self.device_negatives
+            dn_top, dn_n = dn["top"], int(dn["num_negatives"])
+            dn_swap = float(dn["swap_percentage"])
+
+            def loss_fn(p, batch, key):
+                buf = batch["__carry__"]
+                host = batch[dn_top]
+                trailing1 = host.ndim == 4  # (B, C, D, 1) feed
+                h3 = host[..., 0] if trailing1 else host
+                k_neg, k_net = jax.random.split(key)
+                full, res = train_batch_with_device_negatives(
+                    DeviceReservoir(buf, dn_swap), k_neg, h3, dn_n)
+                if trailing1:
+                    full = full[..., None]
+                feed = {k: v for k, v in batch.items() if k != "__carry__"}
+                feed[dn_top] = full
+                loss, aux = self._loss_with_outputs(net, p, feed, k_net,
+                                                    sinks=train_sinks)
+                aux["__carry__"] = res.buffer
+                return loss, aux
+
+            initial_carry = jnp.asarray(dn["buffer"])
+            if mesh is not None:
+                # replicate the reservoir over the mesh — an uncommitted
+                # single-device buffer entering a GSPMD step would pin it
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+                initial_carry = jax.device_put(
+                    initial_carry, NamedSharding(mesh, P()))
         else:
             def loss_fn(p, batch, key):
                 return self._loss_with_outputs(net, p, batch, key,
@@ -511,7 +580,12 @@ class SolverDriver:
                      train_output_weights=net.output_loss_weights(),
                      test_output_weights=[tn.output_loss_weights()
                                           for tn in self.test_nets],
-                     fused_accum=not net.stateful_layer_names)
+                     initial_carry=initial_carry,
+                     # the carry (LSTM state / device reservoir) must
+                     # thread between sub-batches on the host — the fused
+                     # scan cannot carry it (build_fused_step rejects it)
+                     fused_accum=not (net.stateful_layer_names
+                                      or self.device_negatives))
         finally:
             # stop the prefetch threads and release their queued device
             # batches — over infinite sources they would otherwise live

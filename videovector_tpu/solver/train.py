@@ -34,6 +34,9 @@ class TrainResult:
     state: Any
     metrics_history: list = field(default_factory=list)
     test_history: list = field(default_factory=list)
+    # cross-batch carry (LSTM state / device negative reservoir) after the
+    # last step — hand back via train(initial_carry=...) to continue
+    final_carry: Any = None
 
 
 def accumulate_microbatches(vg_fn, params, batch, axes, n_micro, keys):
@@ -228,6 +231,7 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
           fused_accum: bool = True,
           train_output_weights: dict | None = None,
           test_output_weights: list | None = None,
+          initial_carry=None,
           rng=None, jit: bool = True) -> TrainResult:
     """loss_fn(params, batch, rng) -> (loss, aux_dict).
     eval_fn(params, batch) -> dict of scalars; averaged over cfg.test_iter[0]
@@ -402,7 +406,11 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
         result.test_history.append((it, merged))
 
     it = start_iter
-    carry = None  # cross-batch recurrent state (stateful nets only)
+    # cross-batch state: recurrent (LSTM) carry, or the device negative
+    # reservoir buffer — whatever pytree the loss_fn threads through the
+    # "__carry__" aux key. initial_carry seeds it (e.g. the reservoir's
+    # reference-semantics initial fill)
+    carry = initial_carry
     last_grads = None  # most recent gradients (kept when snapshot_diff)
     fused_plan = None   # (iter_size, grad_microbatch) once shapes are known
     fused_step = None
@@ -552,4 +560,5 @@ def train(loss_fn: Callable, params, data: Iterator[dict], cfg: SolverConfig, *,
     snapshotter.wait()  # all writes durable before train() returns
     result.params = params
     result.state = state
+    result.final_carry = carry
     return result
