@@ -35,6 +35,14 @@
 #include <sys/stat.h>
 #include <unistd.h>
 
+#ifdef VV_WITH_JPEG
+// libjpeg(-turbo) decode for the image data plane — the reference decodes
+// in C++ too (OpenCV inside the prefetch thread,
+// ref:src/caffe/util/io.cpp:69-88); PIL/cv2 stay as fallbacks.
+#include <csetjmp>
+#include <jpeglib.h>
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -734,6 +742,162 @@ int64_t vv_snappy_decompress(const uint8_t* in, int64_t in_len, uint8_t* out,
     }
   }
   return (o == static_cast<int64_t>(ulen)) ? o : -1;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG decode (libjpeg-turbo): decode → BGR uint8 HWC at exactly
+// (out_w, out_h). DCT prescale picks the smallest libjpeg M/8 scale whose
+// output still covers the target (decode cost drops ~quadratically), then
+// bilinear resample with cv2's INTER_LINEAR half-pixel convention
+// (src = (dst + 0.5) * scale − 0.5) so values match the cv2 path within
+// resampler rounding. out must hold out_h*out_w*3 bytes. out_w/out_h = 0
+// decodes at natural size (caller reads dims via vv_jpeg_dims first).
+// Returns 0 ok, -1 not built with jpeg, -2 corrupt stream.
+// ---------------------------------------------------------------------------
+
+int vv_jpeg_available() {
+#ifdef VV_WITH_JPEG
+  return 1;
+#else
+  return 0;
+#endif
+}
+
+#ifdef VV_WITH_JPEG
+namespace {
+struct VVJpegErr {
+  jpeg_error_mgr pub;
+  std::jmp_buf env;
+};
+void vv_jpeg_error_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<VVJpegErr*>(cinfo->err)->env, 1);
+}
+void vv_jpeg_silent(j_common_ptr, int) {}
+}  // namespace
+#endif
+
+int vv_jpeg_dims(const uint8_t* buf, int64_t len, int32_t* w, int32_t* h) {
+#ifndef VV_WITH_JPEG
+  (void)buf; (void)len; (void)w; (void)h;
+  return -1;
+#else
+  jpeg_decompress_struct cinfo;
+  VVJpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = vv_jpeg_error_exit;
+  jerr.pub.emit_message = vv_jpeg_silent;
+  if (setjmp(jerr.env)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  *w = static_cast<int32_t>(cinfo.image_width);
+  *h = static_cast<int32_t>(cinfo.image_height);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+#endif
+}
+
+int vv_decode_jpeg_bgr(const uint8_t* buf, int64_t len, int out_w, int out_h,
+                       uint8_t* out) {
+#ifndef VV_WITH_JPEG
+  (void)buf; (void)len; (void)out_w; (void)out_h; (void)out;
+  return -1;
+#else
+  jpeg_decompress_struct cinfo;
+  VVJpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = vv_jpeg_error_exit;
+  jerr.pub.emit_message = vv_jpeg_silent;
+  std::vector<uint8_t>* tmp_holder = nullptr;
+  if (setjmp(jerr.env)) {
+    jpeg_destroy_decompress(&cinfo);
+    delete tmp_holder;
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, static_cast<unsigned long>(len));
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  cinfo.out_color_space = JCS_RGB;  // grayscale sources expand to RGB
+  if (out_w <= 0 || out_h <= 0) {
+    out_w = static_cast<int>(cinfo.image_width);
+    out_h = static_cast<int>(cinfo.image_height);
+  }
+  // DCT prescale: smallest M/8 whose decoded size still covers the target
+  cinfo.scale_denom = 8;
+  for (unsigned num = 1; num <= 8; ++num) {
+    cinfo.scale_num = num;
+    jpeg_calc_output_dimensions(&cinfo);
+    if (static_cast<int>(cinfo.output_width) >= out_w &&
+        static_cast<int>(cinfo.output_height) >= out_h)
+      break;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int W = static_cast<int>(cinfo.output_width);
+  const int H = static_cast<int>(cinfo.output_height);
+  const int C = cinfo.output_components;  // 3 after JCS_RGB
+  tmp_holder = new std::vector<uint8_t>(static_cast<size_t>(W) * H * C);
+  uint8_t* tmp = tmp_holder->data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = tmp + static_cast<size_t>(cinfo.output_scanline) * W * C;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  if (W == out_w && H == out_h) {  // no resample: RGB→BGR copy
+    for (int64_t i = 0; i < static_cast<int64_t>(out_w) * out_h; ++i) {
+      out[i * 3 + 0] = tmp[i * C + (C >= 3 ? 2 : 0)];
+      out[i * 3 + 1] = tmp[i * C + (C >= 3 ? 1 : 0)];
+      out[i * 3 + 2] = tmp[i * C + 0];
+    }
+    delete tmp_holder;
+    return 0;
+  }
+  const double sx = static_cast<double>(W) / out_w;
+  const double sy = static_cast<double>(H) / out_h;
+  for (int y = 0; y < out_h; ++y) {
+    double fy = (y + 0.5) * sy - 0.5;
+    if (fy < 0) fy = 0;
+    int y0 = static_cast<int>(fy);
+    if (y0 > H - 2) y0 = H - 2;
+    if (y0 < 0) y0 = 0;
+    double wy = fy - y0;
+    if (wy < 0) wy = 0;
+    if (wy > 1) wy = 1;
+    const uint8_t* r0 = tmp + static_cast<size_t>(y0) * W * C;
+    const uint8_t* r1 = r0 + static_cast<size_t>(W) * C;
+    uint8_t* orow = out + static_cast<size_t>(y) * out_w * 3;
+    for (int x = 0; x < out_w; ++x) {
+      double fx = (x + 0.5) * sx - 0.5;
+      if (fx < 0) fx = 0;
+      int x0 = static_cast<int>(fx);
+      if (x0 > W - 2) x0 = W - 2;
+      if (x0 < 0) x0 = 0;
+      double wx = fx - x0;
+      if (wx < 0) wx = 0;
+      if (wx > 1) wx = 1;
+      const double w00 = (1 - wy) * (1 - wx), w01 = (1 - wy) * wx;
+      const double w10 = wy * (1 - wx), w11 = wy * wx;
+      for (int c = 0; c < 3; ++c) {
+        const int sc = (C >= 3) ? (2 - c) : 0;  // RGB source → BGR out
+        const double v = w00 * r0[x0 * C + sc] + w01 * r0[(x0 + 1) * C + sc] +
+                         w10 * r1[x0 * C + sc] + w11 * r1[(x0 + 1) * C + sc];
+        orow[x * 3 + c] = static_cast<uint8_t>(v + 0.5);
+      }
+    }
+  }
+  delete tmp_holder;
+  return 0;
+#endif
 }
 
 }  // extern "C"

@@ -119,13 +119,46 @@ class ImageDataSource:
                                          len(self.items))
 
     def _load(self, path: str) -> Datum:
-        from PIL import Image
-        img = Image.open(path).convert("RGB")
-        if self.cfg.new_height and self.cfg.new_width:
-            img = img.resize((self.cfg.new_width, self.cfg.new_height))
-        arr = np.asarray(img, np.uint8)           # (H, W, 3) RGB
-        # Caffe/OpenCV channel order is BGR, CHW
-        bgr = arr[:, :, ::-1].transpose(2, 0, 1)
+        """Decode + optional resize → BGR CHW Datum, fastest available
+        path first (measured on this host, scripts/bench_image_decode.py:
+        native libjpeg ≥ cv2 > PIL; the reference decodes in C++ too —
+        OpenCV in the prefetch thread, ref:src/caffe/util/io.cpp:69-88).
+        cv2/native use INTER_LINEAR geometry like cv::resize, matching the
+        reference; the PIL fallback resamples slightly differently
+        (bicubic) — value parity within the warp tolerance is tested in
+        tests/test_native_decode.py. VVTPU_NATIVE_DECODE=0 disables the
+        libjpeg path."""
+        import os as _os
+        tw = int(self.cfg.new_width or 0)
+        th = int(self.cfg.new_height or 0)
+        hwc_bgr = None
+        if (_os.environ.get("VVTPU_NATIVE_DECODE", "1") != "0"
+                and path.lower().endswith((".jpg", ".jpeg"))):
+            from videovector_tpu.data import native
+            try:
+                with open(path, "rb") as f:
+                    payload = f.read()
+                hwc_bgr = native.decode_jpeg_bgr(payload, tw, th)
+            except OSError:
+                hwc_bgr = None
+        if hwc_bgr is None:
+            try:
+                import cv2
+                img = cv2.imread(path, 1)  # BGR HWC, like the reference
+                if img is not None:
+                    if tw and th:
+                        img = cv2.resize(img, (tw, th))
+                    hwc_bgr = img
+            except ImportError:
+                pass
+        if hwc_bgr is None:
+            from PIL import Image
+            img = Image.open(path).convert("RGB")
+            if tw and th:
+                img = img.resize((tw, th))
+            hwc_bgr = np.asarray(img, np.uint8)[:, :, ::-1]  # RGB → BGR
+        # Caffe/OpenCV blob order is BGR, CHW
+        bgr = np.asarray(hwc_bgr, np.uint8).transpose(2, 0, 1)
         return Datum(channels=3, height=bgr.shape[1], width=bgr.shape[2],
                      data=np.ascontiguousarray(bgr).tobytes())
 

@@ -120,10 +120,57 @@ def _configure(lib):
                                       ctypes.c_int64, u8p, ctypes.c_int64]
     lib.vvr_writer_close.restype = ctypes.c_int
     lib.vvr_writer_close.argtypes = [ctypes.c_void_p]
+    # JPEG decode entry points exist since round 5; older prebuilt .so
+    # files lack them (the _stale mtime check rebuilds, but an externally
+    # supplied VVDATA_LIB may be old) — degrade to unavailable
+    try:
+        lib.vv_jpeg_available.restype = ctypes.c_int
+        lib.vv_jpeg_available.argtypes = []
+        lib.vv_jpeg_dims.restype = ctypes.c_int
+        lib.vv_jpeg_dims.argtypes = [u8p, ctypes.c_int64, i32p, i32p]
+        lib.vv_decode_jpeg_bgr.restype = ctypes.c_int
+        lib.vv_decode_jpeg_bgr.argtypes = [u8p, ctypes.c_int64,
+                                           ctypes.c_int, ctypes.c_int, u8p]
+    except AttributeError:
+        pass
 
 
 def available() -> bool:
     return _find_lib() is not None
+
+
+def jpeg_available() -> bool:
+    """True when libvvdata was built against libjpeg(-turbo)."""
+    lib = _find_lib()
+    return bool(lib is not None and hasattr(lib, "vv_jpeg_available")
+                and lib.vv_jpeg_available())
+
+
+def decode_jpeg_bgr(payload: bytes, out_w: int = 0,
+                    out_h: int = 0) -> np.ndarray | None:
+    """Decode a JPEG to (out_h, out_w, 3) uint8 BGR HWC — the reference's
+    cv::imread layout (ref:src/caffe/util/io.cpp:69-88) — with libjpeg
+    DCT prescaling + cv2-convention bilinear (native/vvdata.cpp). out_w/
+    out_h 0 decodes at natural size. None when the native path is
+    unavailable or the stream is corrupt (callers fall back to cv2/PIL)."""
+    lib = _find_lib()
+    if lib is None or not hasattr(lib, "vv_jpeg_available") \
+            or not lib.vv_jpeg_available():
+        return None
+    buf = np.frombuffer(payload, np.uint8)
+    bp = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if out_w <= 0 or out_h <= 0:
+        w = ctypes.c_int32(0)
+        h = ctypes.c_int32(0)
+        if lib.vv_jpeg_dims(bp, len(payload), ctypes.byref(w),
+                            ctypes.byref(h)) != 0:
+            return None
+        out_w, out_h = int(w.value), int(h.value)
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    rc = lib.vv_decode_jpeg_bgr(
+        bp, len(payload), out_w, out_h,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if rc == 0 else None
 
 
 class NativeRecordReader:

@@ -103,6 +103,20 @@ def global_batch_from_device_shards(batch: dict, mesh: Mesh) -> dict:
     return jax.tree.map(place, batch)
 
 
+def replicate_global(tree, mesh: Mesh):
+    """Host-local numpy pytree → fully-replicated global jax.Arrays.
+
+    The multi-process-safe twin of `shard_params(model_axis=False)`:
+    every process passes the SAME values (deterministic init from a shared
+    seed) and `make_array_from_process_local_data` places each process's
+    addressable replicas — no device_put to non-addressable devices."""
+    rep = NamedSharding(mesh, P())
+
+    def place(leaf):
+        return jax.make_array_from_process_local_data(rep, np.asarray(leaf))
+    return jax.tree.map(place, tree)
+
+
 class HostShardedSource:
     """Wrap a batch source so each host emits only its slice of the global
     batch, assembled into global arrays.

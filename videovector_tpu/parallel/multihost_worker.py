@@ -1,0 +1,127 @@
+"""Multi-process training worker: one process of a multi-host launch.
+
+The reference is strictly single-process (SURVEY §2.6 — no MPI/NCCL
+anywhere); this is the TPU-native multi-host story executed FOR REAL:
+each process initializes `jax.distributed`, addresses only its local
+devices, feeds its slice of the global batch through
+`parallel.multihost.global_batch_from_local`
+(jax.make_array_from_process_local_data with a strict addressable
+subset), and runs the SPMD train step — XLA's collectives cross the
+process boundary (ICI/DCN on TPU slices; gloo on the CPU test rig).
+
+Run one worker per host:
+
+  python -m videovector_tpu.parallel.multihost_worker \
+      --solver solver.prototxt --coordinator host0:1234 \
+      --num_processes 2 --process_id $I --iters 3 --out losses_$I.json
+
+Each process must set its platform env BEFORE launch (the CPU test rig
+sets JAX_PLATFORMS=cpu + xla_force_host_platform_device_count; real TPU
+hosts need nothing). With --simulate (the test rig), every process runs
+the identical data stream and slices out its host_shard_range rows — so
+the multi-process trajectory must equal a --num_processes 1 run, which
+tests/test_multihost_process.py and the driver dryrun assert.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def run_worker(solver_path: str, *, process_id: int, num_processes: int,
+               coordinator: str, iters: int = 3,
+               simulate: bool = True) -> list[float]:
+    """Train the solver's net `iters` steps over ALL processes' devices;
+    returns the per-iteration loss list (identical on every process —
+    metrics are replicated)."""
+    import jax
+    if num_processes > 1 or coordinator:
+        # CPU cross-process collectives need an implementation (current
+        # jax defaults to gloo; older builds default to none — fix that
+        # up; TPU backends ignore this knob)
+        try:
+            if str(jax.config.jax_cpu_collectives_implementation
+                   or "none").lower() == "none":
+                jax.config.update("jax_cpu_collectives_implementation",
+                                  "gloo")
+        except Exception:
+            pass
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from videovector_tpu.parallel.multihost import (
+        HostShardedSource, replicate_global,
+    )
+    from videovector_tpu.parallel.train import make_train_step
+    from videovector_tpu.solver.driver import SolverDriver
+
+    driver = SolverDriver.from_prototxt(solver_path)
+    driver.build()
+    net = driver.train_net
+    cfg = driver.cfg
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+
+    def loss_fn(p, batch, key):
+        return SolverDriver._loss_with_outputs(net, p, batch, key)
+
+    # init_solver_state's structure, built from numpy so replication is
+    # multi-process-safe (no device_put to non-addressable devices)
+    params_np = jax.device_get(driver.params)
+    params = replicate_global(params_np, mesh)
+    state = replicate_global(
+        {"iter": np.int32(0),
+         "history": jax.tree.map(np.zeros_like, params_np)}, mesh)
+
+    # every process runs the same deterministic sampler stream; with
+    # simulate=True the wrapper slices this process's host_shard_range
+    # rows before assembly (the single-host test rig). A real deployment
+    # points each host's source at its own data range and passes
+    # simulate=False.
+    src = HostShardedSource(driver.train_source, mesh, simulate=simulate)
+    it_src = iter(src)
+
+    step = make_train_step(loss_fn, cfg, mesh, lr_mults=driver.lr_mults,
+                           decay_mults=driver.decay_mults, donate=False)
+    seed = cfg.random_seed if cfg.random_seed >= 0 else 0
+    rng = jax.random.PRNGKey(seed)
+    losses = []
+    for it in range(iters):
+        batch = next(it_src)
+        params, state, metrics = step(params, state, batch,
+                                      jax.random.fold_in(rng, it))
+        losses.append(float(np.asarray(metrics["loss"]).reshape(-1)[0]))
+    return losses
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--solver", required=True)
+    p.add_argument("--coordinator", default="")
+    p.add_argument("--num_processes", type=int, default=1)
+    p.add_argument("--process_id", type=int, default=0)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--simulate", action="store_true",
+                   help="identical stream on every process, sliced by "
+                        "host_shard_range (single-host test rig)")
+    p.add_argument("--out", default="",
+                   help="write the loss list as JSON to this path")
+    args = p.parse_args(argv)
+    losses = run_worker(args.solver, process_id=args.process_id,
+                        num_processes=args.num_processes,
+                        coordinator=args.coordinator, iters=args.iters,
+                        simulate=args.simulate)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(losses, f)
+    print(json.dumps({"process": args.process_id, "losses": losses}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
