@@ -754,10 +754,40 @@ def _shard_gallery(mesh, feats, vids_np):
     return feats_sh, vids_sh
 
 
+def _cast_gallery_host(features, gallery_dtype: str):
+    """Validate/cast the gallery for `gallery_dtype` BEFORE device
+    placement. bf16 halves the gallery's HBM footprint (1M x 4096 = 8.4
+    GB instead of 16.8 — single-chip evaluable); the cast happens in HOST
+    RAM (ml_dtypes.bfloat16) for numpy inputs so no f32 copy ever lands
+    on a device.
+
+    Exactness semantics (documented, tested in test_gallery_bf16.py):
+    features quantize to bf16 ONCE; distances are then computed from
+    bf16 operands with f32 accumulation (MXU-native), and the rank
+    engines are EXACT with respect to those distances — rank-by-counting
+    over monotone int32 keys of the f32 products, stable (distance,
+    index) tie order included (count == sort bit-for-bit at any dtype).
+    The only deviation from the f32 engine is input rounding: ranks can
+    migrate where an f32 distance gap is below bf16 input precision
+    (~2^-8 relative). The reference's own eval math is the same
+    -2 X Xᵀ GEMM (ref:src/caffe/layers/retrieval_stats_layer.cpp:208-210)
+    in f32."""
+    if gallery_dtype in ("float32", "f32", None):
+        return features
+    if gallery_dtype not in ("bfloat16", "bf16"):
+        raise ValueError(f"gallery_dtype must be float32 or bfloat16, "
+                         f"got {gallery_dtype!r}")
+    import ml_dtypes
+    if isinstance(features, jax.Array):
+        return features.astype(jnp.bfloat16)
+    return np.asarray(features).astype(ml_dtypes.bfloat16)
+
+
 def retrieval_stats_chunked(features, video_ids, class_ids, *,
                             exclude_same_video_shots: bool = False,
                             query_chunk: int = 256, method: str = "auto",
-                            mesh=None, shard_gallery: bool = False):
+                            mesh=None, shard_gallery: bool = False,
+                            gallery_dtype: str = "float32"):
     """Gallery-scale retrieval_stats: EXACT same results as retrieval_stats
     (mAP, hit@1, hit@5, stable tie-breaking included) with O(Q·N) device
     memory instead of O(N²).
@@ -812,6 +842,10 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
                              f"before retrieval eval")
     vids_np = np.asarray(video_ids).reshape(-1).astype(np.int32)
     cls_np = np.asarray(class_ids).reshape(-1).astype(np.int32)
+    # compact gallery keys: cast host-side so the full-precision array
+    # never lands on a device (see _cast_gallery_host for the exactness
+    # semantics — ranks are exact w.r.t. the quantized distances)
+    features = _cast_gallery_host(features, gallery_dtype)
     n = features.shape[0]
     q_chunk = min(query_chunk, n)
 

@@ -36,7 +36,15 @@ def run_worker(solver_path: str, *, process_id: int, num_processes: int,
     """Train the solver's net `iters` steps over ALL processes' devices;
     returns the per-iteration loss list (identical on every process —
     metrics are replicated)."""
+    import os
+
     import jax
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        # honor the launcher's platform choice: this environment pins
+        # jax_platforms to "axon,cpu" regardless of the env var (see
+        # CLAUDE.md / tests/conftest.py) — without this the CPU test rig
+        # silently initializes the TPU tunnel backend
+        jax.config.update("jax_platforms", "cpu")
     if num_processes > 1 or coordinator:
         # CPU cross-process collectives need an implementation (current
         # jax defaults to gloo; older builds default to none — fix that
