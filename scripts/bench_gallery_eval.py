@@ -34,6 +34,12 @@ def main():
                     help="also run the GALLERY-sharded count engine over "
                          "all devices (per-device memory N*D/ndev) and "
                          "check it equals the single-device result")
+    ap.add_argument("--gallery_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compact gallery keys: bfloat16 halves the "
+                         "gallery HBM (1M x 4096 fits ONE v5e at 8.4 GB; "
+                         "f32 cannot) — ranks exact w.r.t. the quantized "
+                         "distances (metrics.retrieval)")
     args = ap.parse_args()
 
     import jax
@@ -49,27 +55,48 @@ def main():
         cls = rng.randint(0, n_cls, size=(n,)).astype(np.int32)
         vids = rng.randint(0, n // 10, size=(n,)).astype(np.int32)
         centers = jnp.asarray(rng.randn(n_cls, d).astype(np.float32))
-        # features generated ON DEVICE (tunnel H2D is a harness artifact)
-        noise = jax.jit(lambda k: jax.random.normal(
-            k, (n, d), jnp.float32))(jax.random.PRNGKey(0))
-        feats = centers[jnp.asarray(cls)] * 2.0 + noise
-        feats = feats / jnp.linalg.norm(feats, axis=1, keepdims=True)
-        float(jnp.sum(feats))  # fence the setup
+        gdt = args.gallery_dtype
+        out_dt = jnp.bfloat16 if gdt == "bfloat16" else jnp.float32
+        # features generated ON DEVICE (tunnel H2D is a harness artifact),
+        # in row chunks so the f32 intermediate never exceeds ~2 GB — at
+        # bf16 the full-size f32 gallery may not fit HBM at all (1M rows)
+        gen_rows = max(1, min(n, (1 << 29) // max(d, 1)))
+
+        @jax.jit
+        def gen_chunk(key, idx):
+            noise = jax.random.normal(key, (gen_rows, d), jnp.float32)
+            f = centers[idx] * 2.0 + noise
+            f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
+            return f.astype(out_dt)
+
+        parts = []
+        cls_pad = np.concatenate(
+            [cls, np.zeros(((-n) % gen_rows,), np.int32)])
+        for i in range(0, n, gen_rows):
+            parts.append(gen_chunk(
+                jax.random.fold_in(jax.random.PRNGKey(0), i),
+                jnp.asarray(cls_pad[i:i + gen_rows])))
+        feats = (jnp.concatenate(parts)[:n] if len(parts) > 1
+                 else parts[0][:n])
+        del parts
+        float(jnp.sum(feats[:64].astype(jnp.float32)))  # fence the setup
         results = {}
         for engine in engines:
             t0 = time.perf_counter()
             out = retrieval_stats_chunked(feats, vids, cls,
-                                          query_chunk=512, method=engine)
+                                          query_chunk=512, method=engine,
+                                          gallery_dtype=gdt)
             vals = {k: float(v) for k, v in out.items()}
             warm = time.perf_counter() - t0
             t0 = time.perf_counter()
             out = retrieval_stats_chunked(feats, vids, cls,
-                                          query_chunk=512, method=engine)
+                                          query_chunk=512, method=engine,
+                                          gallery_dtype=gdt)
             vals2 = {k: float(v) for k, v in out.items()}
             hot = time.perf_counter() - t0
             assert vals == vals2
             results[engine] = (hot, warm, vals)
-            print(f"N={n} D={d} C={n_cls} engine={engine}: "
+            print(f"N={n} D={d} C={n_cls} dtype={gdt} engine={engine}: "
                   f"{hot:.2f}s warm ({warm:.2f}s incl. compile)  {vals}",
                   flush=True)
         if args.shard_gallery:

@@ -24,6 +24,19 @@ def main():
     p.add_argument("--dim", type=int, default=4096)
     p.add_argument("--videos", type=int, default=200)
     p.add_argument("--workdir", default="/tmp/vvtpu_demo")
+    p.add_argument("--device_negatives", action="store_true",
+                   help="on-device negative sampler (data-layer "
+                        "device_negatives extension): host ships only "
+                        "(B, C, D) target+context — (C+N)/C H2D cut")
+    p.add_argument("--dropout_prng", default="",
+                   choices=["", "threefry", "rbg"],
+                   help="solver dropout_prng extension (rbg = the TPU "
+                        "throughput mode, PERF.md round 5)")
+    p.add_argument("--snapshot", type=int, default=0,
+                   help="snapshot interval (solver `snapshot`)")
+    p.add_argument("--resume", default="",
+                   help="resume from a snapshot state file")
+    p.add_argument("--test_interval", type=int, default=250)
     args = p.parse_args()
 
     import jax
@@ -77,7 +90,8 @@ def main():
         f.write(emit(train_path, test_path, batch=128, test_batch=673,
                      negatives=10, embed=args.dim, margin=1.0,
                      weight_std=weight_std, dropout=0.5,
-                     buffer_size=buffer_size))
+                     buffer_size=buffer_size,
+                     device_negatives=args.device_negatives))
 
     solver = Message()
     solver.add("net", net_path)
@@ -89,12 +103,22 @@ def main():
     solver.add("power", 0.75)
     solver.add("display", 100)
     solver.add("max_iter", args.iters)
-    solver.add("test_interval", 250)
+    solver.add("test_interval", args.test_interval)
     solver.add("test_iter", 1)
     solver.add("snapshot_prefix", os.path.join(args.workdir, "demo"))
+    if args.snapshot:
+        solver.add("snapshot", args.snapshot)
+    if args.dropout_prng:
+        solver.add("dropout_prng", args.dropout_prng)
 
     driver = SolverDriver(solver).build()
-    res = driver.train()
+    if args.device_negatives:
+        b = driver.train_source.next_batch()["data"]
+        full = b.shape[0] * (b.shape[1] + 10) * np.prod(b.shape[2:]) * 4
+        print(f"device_negatives: host batch {b.shape} = "
+              f"{b.nbytes / 1e6:.1f} MB/step H2D "
+              f"(host path would ship {full / 1e6:.1f} MB/step)")
+    res = driver.train(resume_state_path=args.resume or None)
     print("\n=== retrieval trajectory (test phase, 673-window gallery) ===")
     for it, metrics in res.test_history:
         print(f"iter {it:5d}: mAP={metrics.get('test_map', float('nan')):.4f} "

@@ -762,7 +762,13 @@ class Net:
                     feats, vids, classes, p.get("stats_output_file"),
                     exclude_same_video_shots=bool(
                         p.get("exclude_same_video_shots", True)),
-                    mesh=mesh, shard_gallery=shard_gallery)
+                    mesh=mesh, shard_gallery=shard_gallery,
+                    # extension: `gallery_dtype: "bfloat16"` stores the
+                    # gallery compact (half HBM — 250k-1M rows fit one
+                    # chip); ranks exact w.r.t. the quantized distances
+                    # (metrics.retrieval._cast_gallery_host)
+                    gallery_dtype=str(p.get("gallery_dtype", "float32")
+                                      or "float32"))
             elif sink["type"] == "RETRIEVAL_RANK_STATS":
                 from videovector_tpu.metrics.retrieval import (
                     retrieval_rank_stats_report,

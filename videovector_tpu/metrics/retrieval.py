@@ -952,7 +952,8 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
 def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
                            exclude_same_video_shots: bool = False,
                            mesh=None, shard_gallery: bool = False,
-                           method: str = "auto") -> dict:
+                           method: str = "auto",
+                           gallery_dtype: str = "float32") -> dict:
     """Host-side per-query csv dump matching the reference's
     `stats_output_file` (ref:src/caffe/layers/retrieval_stats_layer.cpp:
     148-155, 310-340): header `#video_id,class_id,ap,acc@1,acc@5,` + top-5
@@ -974,11 +975,20 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     shards the GALLERY rows instead so per-device memory is N·D/ndev,
     with an exact distributed top-5 merge (see
     _scan_report_gshard_impl) — identical csv bytes."""
+    compact = gallery_dtype not in ("float32", "f32", None)
     if shard_gallery and not isinstance(features, jax.Array):
         # host gallery: cast in host RAM and let _shard_gallery device_put
         # it SHARDED — jnp.asarray here would commit the full N·D array to
         # the default device first, defeating shard_gallery's memory claim
         feats_j = np.asarray(features, np.float32)
+        if compact:
+            feats_j = _cast_gallery_host(feats_j, gallery_dtype)
+    elif compact:
+        # compact keys halve HBM; cast host inputs in host RAM (see
+        # _cast_gallery_host for the exactness semantics)
+        feats_j = _cast_gallery_host(features, gallery_dtype)
+        if not isinstance(feats_j, jax.Array):
+            feats_j = jnp.asarray(feats_j)
     else:
         feats_j = jnp.asarray(features)
         if feats_j.dtype != jnp.float32:
