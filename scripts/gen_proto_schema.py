@@ -138,6 +138,35 @@ def resolve(messages, enums):
     return out
 
 
+# videovector_tpu EXTENSION fields (not in the reference protos).
+# Field numbers live in a 3100+ range the reference never uses, so a
+# reference binary parsing our .caffemodel/solver files skips them as
+# legal proto2 unknown fields; our binproto can round-trip nets/solvers
+# that carry the extensions (e.g. snapshot_format: caffe on a net with
+# device_negatives). Keep in sync with the extension consumers:
+# solver/solvers.py SolverConfig.from_message, graph/data_factory.py,
+# graph/net.py (gallery_dtype), solver/driver.py (role_major_data).
+EXTENSIONS = {
+    "SolverParameter": {
+        "grad_microbatch": (3100, "optional", ("scalar", "i"), False, "-1"),
+        "snapshot_format": (3101, "optional", ("scalar", "s"), False, "vv"),
+        "compute_dtype": (3102, "optional", ("scalar", "s"), False, None),
+        "role_major_data": (3103, "optional", ("scalar", "b"), False,
+                            "false"),
+        "dropout_prng": (3104, "optional", ("scalar", "s"), False,
+                         "threefry"),
+    },
+    "VideoSampledShotsDataParameter": {
+        "device_negatives": (3100, "optional", ("scalar", "b"), False,
+                             "false"),
+    },
+    "RetrievalStatsParameter": {
+        "gallery_dtype": (3100, "optional", ("scalar", "s"), False,
+                          "float32"),
+    },
+}
+
+
 def main():
     proto_dir = sys.argv[1] if len(sys.argv) > 1 else \
         "/root/reference/src/caffe/proto"
@@ -149,6 +178,12 @@ def main():
         all_msgs.update(msgs)
         all_enums.update(enums)
     resolved = resolve(all_msgs, all_enums)
+    for mname, fields in EXTENSIONS.items():
+        ref_nums = {num for num, *_ in resolved[mname].values()}
+        for fname, entry in fields.items():
+            assert fname not in resolved[mname], (mname, fname)
+            assert entry[0] not in ref_nums, (mname, fname, entry[0])
+            resolved[mname][fname] = entry
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                             "videovector_tpu", "config", "proto_schema.py")

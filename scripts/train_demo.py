@@ -34,12 +34,21 @@ def main():
                         "throughput mode, PERF.md round 5)")
     p.add_argument("--snapshot", type=int, default=0,
                    help="snapshot interval (solver `snapshot`)")
+    p.add_argument("--snapshot_format", default="",
+                   choices=["", "vv", "caffe", "orbax"],
+                   help="solver snapshot_format (caffe also writes the "
+                        "reference .caffemodel/.solverstate pair)")
     p.add_argument("--resume", default="",
                    help="resume from a snapshot state file")
     p.add_argument("--test_interval", type=int, default=250)
+    p.add_argument("--cpu", action="store_true",
+                   help="run on the XLA CPU backend (env var alone does "
+                        "not stick in this harness — see CLAUDE.md)")
     args = p.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
@@ -108,6 +117,8 @@ def main():
     solver.add("snapshot_prefix", os.path.join(args.workdir, "demo"))
     if args.snapshot:
         solver.add("snapshot", args.snapshot)
+    if args.snapshot_format:
+        solver.add("snapshot_format", args.snapshot_format)
     if args.dropout_prng:
         solver.add("dropout_prng", args.dropout_prng)
 
