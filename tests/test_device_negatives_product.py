@@ -165,6 +165,29 @@ layers {{ name: "d" type: VIDEO_SAMPLED_SHOTS_DATA top: "data"
         SolverDriver(solver).build()
 
 
+def test_device_negatives_rejected_in_test_net(tmp_path):
+    """A TEST net declaring device_negatives fails at build with a clear
+    message (the reservoir rides the TRAIN carry channel), not an opaque
+    shape error at eval time."""
+    src = _records(tmp_path)
+    net = parse(f"""
+layers {{ name: "d" type: VIDEO_SAMPLED_SHOTS_DATA top: "data"
+  video_sampled_shots_data_param {{
+    source: "{src}" batch_size: 4 num_negative_samples: 4
+    max_buffer_size: 16 negative_swap_percentage: 50
+    context_type: WINDOW context_size: 5 device_negatives: true }} }}
+layers {{ name: "sil" type: SILENCE bottom: "data" }}
+""")
+    solver = Message()
+    solver.add("net_param", net)
+    solver.add("base_lr", 0.01)
+    solver.add("max_iter", 1)
+    solver.add("test_iter", 1)
+    solver.add("test_interval", 1)
+    with pytest.raises(ValueError, match="TRAIN-net feature"):
+        SolverDriver(solver).build()
+
+
 def test_reachable_from_vvtpu_train(tmp_path):
     """The CLI surface: `vvtpu train --solver=...` runs the device
     sampler end to end (the capability is a product feature, not a

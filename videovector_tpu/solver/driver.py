@@ -235,6 +235,12 @@ class SolverDriver:
                 test_net.param_meta = {}
                 source = self._build_sources(test_net, te_phase,
                                              seed + 1 + i)
+                if getattr(source, "device_negatives", None):
+                    raise ValueError(
+                        "device_negatives is a TRAIN-net feature (the "
+                        "reservoir rides the training carry channel); "
+                        f"test net #{i} declares it — gate the layer "
+                        "with include { phase: TRAIN } or drop the flag")
                 # the test net reuses the train net's params (shared by layer
                 # name — ref ShareTrainedLayersWith, net.cpp)
                 tb = source.next_batch()
