@@ -826,14 +826,23 @@ int vv_decode_jpeg_bgr(const uint8_t* buf, int64_t len, int out_w, int out_h,
     jpeg_destroy_decompress(&cinfo);
     return -2;
   }
+#ifdef JCS_EXTENSIONS
+  // libjpeg-turbo: decode straight to BGR — no per-pixel swap pass
+  cinfo.out_color_space = JCS_EXT_BGR;
+  const bool src_bgr = true;
+#else
   cinfo.out_color_space = JCS_RGB;  // grayscale sources expand to RGB
+  const bool src_bgr = false;
+#endif
   if (out_w <= 0 || out_h <= 0) {
     out_w = static_cast<int>(cinfo.image_width);
     out_h = static_cast<int>(cinfo.image_height);
   }
-  // DCT prescale: smallest M/8 whose decoded size still covers the target
+  // DCT prescale: largest power-of-two downscale (1/2, 1/4, 1/8 — the
+  // FAST scaled-IDCT paths; intermediate M/8 scales are slower than a
+  // full decode in libjpeg-turbo) whose output still covers the target
   cinfo.scale_denom = 8;
-  for (unsigned num = 1; num <= 8; ++num) {
+  for (unsigned num : {1u, 2u, 4u, 8u}) {
     cinfo.scale_num = num;
     jpeg_calc_output_dimensions(&cinfo);
     if (static_cast<int>(cinfo.output_width) >= out_w &&
@@ -843,7 +852,17 @@ int vv_decode_jpeg_bgr(const uint8_t* buf, int64_t len, int out_w, int out_h,
   jpeg_start_decompress(&cinfo);
   const int W = static_cast<int>(cinfo.output_width);
   const int H = static_cast<int>(cinfo.output_height);
-  const int C = cinfo.output_components;  // 3 after JCS_RGB
+  const int C = cinfo.output_components;  // 3 after BGR/RGB expansion
+  const bool direct = (W == out_w && H == out_h && C == 3 && src_bgr);
+  if (direct) {  // decode straight into the caller's buffer
+    while (cinfo.output_scanline < cinfo.output_height) {
+      JSAMPROW row = out + static_cast<size_t>(cinfo.output_scanline) * W * 3;
+      jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
   tmp_holder = new std::vector<uint8_t>(static_cast<size_t>(W) * H * C);
   uint8_t* tmp = tmp_holder->data();
   while (cinfo.output_scanline < cinfo.output_height) {
@@ -853,45 +872,70 @@ int vv_decode_jpeg_bgr(const uint8_t* buf, int64_t len, int out_w, int out_h,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
 
-  if (W == out_w && H == out_h) {  // no resample: RGB→BGR copy
+  // sc[c]: source channel for output channel c (out is BGR)
+  int sc[3];
+  if (C >= 3) {
+    if (src_bgr) { sc[0] = 0; sc[1] = 1; sc[2] = 2; }
+    else         { sc[0] = 2; sc[1] = 1; sc[2] = 0; }
+  } else {
+    sc[0] = sc[1] = sc[2] = 0;  // grayscale replicate
+  }
+  if (W == out_w && H == out_h) {  // no resample: channel-mapped copy
     for (int64_t i = 0; i < static_cast<int64_t>(out_w) * out_h; ++i) {
-      out[i * 3 + 0] = tmp[i * C + (C >= 3 ? 2 : 0)];
-      out[i * 3 + 1] = tmp[i * C + (C >= 3 ? 1 : 0)];
-      out[i * 3 + 2] = tmp[i * C + 0];
+      out[i * 3 + 0] = tmp[i * C + sc[0]];
+      out[i * 3 + 1] = tmp[i * C + sc[1]];
+      out[i * 3 + 2] = tmp[i * C + sc[2]];
     }
     delete tmp_holder;
     return 0;
   }
+  // fixed-point bilinear (cv2 INTER_LINEAR half-pixel convention),
+  // x-taps precomputed once per row sweep: 15-bit weights, exact
+  // rounding via +(1<<29) before the 30-bit shift
   const double sx = static_cast<double>(W) / out_w;
   const double sy = static_cast<double>(H) / out_h;
+  std::vector<int> x0s(out_w);
+  std::vector<int32_t> wxs(out_w);
+  for (int x = 0; x < out_w; ++x) {
+    double fx = (x + 0.5) * sx - 0.5;
+    if (fx < 0) fx = 0;
+    int x0 = static_cast<int>(fx);
+    if (x0 > W - 2) x0 = W - 2;
+    if (x0 < 0) x0 = 0;
+    double wx = fx - x0;
+    if (wx < 0) wx = 0;
+    if (wx > 1) wx = 1;
+    x0s[x] = x0;
+    wxs[x] = static_cast<int32_t>(wx * 32768.0 + 0.5);
+  }
   for (int y = 0; y < out_h; ++y) {
     double fy = (y + 0.5) * sy - 0.5;
     if (fy < 0) fy = 0;
     int y0 = static_cast<int>(fy);
     if (y0 > H - 2) y0 = H - 2;
     if (y0 < 0) y0 = 0;
-    double wy = fy - y0;
-    if (wy < 0) wy = 0;
-    if (wy > 1) wy = 1;
+    double wyd = fy - y0;
+    if (wyd < 0) wyd = 0;
+    if (wyd > 1) wyd = 1;
+    const int32_t wy = static_cast<int32_t>(wyd * 32768.0 + 0.5);
     const uint8_t* r0 = tmp + static_cast<size_t>(y0) * W * C;
     const uint8_t* r1 = r0 + static_cast<size_t>(W) * C;
     uint8_t* orow = out + static_cast<size_t>(y) * out_w * 3;
     for (int x = 0; x < out_w; ++x) {
-      double fx = (x + 0.5) * sx - 0.5;
-      if (fx < 0) fx = 0;
-      int x0 = static_cast<int>(fx);
-      if (x0 > W - 2) x0 = W - 2;
-      if (x0 < 0) x0 = 0;
-      double wx = fx - x0;
-      if (wx < 0) wx = 0;
-      if (wx > 1) wx = 1;
-      const double w00 = (1 - wy) * (1 - wx), w01 = (1 - wy) * wx;
-      const double w10 = wy * (1 - wx), w11 = wy * wx;
+      const int x0 = x0s[x] * C;
+      const int32_t wx = wxs[x];
+      const int32_t w00 = (32768 - wy) * (32768 - wx);
+      const int32_t w01 = (32768 - wy) * wx;
+      const int32_t w10 = wy * (32768 - wx);
+      const int32_t w11 = wy * wx;
       for (int c = 0; c < 3; ++c) {
-        const int sc = (C >= 3) ? (2 - c) : 0;  // RGB source → BGR out
-        const double v = w00 * r0[x0 * C + sc] + w01 * r0[(x0 + 1) * C + sc] +
-                         w10 * r1[x0 * C + sc] + w11 * r1[(x0 + 1) * C + sc];
-        orow[x * 3 + c] = static_cast<uint8_t>(v + 0.5);
+        const int s = x0 + sc[c];
+        const int64_t v = static_cast<int64_t>(w00) * r0[s] +
+                          static_cast<int64_t>(w01) * r0[s + C] +
+                          static_cast<int64_t>(w10) * r1[s] +
+                          static_cast<int64_t>(w11) * r1[s + C];
+        orow[x * 3 + c] =
+            static_cast<uint8_t>((v + (1 << 29)) >> 30);
       }
     }
   }
