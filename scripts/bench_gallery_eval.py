@@ -58,9 +58,15 @@ def main():
         gdt = args.gallery_dtype
         out_dt = jnp.bfloat16 if gdt == "bfloat16" else jnp.float32
         # features generated ON DEVICE (tunnel H2D is a harness artifact),
-        # in row chunks so the f32 intermediate never exceeds ~2 GB — at
-        # bf16 the full-size f32 gallery may not fit HBM at all (1M rows)
-        gen_rows = max(1, min(n, (1 << 29) // max(d, 1)))
+        # in row chunks written into a DONATED output buffer: the f32
+        # intermediate stays ~2 GB and the gallery is never duplicated —
+        # a concatenate (2x peak) or an eager [:n] slice OOMed the chip
+        # at 500k-1M rows (round-5 measurement)
+        import math
+        from functools import partial
+        need = max(1, math.ceil(n * d * 4 / (2 << 30)))
+        nchunks = next(k for k in range(need, n + 1) if n % k == 0)
+        gen_rows = n // nchunks
 
         @jax.jit
         def gen_chunk(key, idx):
@@ -69,28 +75,32 @@ def main():
             f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
             return f.astype(out_dt)
 
-        parts = []
-        cls_pad = np.concatenate(
-            [cls, np.zeros(((-n) % gen_rows,), np.int32)])
-        for i in range(0, n, gen_rows):
-            parts.append(gen_chunk(
+        @partial(jax.jit, donate_argnums=(0,))
+        def write_chunk(buf, chunk, i):
+            return jax.lax.dynamic_update_slice_in_dim(
+                buf, chunk, i * gen_rows, 0)
+
+        feats = jnp.zeros((n, d), out_dt)
+        for i in range(nchunks):
+            chunk = gen_chunk(
                 jax.random.fold_in(jax.random.PRNGKey(0), i),
-                jnp.asarray(cls_pad[i:i + gen_rows])))
-        feats = (jnp.concatenate(parts)[:n] if len(parts) > 1
-                 else parts[0][:n])
-        del parts
+                jnp.asarray(cls[i * gen_rows:(i + 1) * gen_rows]))
+            feats = write_chunk(feats, chunk, i)
         float(jnp.sum(feats[:64].astype(jnp.float32)))  # fence the setup
+        # per-chunk temps are O(q_chunk * N) int32/f32 rows — shrink the
+        # chunk as the gallery grows so they stay ~1 GB
+        qc = 512 if n < 150_000 else (256 if n < 600_000 else 128)
         results = {}
         for engine in engines:
             t0 = time.perf_counter()
             out = retrieval_stats_chunked(feats, vids, cls,
-                                          query_chunk=512, method=engine,
+                                          query_chunk=qc, method=engine,
                                           gallery_dtype=gdt)
             vals = {k: float(v) for k, v in out.items()}
             warm = time.perf_counter() - t0
             t0 = time.perf_counter()
             out = retrieval_stats_chunked(feats, vids, cls,
-                                          query_chunk=512, method=engine,
+                                          query_chunk=qc, method=engine,
                                           gallery_dtype=gdt)
             vals2 = {k: float(v) for k, v in out.items()}
             hot = time.perf_counter() - t0
@@ -104,13 +114,13 @@ def main():
             mesh = make_mesh()
             t0 = time.perf_counter()
             out = retrieval_stats_chunked(feats, vids, cls,
-                                          query_chunk=512, mesh=mesh,
+                                          query_chunk=qc, mesh=mesh,
                                           shard_gallery=True)
             vals = {k: float(v) for k, v in out.items()}
             warm = time.perf_counter() - t0
             t0 = time.perf_counter()
             out = retrieval_stats_chunked(feats, vids, cls,
-                                          query_chunk=512, mesh=mesh,
+                                          query_chunk=qc, mesh=mesh,
                                           shard_gallery=True)
             hot = time.perf_counter() - t0
             assert vals == {k: float(v) for k, v in out.items()}

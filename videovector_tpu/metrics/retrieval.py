@@ -264,13 +264,31 @@ def _chunk_retrieval_counts(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
     # match rank: only the query's class members can match, and rel_idx
     # already lists exactly those — compare the (Q, M) member keys
     # against themselves (masked to valid members) instead of re-scanning
-    # the gallery for class equality
+    # the gallery for class equality. The (Q, M, M) cube is scanned in
+    # mc-column chunks like the gallery cube: at corpus scale with few
+    # classes M grows with N (250k rows / 50 classes → M ≈ 5.2k, a 13.8
+    # G-element cube that crashed the chip worker in round 5) — chunking
+    # bounds it to (Q, M, mc), bit-equal sums
     m_mono = jnp.where(rel_ok, mono_rel, _I32_MAX)
     m_idx = jnp.where(rel_ok, rel_idx, _I32_MAX)
-    less_m = ((m_mono[:, None, :] < mono_rel[:, :, None])
-              | ((m_mono[:, None, :] == mono_rel[:, :, None])
-                 & (m_idx[:, None, :] < rel_idx[:, :, None])))
-    cnt_m = jnp.sum(less_m.astype(jnp.int32), axis=2)
+    mc = min(m, 512)
+    mpad = ((m + mc - 1) // mc) * mc - m
+    mm_ch = jnp.pad(m_mono, ((0, 0), (0, mpad)),
+                    constant_values=_I32_MAX).reshape(q, -1, mc) \
+        .transpose(1, 0, 2)                                   # (mk, Q, mc)
+    mi_ch = jnp.pad(m_idx, ((0, 0), (0, mpad)),
+                    constant_values=_I32_MAX).reshape(q, -1, mc) \
+        .transpose(1, 0, 2)
+
+    def mbody(cnt, xs):
+        mm, mi = xs                                           # (Q, mc)
+        less = ((mm[:, None, :] < mono_rel[:, :, None])
+                | ((mm[:, None, :] == mono_rel[:, :, None])
+                   & (mi[:, None, :] < rel_idx[:, :, None])))
+        return cnt + jnp.sum(less.astype(jnp.int32), axis=2), None
+
+    cnt_m, _ = jax.lax.scan(mbody, jnp.zeros((q, m), jnp.int32),
+                            (mm_ch, mi_ch))
 
     valrank = (cnt_v + 1).astype(jnp.float32)                 # 1-based
     matchrank = (cnt_m + 1).astype(jnp.float32)
@@ -601,13 +619,30 @@ def _chunk_counts_gshard(feats_l, vids_l, qp, qc, rel_idx, off, n_total,
                             (gm_ch, gi_ch))
     cnt_v = jax.lax.psum(cnt_v, axis)
 
-    # match rank: member-vs-member keys are fully replicated now
+    # match rank: member-vs-member keys are fully replicated now; the
+    # (Q, M, M) cube scans in mc-column chunks like the single-device
+    # engine (M grows with N/classes — unbounded it crashed the chip
+    # worker at 250k/50cls, see _chunk_retrieval_counts)
     m_mono = jnp.where(rel_ok, mono_rel, _I32_MAX)
     m_idx = jnp.where(rel_ok, rel_idx, _I32_MAX)
-    less_m = ((m_mono[:, None, :] < mono_rel[:, :, None])
-              | ((m_mono[:, None, :] == mono_rel[:, :, None])
-                 & (m_idx[:, None, :] < rel_idx[:, :, None])))
-    cnt_m = jnp.sum(less_m.astype(jnp.int32), axis=2)
+    mc = min(m, 512)
+    mpad = ((m + mc - 1) // mc) * mc - m
+    mm_ch = jnp.pad(m_mono, ((0, 0), (0, mpad)),
+                    constant_values=_I32_MAX).reshape(q, -1, mc) \
+        .transpose(1, 0, 2)
+    mi_ch = jnp.pad(m_idx, ((0, 0), (0, mpad)),
+                    constant_values=_I32_MAX).reshape(q, -1, mc) \
+        .transpose(1, 0, 2)
+
+    def mbody(cnt, xs):
+        mm, mi = xs
+        less = ((mm[:, None, :] < mono_rel[:, :, None])
+                | ((mm[:, None, :] == mono_rel[:, :, None])
+                   & (mi[:, None, :] < rel_idx[:, :, None])))
+        return cnt + jnp.sum(less.astype(jnp.int32), axis=2), None
+
+    cnt_m, _ = jax.lax.scan(mbody, jnp.zeros((q, m), jnp.int32),
+                            (mm_ch, mi_ch))
 
     valrank = (cnt_v + 1).astype(jnp.float32)
     matchrank = (cnt_m + 1).astype(jnp.float32)
@@ -779,8 +814,13 @@ def _cast_gallery_host(features, gallery_dtype: str):
                          f"got {gallery_dtype!r}")
     import ml_dtypes
     if isinstance(features, jax.Array):
-        return features.astype(jnp.bfloat16)
-    return np.asarray(features).astype(ml_dtypes.bfloat16)
+        # no-op when already bf16 — an eager astype would copy the full
+        # gallery (8.4 GB at 1M x 4096)
+        return (features if features.dtype == jnp.bfloat16
+                else features.astype(jnp.bfloat16))
+    arr = np.asarray(features)
+    return (arr if arr.dtype == ml_dtypes.bfloat16
+            else arr.astype(ml_dtypes.bfloat16))
 
 
 def retrieval_stats_chunked(features, video_ids, class_ids, *,
