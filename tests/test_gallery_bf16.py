@@ -68,6 +68,25 @@ def test_bf16_gallery_is_stored_compact():
         _cast_gallery_host(feats, "int4")
 
 
+def test_host_driver_equals_scan_driver():
+    """chunk_driver='host' (per-chunk dispatch — the big-gallery escape
+    hatch for monolithic-scan runtime faults) is bit-equal to the scan
+    driver, every engine, both dtypes."""
+    feats, vids, cls = _gallery(n=300)
+    for dt in ("float32", "bfloat16"):
+        for method in ("count", "sort"):
+            a = retrieval_stats_chunked(feats, vids, cls, query_chunk=64,
+                                        method=method, gallery_dtype=dt)
+            b = retrieval_stats_chunked(feats, vids, cls, query_chunk=64,
+                                        method=method, gallery_dtype=dt,
+                                        chunk_driver="host")
+            for k in a:
+                assert float(a[k]) == float(b[k]), (dt, method, k)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="chunk_driver"):
+        retrieval_stats_chunked(feats, vids, cls, chunk_driver="turbo")
+
+
 def test_bf16_composes_with_gallery_sharding():
     import jax
     from videovector_tpu.parallel import make_mesh

@@ -827,7 +827,8 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
                             exclude_same_video_shots: bool = False,
                             query_chunk: int = 256, method: str = "auto",
                             mesh=None, shard_gallery: bool = False,
-                            gallery_dtype: str = "float32"):
+                            gallery_dtype: str = "float32",
+                            chunk_driver: str = "scan"):
     """Gallery-scale retrieval_stats: EXACT same results as retrieval_stats
     (mAP, hit@1, hit@5, stable tie-breaking included) with O(Q·N) device
     memory instead of O(N²).
@@ -972,7 +973,44 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
                   jnp.asarray(qpos_np.reshape(nk, q_chunk)),
                   jnp.asarray(qcls_np.reshape(nk, q_chunk)),
                   jnp.asarray(rows_np.reshape(nk, q_chunk)))
-    if mesh is not None:
+    if chunk_driver not in ("scan", "host"):
+        raise ValueError(f"chunk_driver must be scan or host, got "
+                         f"{chunk_driver!r}")
+    if chunk_driver == "host" and mesh is None:
+        # host-loop driver: one jitted dispatch per chunk instead of one
+        # giant scanned program. Pays per-chunk dispatch latency but
+        # bounds each PROGRAM to a single chunk — the escape hatch for
+        # very large galleries where the monolithic scan trips runtime
+        # faults (observed on v5e at 250k+ rows, round 5). Partial sums
+        # are computed on device with the scan body's exact expression,
+        # so results stay bit-equal to the scan driver.
+        qpos_r = qpos_np.reshape(nk, q_chunk)
+        qcls_r = qcls_np.reshape(nk, q_chunk)
+        rows_r = rows_np.reshape(nk, q_chunk)
+        parts = []
+        for ci in range(nk):
+            qp = jnp.asarray(qpos_r[ci])
+            qc = jnp.asarray(qcls_r[ci])
+            q_feats = feats[qp]
+            q_vid = vids[qp]
+            if method == "search":
+                ap, acc1, acc5, inc = _chunk_retrieval_search(
+                    feats, vids, cls, q_feats, q_vid, qc, qp,
+                    table_j[jnp.asarray(rows_r[ci])],
+                    exclude_same_video_shots)
+            elif method == "count":
+                ap, acc1, acc5, inc = _chunk_retrieval_counts(
+                    feats, vids, cls, q_feats, q_vid, qc, qp,
+                    table_j[jnp.asarray(rows_r[ci])],
+                    exclude_same_video_shots)
+            else:
+                ap, acc1, acc5, inc = _chunk_retrieval_stats(
+                    feats, vids, cls, q_feats, q_vid, qc, qp,
+                    exclude_same_video_shots)
+            parts.append(np.asarray(jnp.stack(
+                [jnp.sum(ap * inc), jnp.sum(acc1 * inc),
+                 jnp.sum(acc5 * inc), jnp.sum(inc)])))
+    elif mesh is not None:
         parts = _mesh_scan(mesh, _scan_partials_impl, method,
                            exclude_same_video_shots, 1)(*chunk_args)
     else:
