@@ -34,6 +34,10 @@ def main():
                     help="also run the GALLERY-sharded count engine over "
                          "all devices (per-device memory N*D/ndev) and "
                          "check it equals the single-device result")
+    ap.add_argument("--driver", default="scan", choices=["scan", "host"],
+                    help="chunk driver: one scanned program (fast) or "
+                         "per-chunk dispatches (the big-gallery escape "
+                         "hatch — bit-equal)")
     ap.add_argument("--gallery_dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="compact gallery keys: bfloat16 halves the "
@@ -95,13 +99,15 @@ def main():
             t0 = time.perf_counter()
             out = retrieval_stats_chunked(feats, vids, cls,
                                           query_chunk=qc, method=engine,
-                                          gallery_dtype=gdt)
+                                          gallery_dtype=gdt,
+                                          chunk_driver=args.driver)
             vals = {k: float(v) for k, v in out.items()}
             warm = time.perf_counter() - t0
             t0 = time.perf_counter()
             out = retrieval_stats_chunked(feats, vids, cls,
                                           query_chunk=qc, method=engine,
-                                          gallery_dtype=gdt)
+                                          gallery_dtype=gdt,
+                                          chunk_driver=args.driver)
             vals2 = {k: float(v) for k, v in out.items()}
             hot = time.perf_counter() - t0
             assert vals == vals2
