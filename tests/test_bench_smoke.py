@@ -29,3 +29,18 @@ def test_bench_measure_path_cpu(monkeypatch):
     # and the baseline file it reads parses
     with open(os.path.join(REPO, "BASELINE_MEASURED.json")) as f:
         assert json.load(f).get("cpu_triplets_per_sec", 0) > 0
+
+
+def test_bench_frontier_path_cpu(monkeypatch):
+    """The stderr frontier measurement (B=1024 gm=8 record) must also
+    survive API drift — smoke it at tiny dims on CPU."""
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+    finally:
+        sys.path.remove(REPO)
+    monkeypatch.setattr(bench, "NUM_NEG", 2)
+    monkeypatch.setattr(bench, "FEAT", 8)
+    monkeypatch.setattr(bench, "EMBED", 8)
+    ms, tps = bench.measure_frontier(iters=2)
+    assert ms > 0 and tps > 0
