@@ -814,7 +814,11 @@ int vv_decode_jpeg_bgr(const uint8_t* buf, int64_t len, int out_w, int out_h,
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = vv_jpeg_error_exit;
   jerr.pub.emit_message = vv_jpeg_silent;
-  std::vector<uint8_t>* tmp_holder = nullptr;
+  // volatile: modified between setjmp and a potential longjmp (corrupt
+  // scan data mid-jpeg_read_scanlines) — without it the compiler may
+  // register-allocate the pointer and longjmp restores the setjmp-time
+  // value (leak) or garbage (wild delete), C11 7.13.2.1
+  std::vector<uint8_t>* volatile tmp_holder = nullptr;
   if (setjmp(jerr.env)) {
     jpeg_destroy_decompress(&cinfo);
     delete tmp_holder;
@@ -894,6 +898,10 @@ int vv_decode_jpeg_bgr(const uint8_t* buf, int64_t len, int out_w, int out_h,
   // rounding via +(1<<29) before the 30-bit shift
   const double sx = static_cast<double>(W) / out_w;
   const double sy = static_cast<double>(H) / out_h;
+  // degenerate 1-pixel-wide/tall sources: the +1 bilinear taps must
+  // replicate the single row/column instead of reading past the buffer
+  const int dxC = (W > 1) ? C : 0;
+  const size_t dyRow = (H > 1) ? static_cast<size_t>(W) * C : 0;
   std::vector<int> x0s(out_w);
   std::vector<int32_t> wxs(out_w);
   for (int x = 0; x < out_w; ++x) {
@@ -919,7 +927,7 @@ int vv_decode_jpeg_bgr(const uint8_t* buf, int64_t len, int out_w, int out_h,
     if (wyd > 1) wyd = 1;
     const int32_t wy = static_cast<int32_t>(wyd * 32768.0 + 0.5);
     const uint8_t* r0 = tmp + static_cast<size_t>(y0) * W * C;
-    const uint8_t* r1 = r0 + static_cast<size_t>(W) * C;
+    const uint8_t* r1 = r0 + dyRow;
     uint8_t* orow = out + static_cast<size_t>(y) * out_w * 3;
     for (int x = 0; x < out_w; ++x) {
       const int x0 = x0s[x] * C;
@@ -931,9 +939,9 @@ int vv_decode_jpeg_bgr(const uint8_t* buf, int64_t len, int out_w, int out_h,
       for (int c = 0; c < 3; ++c) {
         const int s = x0 + sc[c];
         const int64_t v = static_cast<int64_t>(w00) * r0[s] +
-                          static_cast<int64_t>(w01) * r0[s + C] +
+                          static_cast<int64_t>(w01) * r0[s + dxC] +
                           static_cast<int64_t>(w10) * r1[s] +
-                          static_cast<int64_t>(w11) * r1[s + C];
+                          static_cast<int64_t>(w11) * r1[s + dxC];
         orow[x * 3 + c] =
             static_cast<uint8_t>((v + (1 << 29)) >> 30);
       }

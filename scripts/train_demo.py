@@ -124,8 +124,12 @@ def main():
 
     driver = SolverDriver(solver).build()
     if args.device_negatives:
-        b = driver.train_source.next_batch()["data"]
-        full = b.shape[0] * (b.shape[1] + 10) * np.prod(b.shape[2:]) * 4
+        # report from the batch the driver already pulled (and re-feeds as
+        # iteration 0) — pulling a fresh one here would silently drop a
+        # batch from the training stream and shift the trajectory
+        b = driver._first_batch_raw[driver.device_negatives["top"]]
+        n_negs = driver.device_negatives["num_negatives"]
+        full = b.shape[0] * (b.shape[1] + n_negs) * np.prod(b.shape[2:]) * 4
         print(f"device_negatives: host batch {b.shape} = "
               f"{b.nbytes / 1e6:.1f} MB/step H2D "
               f"(host path would ship {full / 1e6:.1f} MB/step)")

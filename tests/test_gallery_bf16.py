@@ -85,6 +85,14 @@ def test_host_driver_equals_scan_driver():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="chunk_driver"):
         retrieval_stats_chunked(feats, vids, cls, chunk_driver="turbo")
+    # host + mesh must refuse loudly, not silently run the mesh scan
+    # (the exact program the escape hatch exists to avoid)
+    import jax
+    from videovector_tpu.parallel import make_mesh
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    with _pytest.raises(ValueError, match="mesh"):
+        retrieval_stats_chunked(feats, vids, cls, mesh=mesh,
+                                chunk_driver="host")
 
 
 def test_bf16_composes_with_gallery_sharding():

@@ -9,14 +9,10 @@ STRICT SUBSET of the mesh, and gradient psums cross the process boundary
 (gloo). The loss trajectory must equal the single-process 8-device run.
 """
 
-import json
 import os
-import socket
-import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(ROOT, "projects", "videovec_embedding"))
@@ -24,14 +20,7 @@ from generate_net import emit  # noqa: E402
 
 from videovector_tpu.config.textformat import Message  # noqa: E402
 from videovector_tpu.data.shots import ShotDataset, ShotVideo  # noqa: E402
-
-
-def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+from videovector_tpu.parallel.multihost_worker import launch_workers  # noqa: E402
 
 
 def _make_solver(tmp_path) -> str:
@@ -60,40 +49,10 @@ def _make_solver(tmp_path) -> str:
     return spath
 
 
-def _launch(spath, tmp_path, num_processes, devices_per_proc, port):
-    procs, outs = [], []
-    for pid in range(num_processes):
-        out = str(tmp_path / f"losses_p{num_processes}_{pid}.json")
-        outs.append(out)
-        env = dict(
-            os.environ, JAX_PLATFORMS="cpu",
-            XLA_FLAGS=f"--xla_force_host_platform_device_count"
-                      f"={devices_per_proc}")
-        cmd = [sys.executable, "-m",
-               "videovector_tpu.parallel.multihost_worker",
-               "--solver", spath, "--iters", "3", "--simulate",
-               "--num_processes", str(num_processes),
-               "--process_id", str(pid), "--out", out]
-        if num_processes > 1:
-            cmd += ["--coordinator", f"localhost:{port}"]
-        procs.append(subprocess.Popen(cmd, env=env, cwd=ROOT,
-                                      stdout=subprocess.PIPE,
-                                      stderr=subprocess.PIPE, text=True))
-    for p in procs:
-        try:
-            stdout, stderr = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, f"worker failed:\n{stdout}\n{stderr}"
-    return [json.load(open(o)) for o in outs]
-
-
 def test_two_process_trajectory_equals_single_process(tmp_path):
     spath = _make_solver(tmp_path)
-    (single,) = _launch(spath, tmp_path, 1, 8, 0)
-    two = _launch(spath, tmp_path, 2, 4, _free_port())
+    (single,) = launch_workers(spath, str(tmp_path), 1, 8, cwd=ROOT)
+    two = launch_workers(spath, str(tmp_path), 2, 4, cwd=ROOT)
     assert len(single) == 3 and all(np.isfinite(single))
     # every process reports the same replicated metrics
     assert two[0] == two[1]

@@ -68,6 +68,44 @@ def test_corrupt_stream_returns_none():
 
 
 @needs_jpeg
+def test_corrupt_scan_data_after_temp_alloc_returns_none():
+    """Truncation AFTER a valid header: jpeg_read_scanlines longjmps out
+    mid-decode while the temp buffer is live (48x48 from 64x64 is the
+    non-direct bilinear path). Regression: the error path used to read a
+    non-volatile pointer modified after setjmp (UB — leak or wild
+    delete)."""
+    payload = _jpeg(64, 64)
+    # a bogus SOF marker inside the entropy-coded scan hits error_exit
+    # during jpeg_read_scanlines (mere truncation only warns — libjpeg
+    # pads missing scan data with gray)
+    mid = len(payload) // 2
+    corrupt = payload[:mid] + b"\xff\xc0\x00\x04" + payload[mid:]
+    for _ in range(50):  # a leak/heap-corruption would compound
+        assert native.decode_jpeg_bgr(corrupt, 48, 48) is None
+
+
+@needs_jpeg
+@pytest.mark.parametrize("w,h", [(1, 64), (64, 1), (1, 1)])
+def test_one_pixel_wide_or_tall_source_resizes_safely(w, h):
+    """Degenerate 1-pixel-wide/tall sources: the bilinear +1 taps must
+    replicate the single row/column, not read past the decode buffer."""
+    from PIL import Image
+    rng = np.random.RandomState(0)
+    img = Image.fromarray(rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=95)
+    got = native.decode_jpeg_bgr(buf.getvalue(), 32, 32)
+    assert got is not None and got.shape == (32, 32, 3)
+    # every output pixel blends only real source pixels: it must stay
+    # within the source's per-channel value range (replication bound)
+    src = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"),
+                     np.uint8)[:, :, ::-1].astype(int)
+    for c in range(3):
+        assert got[:, :, c].min() >= src[:, :, c].min() - 1
+        assert got[:, :, c].max() <= src[:, :, c].max() + 1
+
+
+@needs_jpeg
 def test_grayscale_source_expands_to_bgr():
     from PIL import Image
     rng = np.random.RandomState(0)

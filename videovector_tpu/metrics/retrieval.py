@@ -239,27 +239,9 @@ def _chunk_retrieval_counts(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
     g_mono = jnp.where(valid, mono, _I32_MAX)
     g_idx = jnp.where(valid, gidx, _I32_MAX)
 
-    # valid-candidate rank: scan the gallery in kc-column chunks, cube
+    # valid-candidate rank: scan the gallery in 512-column chunks, cube
     # bounded to (Q, M, kc)
-    kc = 512
-    npad = ((n + kc - 1) // kc) * kc
-    nk = npad // kc
-    pad = npad - n
-    g_mono = jnp.pad(g_mono, ((0, 0), (0, pad)), constant_values=_I32_MAX)
-    g_idx = jnp.pad(g_idx, ((0, 0), (0, pad)), constant_values=_I32_MAX)
-    gm_ch = g_mono.reshape(q, nk, kc).transpose(1, 0, 2)      # (nk, Q, kc)
-    gi_ch = g_idx.reshape(q, nk, kc).transpose(1, 0, 2)
-
-    def body(cnt_v, xs):
-        gm, gi = xs                                           # (Q, kc)
-        # lexicographic (distance, index) — the stable-argsort order
-        less = ((gm[:, None, :] < mono_rel[:, :, None])
-                | ((gm[:, None, :] == mono_rel[:, :, None])
-                   & (gi[:, None, :] < rel_idx[:, :, None])))
-        return cnt_v + jnp.sum(less.astype(jnp.int32), axis=2), None
-
-    cnt_v, _ = jax.lax.scan(body, jnp.zeros((q, m), jnp.int32),
-                            (gm_ch, gi_ch))
+    cnt_v = _chunked_rank_count(g_mono, g_idx, mono_rel, rel_idx)
 
     # match rank: only the query's class members can match, and rel_idx
     # already lists exactly those — compare the (Q, M) member keys
@@ -271,24 +253,7 @@ def _chunk_retrieval_counts(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
     # bounds it to (Q, M, mc), bit-equal sums
     m_mono = jnp.where(rel_ok, mono_rel, _I32_MAX)
     m_idx = jnp.where(rel_ok, rel_idx, _I32_MAX)
-    mc = min(m, 512)
-    mpad = ((m + mc - 1) // mc) * mc - m
-    mm_ch = jnp.pad(m_mono, ((0, 0), (0, mpad)),
-                    constant_values=_I32_MAX).reshape(q, -1, mc) \
-        .transpose(1, 0, 2)                                   # (mk, Q, mc)
-    mi_ch = jnp.pad(m_idx, ((0, 0), (0, mpad)),
-                    constant_values=_I32_MAX).reshape(q, -1, mc) \
-        .transpose(1, 0, 2)
-
-    def mbody(cnt, xs):
-        mm, mi = xs                                           # (Q, mc)
-        less = ((mm[:, None, :] < mono_rel[:, :, None])
-                | ((mm[:, None, :] == mono_rel[:, :, None])
-                   & (mi[:, None, :] < rel_idx[:, :, None])))
-        return cnt + jnp.sum(less.astype(jnp.int32), axis=2), None
-
-    cnt_m, _ = jax.lax.scan(mbody, jnp.zeros((q, m), jnp.int32),
-                            (mm_ch, mi_ch))
+    cnt_m = _chunked_rank_count(m_mono, m_idx, mono_rel, rel_idx)
 
     valrank = (cnt_v + 1).astype(jnp.float32)                 # 1-based
     matchrank = (cnt_m + 1).astype(jnp.float32)
@@ -305,6 +270,55 @@ def _chunk_retrieval_counts(feats, vids, cls, q_feats, q_vid, q_cls, q_pos,
 
 
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
+
+
+def _chunked_rank_count(c_mono, c_idx, q_mono, q_idx, chunk: int = 512):
+    """#(candidate key < query key) per query member, the candidate keys
+    scanned in `chunk`-column blocks so the (Q, M, chunk) compare cube
+    bounds the working set (unbounded, the M≈5.2k member cube at
+    250k/50cls crashed the chip worker — round 5).
+
+    Candidates c_mono/c_idx: (Q, K) int32 (distance, index) key pairs with
+    invalid/pad entries PRE-MASKED to _I32_MAX; queries q_mono/q_idx:
+    (Q, M). `less` is the lexicographic stable-argsort order. Bit-equal to
+    the unchunked count: int32 sums, and _I32_MAX pad columns compare
+    False against every finite query key. The single implementation behind
+    the valid-rank and match-rank cubes of BOTH the single-device and
+    gallery-sharded count engines — their bit-equality is the module's
+    central invariant."""
+    q, k = c_mono.shape
+    m = q_mono.shape[1]
+    kc = min(chunk, k)
+    pad = ((k + kc - 1) // kc) * kc - k
+    cm = jnp.pad(c_mono, ((0, 0), (0, pad)), constant_values=_I32_MAX) \
+        .reshape(q, -1, kc).transpose(1, 0, 2)                # (nk, Q, kc)
+    ci = jnp.pad(c_idx, ((0, 0), (0, pad)), constant_values=_I32_MAX) \
+        .reshape(q, -1, kc).transpose(1, 0, 2)
+
+    def body(cnt, xs):
+        gm, gi = xs                                           # (Q, kc)
+        less = ((gm[:, None, :] < q_mono[:, :, None])
+                | ((gm[:, None, :] == q_mono[:, :, None])
+                   & (gi[:, None, :] < q_idx[:, :, None])))
+        return cnt + jnp.sum(less.astype(jnp.int32), axis=2), None
+
+    cnt, _ = jax.lax.scan(body, jnp.zeros((q, m), jnp.int32), (cm, ci))
+    return cnt
+
+
+def _run_chunk_engine(method, feats, vids, cls, q_feats, q_vid, qc, qp,
+                      table_row, exclude):
+    """Dispatch one query chunk to the selected engine — the single
+    dispatch shared by the scanned driver and the host-loop driver (their
+    bit-equality is certified by tests/test_gallery_bf16.py)."""
+    if method == "search":
+        return _chunk_retrieval_search(feats, vids, cls, q_feats, q_vid,
+                                       qc, qp, table_row, exclude)
+    if method == "count":
+        return _chunk_retrieval_counts(feats, vids, cls, q_feats, q_vid,
+                                       qc, qp, table_row, exclude)
+    return _chunk_retrieval_stats(feats, vids, cls, q_feats, q_vid, qc, qp,
+                                  exclude)
 
 
 def _mono_i32(d):
@@ -440,19 +454,9 @@ def _scan_partials_impl(feats, vids, cls, table_j, qpos, qcls, qrows,
 
     def body(_, xs):
         qp, qc, qr = xs
-        q_feats = feats[qp]
-        q_vid = vids[qp]
-        if method == "search":
-            ap, acc1, acc5, inc = _chunk_retrieval_search(
-                feats, vids, cls, q_feats, q_vid, qc, qp, table_j[qr],
-                exclude)
-        elif method == "count":
-            ap, acc1, acc5, inc = _chunk_retrieval_counts(
-                feats, vids, cls, q_feats, q_vid, qc, qp, table_j[qr],
-                exclude)
-        else:
-            ap, acc1, acc5, inc = _chunk_retrieval_stats(
-                feats, vids, cls, q_feats, q_vid, qc, qp, exclude)
+        ap, acc1, acc5, inc = _run_chunk_engine(
+            method, feats, vids, cls, feats[qp], vids[qp], qc, qp,
+            table_j[qr], exclude)
         part = jnp.stack([jnp.sum(ap * inc), jnp.sum(acc1 * inc),
                           jnp.sum(acc5 * inc), jnp.sum(inc)])
         return None, part
@@ -597,52 +601,17 @@ def _chunk_counts_gshard(feats_l, vids_l, qp, qc, rel_idx, off, n_total,
     g_mono = jnp.where(valid, mono, _I32_MAX)
     g_idx = jnp.where(valid, gidx, _I32_MAX)
 
-    # valid-candidate rank over the LOCAL shard in kc-column chunks
-    q, m = rel_idx.shape
-    kc = min(512, ns)
-    npad = ((ns + kc - 1) // kc) * kc
-    nk = npad // kc
-    pad = npad - ns
-    g_mono = jnp.pad(g_mono, ((0, 0), (0, pad)), constant_values=_I32_MAX)
-    g_idx = jnp.pad(g_idx, ((0, 0), (0, pad)), constant_values=_I32_MAX)
-    gm_ch = g_mono.reshape(q, nk, kc).transpose(1, 0, 2)
-    gi_ch = g_idx.reshape(q, nk, kc).transpose(1, 0, 2)
+    # valid-candidate rank over the LOCAL shard (counts are additive over
+    # gallery shards — exact integer psum)
+    cnt_v = jax.lax.psum(
+        _chunked_rank_count(g_mono, g_idx, mono_rel, rel_idx), axis)
 
-    def body(cnt_v, xs):
-        gm, gi = xs
-        less = ((gm[:, None, :] < mono_rel[:, :, None])
-                | ((gm[:, None, :] == mono_rel[:, :, None])
-                   & (gi[:, None, :] < rel_idx[:, :, None])))
-        return cnt_v + jnp.sum(less.astype(jnp.int32), axis=2), None
-
-    cnt_v, _ = jax.lax.scan(body, jnp.zeros((q, m), jnp.int32),
-                            (gm_ch, gi_ch))
-    cnt_v = jax.lax.psum(cnt_v, axis)
-
-    # match rank: member-vs-member keys are fully replicated now; the
-    # (Q, M, M) cube scans in mc-column chunks like the single-device
-    # engine (M grows with N/classes — unbounded it crashed the chip
-    # worker at 250k/50cls, see _chunk_retrieval_counts)
+    # match rank: member-vs-member keys are fully replicated now; same
+    # chunked cube as the single-device engine (M grows with N/classes —
+    # unbounded it crashed the chip worker at 250k/50cls)
     m_mono = jnp.where(rel_ok, mono_rel, _I32_MAX)
     m_idx = jnp.where(rel_ok, rel_idx, _I32_MAX)
-    mc = min(m, 512)
-    mpad = ((m + mc - 1) // mc) * mc - m
-    mm_ch = jnp.pad(m_mono, ((0, 0), (0, mpad)),
-                    constant_values=_I32_MAX).reshape(q, -1, mc) \
-        .transpose(1, 0, 2)
-    mi_ch = jnp.pad(m_idx, ((0, 0), (0, mpad)),
-                    constant_values=_I32_MAX).reshape(q, -1, mc) \
-        .transpose(1, 0, 2)
-
-    def mbody(cnt, xs):
-        mm, mi = xs
-        less = ((mm[:, None, :] < mono_rel[:, :, None])
-                | ((mm[:, None, :] == mono_rel[:, :, None])
-                   & (mi[:, None, :] < rel_idx[:, :, None])))
-        return cnt + jnp.sum(less.astype(jnp.int32), axis=2), None
-
-    cnt_m, _ = jax.lax.scan(mbody, jnp.zeros((q, m), jnp.int32),
-                            (mm_ch, mi_ch))
+    cnt_m = _chunked_rank_count(m_mono, m_idx, mono_rel, rel_idx)
 
     valrank = (cnt_v + 1).astype(jnp.float32)
     matchrank = (cnt_m + 1).astype(jnp.float32)
@@ -976,7 +945,10 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     if chunk_driver not in ("scan", "host"):
         raise ValueError(f"chunk_driver must be scan or host, got "
                          f"{chunk_driver!r}")
-    if chunk_driver == "host" and mesh is None:
+    if chunk_driver == "host" and mesh is not None:
+        raise ValueError("chunk_driver='host' does not compose with mesh= "
+                         "(the sharded engines are scan-driven); drop one")
+    if chunk_driver == "host":
         # host-loop driver: one jitted dispatch per chunk instead of one
         # giant scanned program. Pays per-chunk dispatch latency but
         # bounds each PROGRAM to a single chunk — the escape hatch for
@@ -991,22 +963,9 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
         for ci in range(nk):
             qp = jnp.asarray(qpos_r[ci])
             qc = jnp.asarray(qcls_r[ci])
-            q_feats = feats[qp]
-            q_vid = vids[qp]
-            if method == "search":
-                ap, acc1, acc5, inc = _chunk_retrieval_search(
-                    feats, vids, cls, q_feats, q_vid, qc, qp,
-                    table_j[jnp.asarray(rows_r[ci])],
-                    exclude_same_video_shots)
-            elif method == "count":
-                ap, acc1, acc5, inc = _chunk_retrieval_counts(
-                    feats, vids, cls, q_feats, q_vid, qc, qp,
-                    table_j[jnp.asarray(rows_r[ci])],
-                    exclude_same_video_shots)
-            else:
-                ap, acc1, acc5, inc = _chunk_retrieval_stats(
-                    feats, vids, cls, q_feats, q_vid, qc, qp,
-                    exclude_same_video_shots)
+            ap, acc1, acc5, inc = _run_chunk_engine(
+                method, feats, vids, cls, feats[qp], vids[qp], qc, qp,
+                table_j[jnp.asarray(rows_r[ci])], exclude_same_video_shots)
             parts.append(np.asarray(jnp.stack(
                 [jnp.sum(ap * inc), jnp.sum(acc1 * inc),
                  jnp.sum(acc5 * inc), jnp.sum(inc)])))

@@ -107,6 +107,66 @@ def run_worker(solver_path: str, *, process_id: int, num_processes: int,
     return losses
 
 
+def launch_workers(solver_path: str, out_dir: str, num_processes: int,
+                   devices_per_proc: int, *, iters: int = 3, cwd=None,
+                   timeout: int = 900) -> list[list[float]]:
+    """Subprocess-launch `num_processes` workers on the CPU test rig
+    (one process each, `devices_per_proc` virtual devices) and return
+    their JSON loss lists in process order.
+
+    The single launch protocol shared by tests/test_multihost_process.py
+    and __graft_entry__._dryrun_multiprocess: XLA_FLAGS is MERGED (any
+    other flags the parent carries survive; only the device-count flag is
+    replaced), a free coordinator port is picked per launch, and on a
+    timeout every sibling worker is killed — no orphans holding the
+    coordinator port."""
+    import os
+    import socket
+    import subprocess
+
+    port = 0
+    if num_processes > 1:
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+    flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", XLA_FLAGS=" ".join(
+        flags + [f"--xla_force_host_platform_device_count"
+                 f"={devices_per_proc}"]))
+    procs, outs = [], []
+    try:
+        for pid in range(num_processes):
+            out = os.path.join(out_dir, f"losses_p{num_processes}_{pid}.json")
+            outs.append(out)
+            cmd = [sys.executable, "-m",
+                   "videovector_tpu.parallel.multihost_worker",
+                   "--solver", solver_path, "--iters", str(iters),
+                   "--simulate", "--num_processes", str(num_processes),
+                   "--process_id", str(pid), "--out", out]
+            if num_processes > 1:
+                cmd += ["--coordinator", f"localhost:{port}"]
+            procs.append(subprocess.Popen(
+                cmd, env=env, cwd=cwd or os.getcwd(),
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=timeout)
+            if p.returncode != 0:
+                raise AssertionError(
+                    f"multihost worker failed:\n{stdout[-2000:]}\n"
+                    f"{stderr[-2000:]}")
+    finally:
+        for q in procs:
+            if q.poll() is None:
+                q.kill()
+    results = []
+    for o in outs:
+        with open(o) as f:
+            results.append(json.load(f))
+    return results
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--solver", required=True)

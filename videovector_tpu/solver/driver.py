@@ -435,6 +435,21 @@ class SolverDriver:
                 return loss, aux
 
             initial_carry = jnp.asarray(dn["buffer"])
+            if resume_state_path:
+                # the reservoir is NOT in the snapshot: resume restarts it
+                # from the initial reference fill — the same semantics as
+                # the reference's host reservoir, which lives in data-layer
+                # memory and is rebuilt on every process restart
+                # (ref:src/caffe/layers/video_sampled_shots_data_layer.cpp:
+                # 268-361 refills at LayerSetUp; SolverState carries only
+                # iter/weights/history, caffe.proto:176-180). Say so loudly
+                # rather than resetting silently mid-training.
+                log.warning(
+                    "resume with device_negatives: the device reservoir "
+                    "restarts from the initial fill (not snapshotted — "
+                    "matching the reference's host reservoir, rebuilt on "
+                    "every restart); the negative distribution re-warms "
+                    "over the next ~buffer_size/batch steps")
             if mesh is not None:
                 # replicate the reservoir over the mesh — an uncommitted
                 # single-device buffer entering a GSPMD step would pin it
