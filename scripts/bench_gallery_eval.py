@@ -44,6 +44,11 @@ def main():
                          "gallery HBM (1M x 4096 fits ONE v5e at 8.4 GB; "
                          "f32 cannot) — ranks exact w.r.t. the quantized "
                          "distances (metrics.retrieval)")
+    ap.add_argument("--repeat", type=int, default=2,
+                    help="timed passes per engine (2 = warm-incl-compile "
+                         "+ hot, with a determinism cross-check; 1 for "
+                         "hour-scale galleries where a second pass is "
+                         "unaffordable)")
     args = ap.parse_args()
 
     import jax
@@ -103,17 +108,21 @@ def main():
                                           chunk_driver=args.driver)
             vals = {k: float(v) for k, v in out.items()}
             warm = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            out = retrieval_stats_chunked(feats, vids, cls,
-                                          query_chunk=qc, method=engine,
-                                          gallery_dtype=gdt,
-                                          chunk_driver=args.driver)
-            vals2 = {k: float(v) for k, v in out.items()}
-            hot = time.perf_counter() - t0
-            assert vals == vals2
+            hot = warm
+            if args.repeat > 1:
+                t0 = time.perf_counter()
+                out = retrieval_stats_chunked(feats, vids, cls,
+                                              query_chunk=qc, method=engine,
+                                              gallery_dtype=gdt,
+                                              chunk_driver=args.driver)
+                vals2 = {k: float(v) for k, v in out.items()}
+                hot = time.perf_counter() - t0
+                assert vals == vals2
             results[engine] = (hot, warm, vals)
+            label = ("warm" if args.repeat > 1
+                     else "single pass incl. compile")
             print(f"N={n} D={d} C={n_cls} dtype={gdt} engine={engine}: "
-                  f"{hot:.2f}s warm ({warm:.2f}s incl. compile)  {vals}",
+                  f"{hot:.2f}s {label} ({warm:.2f}s incl. compile)  {vals}",
                   flush=True)
         if args.shard_gallery:
             from videovector_tpu.parallel import make_mesh
