@@ -115,11 +115,16 @@ def measure_tpu() -> float:
     float(run(params, state, keys))           # compile + warm
     # best-of-3: the tunnel adds erratic per-call latency around the
     # device-pure scan; the fastest rep is the chip's true throughput
-    best = float("inf")
+    reps = []
     for _ in range(3):
         t0 = time.perf_counter()
         float(run(params, state, keys))
-        best = min(best, time.perf_counter() - t0)
+        reps.append(time.perf_counter() - t0)
+    best = min(reps)
+    # within-run variance, visible in the captured bench tail (the
+    # spread is tunnel dispatch latency around a device-pure scan)
+    print("bench reps (s for %d iters): %s -> best %.4f"
+          % (ITERS, [round(r, 4) for r in reps], best), file=sys.stderr)
     steps_per_sec = ITERS / best
     return steps_per_sec * BATCH * NUM_NEG  # triplets/sec
 
@@ -168,11 +173,14 @@ def measure_frontier(iters: int = 50) -> tuple[float, float]:
 
     keys = jax.random.split(jax.random.key(1, impl="rbg"), iters)
     float(run(params, state, keys))  # compile + warm
-    best = float("inf")
+    reps = []
     for _ in range(3):
         t0 = time.perf_counter()
         float(run(params, state, keys))
-        best = min(best, time.perf_counter() - t0)
+        reps.append(time.perf_counter() - t0)
+    best = min(reps)
+    print("frontier reps (s for %d iters): %s" % (iters,
+          [round(r, 4) for r in reps]), file=sys.stderr)
     dt = best / iters
     return dt * 1e3, B * NUM_NEG / dt
 
