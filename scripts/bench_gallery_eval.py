@@ -34,10 +34,13 @@ def main():
                     help="also run the GALLERY-sharded count engine over "
                          "all devices (per-device memory N*D/ndev) and "
                          "check it equals the single-device result")
-    ap.add_argument("--driver", default="scan", choices=["scan", "host"],
+    ap.add_argument("--driver", default="auto",
+                    choices=["auto", "scan", "host"],
                     help="chunk driver: one scanned program (fast) or "
                          "per-chunk dispatches (the big-gallery escape "
-                         "hatch — bit-equal)")
+                         "hatch — bit-equal); auto picks host above 200k "
+                         "rows on TPU (the scan program trips a runtime "
+                         "fault there) and scan otherwise")
     ap.add_argument("--gallery_dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="compact gallery keys: bfloat16 halves the "

@@ -95,6 +95,29 @@ def test_host_driver_equals_scan_driver():
                                 chunk_driver="host")
 
 
+def test_auto_driver_resolution():
+    """'auto' (the default) must route big single-device TPU galleries
+    to the host driver — the monolithic scan crashed the v5e worker at
+    250k+ rows (round 5) — and leave everything else on scan. Backend
+    here is CPU, so resolution is unit-tested via monkeypatched
+    backend; the end-to-end default path is covered by every other
+    test in this file (auto → scan at small n)."""
+    from unittest import mock
+    from videovector_tpu.metrics import retrieval as R
+    big = R._SCAN_DRIVER_MAX_ROWS + 1
+    with mock.patch.object(R.jax, "default_backend", return_value="tpu"):
+        assert R._resolve_chunk_driver("auto", big, None) == "host"
+        assert R._resolve_chunk_driver("auto", 20_000, None) == "scan"
+        # mesh engines are scan-only — sharding bounds per-device work
+        assert R._resolve_chunk_driver("auto", big, object()) == "scan"
+    assert R._resolve_chunk_driver("auto", big, None) == "scan"  # cpu
+    # explicit choices pass through untouched at any size/backend
+    assert R._resolve_chunk_driver("scan", big, None) == "scan"
+    assert R._resolve_chunk_driver("host", 10, None) == "host"
+    with pytest.raises(ValueError, match="chunk_driver"):
+        R._resolve_chunk_driver("turbo", 10, None)
+
+
 def test_bf16_composes_with_gallery_sharding():
     import jax
     from videovector_tpu.parallel import make_mesh

@@ -792,12 +792,38 @@ def _cast_gallery_host(features, gallery_dtype: str):
             else arr.astype(ml_dtypes.bfloat16))
 
 
+# Above this many gallery rows the monolithic scanned program trips a
+# TPU-runtime fault (worker crash at result fetch — observed on v5e at
+# 250k and 500k rows, round 5; 100k ran clean at 47.4 s). The host-loop
+# driver bounds each compiled program to one query chunk and is
+# bit-equal; its per-chunk dispatch cost is negligible at these sizes
+# (the 500k eval is ~21 min of device work). PERF.md "Driver note".
+_SCAN_DRIVER_MAX_ROWS = 200_000
+
+
+def _resolve_chunk_driver(chunk_driver: str, n: int, mesh) -> str:
+    """'auto' → 'host' for big single-device galleries on non-CPU
+    backends (see _SCAN_DRIVER_MAX_ROWS), else 'scan'. Explicit values
+    pass through — 'scan' stays available for measurements, and the
+    mesh engines are scan-only (sharding bounds per-device work
+    instead)."""
+    if chunk_driver == "auto":
+        return ("host"
+                if (mesh is None and n > _SCAN_DRIVER_MAX_ROWS
+                    and jax.default_backend() != "cpu")
+                else "scan")
+    if chunk_driver not in ("scan", "host"):
+        raise ValueError(f"chunk_driver must be auto, scan or host, got "
+                         f"{chunk_driver!r}")
+    return chunk_driver
+
+
 def retrieval_stats_chunked(features, video_ids, class_ids, *,
                             exclude_same_video_shots: bool = False,
                             query_chunk: int = 256, method: str = "auto",
                             mesh=None, shard_gallery: bool = False,
                             gallery_dtype: str = "float32",
-                            chunk_driver: str = "scan"):
+                            chunk_driver: str = "auto"):
     """Gallery-scale retrieval_stats: EXACT same results as retrieval_stats
     (mAP, hit@1, hit@5, stable tie-breaking included) with O(Q·N) device
     memory instead of O(N²).
@@ -837,6 +863,12 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     single-owner or integer reductions) ride ICI (see
     _chunk_counts_gshard). Results are identical to the single-device
     count engine.
+
+    `chunk_driver` picks how chunks are dispatched: "scan" runs every
+    chunk inside ONE jitted lax.scan program (fastest — the 0.67 s/20k
+    path), "host" dispatches one jitted call per chunk (bit-equal; the
+    big-gallery escape hatch — see _SCAN_DRIVER_MAX_ROWS), "auto"
+    (default) picks host above 200k rows on TPU and scan otherwise.
 
     Returns dict(mean_ap, hit_at_1, hit_at_5) of f32 scalars.
     """
@@ -942,9 +974,7 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
                   jnp.asarray(qpos_np.reshape(nk, q_chunk)),
                   jnp.asarray(qcls_np.reshape(nk, q_chunk)),
                   jnp.asarray(rows_np.reshape(nk, q_chunk)))
-    if chunk_driver not in ("scan", "host"):
-        raise ValueError(f"chunk_driver must be scan or host, got "
-                         f"{chunk_driver!r}")
+    chunk_driver = _resolve_chunk_driver(chunk_driver, n, mesh)
     if chunk_driver == "host" and mesh is not None:
         raise ValueError("chunk_driver='host' does not compose with mesh= "
                          "(the sharded engines are scan-driven); drop one")
