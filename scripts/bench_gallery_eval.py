@@ -168,7 +168,10 @@ def main():
         for trial in range(2):
             with tempfile.NamedTemporaryFile(suffix=".csv") as f:
                 t0 = time.perf_counter()
-                agg = retrieval_stats_report(feats, vids, cls, f.name)
+                agg = retrieval_stats_report(
+                    feats, vids, cls, f.name,
+                    gallery_dtype=args.gallery_dtype,
+                    chunk_driver=args.driver)
                 dt = time.perf_counter() - t0
                 rows = sum(1 for _ in open(f.name)) - 1
             print(f"report N={n} D={d}: {dt:.2f}s ({rows} rows)  "

@@ -95,6 +95,32 @@ def test_host_driver_equals_scan_driver():
                                 chunk_driver="host")
 
 
+def test_report_host_driver_equals_scan(tmp_path):
+    """retrieval_stats_report's host-loop driver (the same big-gallery
+    escape hatch as the aggregate path — the chunk body is shared
+    verbatim) must produce identical csv BYTES and aggregates."""
+    from videovector_tpu.metrics.retrieval import retrieval_stats_report
+    feats, vids, cls = _gallery(n=300)
+    for dt in ("float32", "bfloat16"):
+        a = retrieval_stats_report(feats, vids, cls,
+                                   str(tmp_path / "scan.csv"),
+                                   gallery_dtype=dt, chunk_driver="scan")
+        b = retrieval_stats_report(feats, vids, cls,
+                                   str(tmp_path / "host.csv"),
+                                   gallery_dtype=dt, chunk_driver="host")
+        assert (tmp_path / "scan.csv").read_bytes() == \
+               (tmp_path / "host.csv").read_bytes(), dt
+        for k in a:
+            assert float(a[k]) == float(b[k]), (dt, k)
+    import jax
+    from videovector_tpu.parallel import make_mesh
+    mesh = make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="mesh"):
+        retrieval_stats_report(feats, vids, cls,
+                               str(tmp_path / "x.csv"),
+                               mesh=mesh, chunk_driver="host")
+
+
 def test_auto_driver_resolution():
     """'auto' (the default) must route big single-device TPU galleries
     to the host driver — the monolithic scan crashed the v5e worker at

@@ -469,47 +469,56 @@ _scan_retrieval_partials = partial(jax.jit, static_argnums=(7, 8))(
     _scan_partials_impl)
 
 
+def _report_chunk_impl(feats, vids, cls, table_j, qp, qc, qr,
+                       use_count, exclude):
+    """One query chunk of retrieval_stats_report: per-query (ap, acc@1,
+    acc@5, include) from the chunk engines plus the stable top-5
+    retrieved from OTHER videos
+    (ref:src/caffe/layers/retrieval_stats_layer.cpp:315-321) — k=5
+    iterated argmin+mask passes, whose first-occurrence tie rule
+    reproduces the stable ascending (distance, index) order bit-for-bit
+    (see the inline note: lax.top_k gave the same bytes but rides the
+    slow sort lanes). Shared verbatim by the scan driver (lax.scan body)
+    and the big-gallery host-loop driver, so the two are bit-equal by
+    construction."""
+    k5 = min(5, feats.shape[0])
+    q_feats = feats[qp]
+    q_vid = vids[qp]
+    if use_count:
+        ap, acc1, acc5, inc = _chunk_retrieval_counts(
+            feats, vids, cls, q_feats, q_vid, qc, qp, table_j[qr],
+            exclude)
+    else:
+        ap, acc1, acc5, inc = _chunk_retrieval_stats(
+            feats, vids, cls, q_feats, q_vid, qc, qp, exclude)
+    d = -2.0 * jnp.dot(q_feats, feats.T,
+                       preferred_element_type=jnp.float32)
+    d = jnp.where(vids[None, :] == q_vid[:, None], jnp.inf, d)
+    # k=5 iterated argmin+mask instead of lax.top_k: XLA:TPU top_k
+    # rides the (slow) sort lanes — ~95 ms per (256, 20k) chunk
+    # measured, vs ~10 VPU passes here. argmin's first-occurrence
+    # tie rule IS the stable ascending (distance, index) order.
+    gidx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    tops, valids = [], []
+    for _ in range(k5):
+        i = jnp.argmin(d, axis=1).astype(jnp.int32)
+        v = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
+        tops.append(i)
+        valids.append(jnp.isfinite(v))
+        d = jnp.where(gidx == i[:, None], jnp.inf, d)
+    top = jnp.stack(tops, axis=1)
+    valid = jnp.stack(valids, axis=1)
+    return ap, acc1, acc5, inc, top, valid
+
+
 def _scan_report_impl(feats, vids, cls, table_j, qpos, qcls, qrows,
                       use_count, exclude):
     """All per-query rows of retrieval_stats_report in ONE program:
-    lax.scan over query chunks stacking per-query (ap, acc@1, acc@5,
-    include) from the chunk engines plus the stable top-5 retrieved from
-    OTHER videos (ref:src/caffe/layers/retrieval_stats_layer.cpp:315-321)
-    — k=5 iterated argmin+mask passes, whose first-occurrence tie rule
-    reproduces the stable ascending (distance, index) order bit-for-bit
-    (see the inline note: lax.top_k gave the same bytes but rides the
-    slow sort lanes)."""
-    k5 = min(5, feats.shape[0])
-
+    lax.scan over query chunks, each chunk = _report_chunk_impl."""
     def body(_, xs):
         qp, qc, qr = xs
-        q_feats = feats[qp]
-        q_vid = vids[qp]
-        if use_count:
-            ap, acc1, acc5, inc = _chunk_retrieval_counts(
-                feats, vids, cls, q_feats, q_vid, qc, qp, table_j[qr],
-                exclude)
-        else:
-            ap, acc1, acc5, inc = _chunk_retrieval_stats(
-                feats, vids, cls, q_feats, q_vid, qc, qp, exclude)
-        d = -2.0 * jnp.dot(q_feats, feats.T,
-                           preferred_element_type=jnp.float32)
-        d = jnp.where(vids[None, :] == q_vid[:, None], jnp.inf, d)
-        # k=5 iterated argmin+mask instead of lax.top_k: XLA:TPU top_k
-        # rides the (slow) sort lanes — ~95 ms per (256, 20k) chunk
-        # measured, vs ~10 VPU passes here. argmin's first-occurrence
-        # tie rule IS the stable ascending (distance, index) order.
-        gidx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
-        tops, valids = [], []
-        for _ in range(k5):
-            i = jnp.argmin(d, axis=1).astype(jnp.int32)
-            v = jnp.take_along_axis(d, i[:, None], axis=1)[:, 0]
-            tops.append(i)
-            valids.append(jnp.isfinite(v))
-            d = jnp.where(gidx == i[:, None], jnp.inf, d)
-        top = jnp.stack(tops, axis=1)
-        valid = jnp.stack(valids, axis=1)
-        return None, (ap, acc1, acc5, inc, top, valid)
+        return None, _report_chunk_impl(feats, vids, cls, table_j,
+                                        qp, qc, qr, use_count, exclude)
 
     _, rows = jax.lax.scan(body, None, (qpos, qcls, qrows))
     return rows
@@ -517,6 +526,8 @@ def _scan_report_impl(feats, vids, cls, table_j, qpos, qcls, qrows,
 
 _scan_report_rows = partial(jax.jit, static_argnums=(7, 8))(
     _scan_report_impl)
+_report_chunk_rows = partial(jax.jit, static_argnums=(7, 8))(
+    _report_chunk_impl)
 
 
 _MESH_SCAN_CACHE: dict = {}
@@ -1020,7 +1031,8 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
                            exclude_same_video_shots: bool = False,
                            mesh=None, shard_gallery: bool = False,
                            method: str = "auto",
-                           gallery_dtype: str = "float32") -> dict:
+                           gallery_dtype: str = "float32",
+                           chunk_driver: str = "auto") -> dict:
     """Host-side per-query csv dump matching the reference's
     `stats_output_file` (ref:src/caffe/layers/retrieval_stats_layer.cpp:
     148-155, 310-340): header `#video_id,class_id,ap,acc@1,acc@5,` + top-5
@@ -1041,7 +1053,11 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     retrieval_stats_chunked); `shard_gallery=True` (requires mesh)
     shards the GALLERY rows instead so per-device memory is N·D/ndev,
     with an exact distributed top-5 merge (see
-    _scan_report_gshard_impl) — identical csv bytes."""
+    _scan_report_gshard_impl) — identical csv bytes. `chunk_driver` is
+    the same knob as retrieval_stats_chunked's: "auto" (default) routes
+    big single-device TPU galleries to a per-chunk host loop — the
+    monolithic scan trips a runtime fault above _SCAN_DRIVER_MAX_ROWS —
+    with identical csv bytes (the chunk body is shared verbatim)."""
     compact = gallery_dtype not in ("float32", "f32", None)
     if shard_gallery and not isinstance(features, jax.Array):
         # host gallery: cast in host RAM and let _shard_gallery device_put
@@ -1088,6 +1104,10 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     # round-trip per chunk); only csv string formatting stays host-side
     q_chunk = max(1, min(256, (1 << 25) // max(n, 1)))
     nk = (n + q_chunk - 1) // q_chunk
+    chunk_driver = _resolve_chunk_driver(chunk_driver, n, mesh)
+    if chunk_driver == "host" and mesh is not None:
+        raise ValueError("chunk_driver='host' does not compose with mesh= "
+                         "(the sharded engines are scan-driven); drop one")
     if shard_gallery and mesh is None:
         raise ValueError("shard_gallery=True requires mesh=")
     if shard_gallery and method == "sort":
@@ -1118,6 +1138,24 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
         ap_c, acc1_c, acc5_c, inc_c, top5_c, valid5_c = _mesh_scan(
             mesh, _scan_report_impl, use_count,
             exclude_same_video_shots, 6)(*chunk_args)
+    elif chunk_driver == "host":
+        # host-loop driver: one jitted dispatch per chunk — bounds each
+        # PROGRAM to a single chunk (see _SCAN_DRIVER_MAX_ROWS); the
+        # chunk body is _report_chunk_impl, the scan body's exact code,
+        # so csv bytes are identical to the scan driver
+        qpos_r = qpos_np.reshape(nk, q_chunk)
+        qcls_r = qcls_np.reshape(nk, q_chunk)
+        rows_r = rows_np.reshape(nk, q_chunk)
+        parts = []
+        for ci in range(nk):
+            out = _report_chunk_rows(
+                feats_j, vids_j, cls_j, table_j,
+                jnp.asarray(qpos_r[ci]), jnp.asarray(qcls_r[ci]),
+                jnp.asarray(rows_r[ci]), use_count,
+                exclude_same_video_shots)
+            parts.append(tuple(np.asarray(x) for x in out))
+        ap_c, acc1_c, acc5_c, inc_c, top5_c, valid5_c = (
+            np.stack([p[i] for p in parts]) for i in range(6))
     else:
         ap_c, acc1_c, acc5_c, inc_c, top5_c, valid5_c = _scan_report_rows(
             *chunk_args, use_count, exclude_same_video_shots)
