@@ -62,18 +62,17 @@ def main():
     import numpy as np
     from videovector_tpu.metrics.retrieval import retrieval_stats_chunked
 
-    def run(n, d, n_cls, engines):
-        rng = np.random.RandomState(0)
-        cls = rng.randint(0, n_cls, size=(n,)).astype(np.int32)
-        vids = rng.randint(0, n // 10, size=(n,)).astype(np.int32)
-        centers = jnp.asarray(rng.randn(n_cls, d).astype(np.float32))
-        gdt = args.gallery_dtype
-        out_dt = jnp.bfloat16 if gdt == "bfloat16" else jnp.float32
-        # features generated ON DEVICE (tunnel H2D is a harness artifact),
-        # in row chunks written into a DONATED output buffer: the f32
-        # intermediate stays ~2 GB and the gallery is never duplicated —
-        # a concatenate (2x peak) or an eager [:n] slice OOMed the chip
-        # at 500k-1M rows (round-5 measurement)
+    def gen_gallery(n, d, cls, centers):
+        """Generate the (n, d) gallery ON DEVICE (tunnel H2D is a
+        harness artifact), in row chunks written into a DONATED output
+        buffer: the f32 intermediate stays ~2 GB and the gallery is
+        never duplicated — a concatenate (2x peak), an eager [:n]
+        slice, or a one-shot jax.random.normal((n, d)) OOMed the chip
+        at 500k-1M rows (round-5 measurement). centers=None gives raw
+        normal features (the report path); otherwise class-clustered
+        normalized features."""
+        out_dt = (jnp.bfloat16 if args.gallery_dtype == "bfloat16"
+                  else jnp.float32)
         import math
         from functools import partial
         need = max(1, math.ceil(n * d * 4 / (2 << 30)))
@@ -83,6 +82,8 @@ def main():
         @jax.jit
         def gen_chunk(key, idx):
             noise = jax.random.normal(key, (gen_rows, d), jnp.float32)
+            if centers is None:
+                return noise.astype(out_dt)
             f = centers[idx] * 2.0 + noise
             f = f / jnp.linalg.norm(f, axis=1, keepdims=True)
             return f.astype(out_dt)
@@ -99,6 +100,15 @@ def main():
                 jnp.asarray(cls[i * gen_rows:(i + 1) * gen_rows]))
             feats = write_chunk(feats, chunk, i)
         float(jnp.sum(feats[:64].astype(jnp.float32)))  # fence the setup
+        return feats
+
+    def run(n, d, n_cls, engines):
+        rng = np.random.RandomState(0)
+        cls = rng.randint(0, n_cls, size=(n,)).astype(np.int32)
+        vids = rng.randint(0, n // 10, size=(n,)).astype(np.int32)
+        centers = jnp.asarray(rng.randn(n_cls, d).astype(np.float32))
+        gdt = args.gallery_dtype
+        feats = gen_gallery(n, d, cls, centers)
         # per-chunk temps are O(q_chunk * N) int32/f32 rows — shrink the
         # chunk as the gallery grows so they stay ~1 GB
         qc = 512 if n < 150_000 else (256 if n < 600_000 else 128)
@@ -162,10 +172,8 @@ def main():
         n, d = args.n, args.d
         cls = rng.randint(0, args.classes, size=(n,)).astype(np.int32)
         vids = rng.randint(0, n // 10, size=(n,)).astype(np.int32)
-        feats = jax.jit(lambda k: jax.random.normal(
-            k, (n, d), jnp.float32))(jax.random.PRNGKey(0))
-        float(jnp.sum(feats))  # fence: features device-resident
-        for trial in range(2):
+        feats = gen_gallery(n, d, cls, None)
+        for trial in range(max(1, args.repeat)):
             with tempfile.NamedTemporaryFile(suffix=".csv") as f:
                 t0 = time.perf_counter()
                 agg = retrieval_stats_report(

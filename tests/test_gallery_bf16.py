@@ -93,6 +93,14 @@ def test_host_driver_equals_scan_driver():
     with _pytest.raises(ValueError, match="mesh"):
         retrieval_stats_chunked(feats, vids, cls, mesh=mesh,
                                 chunk_driver="host")
+    # the shard_gallery branch must validate drivers too (it used to
+    # return before resolution ran — round-5 review finding)
+    with _pytest.raises(ValueError, match="chunk_driver"):
+        retrieval_stats_chunked(feats, vids, cls, mesh=mesh,
+                                shard_gallery=True, chunk_driver="turbo")
+    with _pytest.raises(ValueError, match="mesh"):
+        retrieval_stats_chunked(feats, vids, cls, mesh=mesh,
+                                shard_gallery=True, chunk_driver="host")
 
 
 def test_report_host_driver_equals_scan(tmp_path):
@@ -142,6 +150,8 @@ def test_auto_driver_resolution():
     assert R._resolve_chunk_driver("host", 10, None) == "host"
     with pytest.raises(ValueError, match="chunk_driver"):
         R._resolve_chunk_driver("turbo", 10, None)
+    with pytest.raises(ValueError, match="mesh"):
+        R._resolve_chunk_driver("host", 10, object())
 
 
 def test_bf16_composes_with_gallery_sharding():

@@ -813,19 +813,23 @@ _SCAN_DRIVER_MAX_ROWS = 200_000
 
 
 def _resolve_chunk_driver(chunk_driver: str, n: int, mesh) -> str:
-    """'auto' → 'host' for big single-device galleries on non-CPU
-    backends (see _SCAN_DRIVER_MAX_ROWS), else 'scan'. Explicit values
-    pass through — 'scan' stays available for measurements, and the
-    mesh engines are scan-only (sharding bounds per-device work
-    instead)."""
+    """'auto' → 'host' for big single-device galleries on TPU backends
+    (see _SCAN_DRIVER_MAX_ROWS; the fault is TPU-runtime-specific, so
+    CPU/GPU keep the scan), else 'scan'. Explicit values pass through —
+    'scan' stays available for measurements, and the mesh engines are
+    scan-only (sharding bounds per-device work instead). Raises on
+    unknown drivers and on host+mesh, for every engine branch."""
     if chunk_driver == "auto":
         return ("host"
                 if (mesh is None and n > _SCAN_DRIVER_MAX_ROWS
-                    and jax.default_backend() != "cpu")
+                    and jax.default_backend() in ("tpu", "axon"))
                 else "scan")
     if chunk_driver not in ("scan", "host"):
         raise ValueError(f"chunk_driver must be auto, scan or host, got "
                          f"{chunk_driver!r}")
+    if chunk_driver == "host" and mesh is not None:
+        raise ValueError("chunk_driver='host' does not compose with mesh= "
+                         "(the sharded engines are scan-driven); drop one")
     return chunk_driver
 
 
@@ -901,6 +905,9 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     features = _cast_gallery_host(features, gallery_dtype)
     n = features.shape[0]
     q_chunk = min(query_chunk, n)
+    # resolve/validate up front so EVERY branch (incl. shard_gallery,
+    # which is scan-driven) rejects bad or host+mesh drivers loudly
+    chunk_driver = _resolve_chunk_driver(chunk_driver, n, mesh)
 
     if shard_gallery:
         # NOTE: no jnp.asarray(features) on this path — that would commit
@@ -981,14 +988,15 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
     else:
         table_j = jnp.zeros((1, 1), jnp.int32)
         rows_np = np.zeros(n + npad, np.int32)
-    chunk_args = (feats, vids, cls, table_j,
-                  jnp.asarray(qpos_np.reshape(nk, q_chunk)),
-                  jnp.asarray(qcls_np.reshape(nk, q_chunk)),
-                  jnp.asarray(rows_np.reshape(nk, q_chunk)))
-    chunk_driver = _resolve_chunk_driver(chunk_driver, n, mesh)
-    if chunk_driver == "host" and mesh is not None:
-        raise ValueError("chunk_driver='host' does not compose with mesh= "
-                         "(the sharded engines are scan-driven); drop one")
+    def chunk_args():
+        # built only by the scan/mesh drivers — the host loop transfers
+        # one chunk of indices per dispatch instead (no point shipping
+        # the full padded index arrays it would never read)
+        return (feats, vids, cls, table_j,
+                jnp.asarray(qpos_np.reshape(nk, q_chunk)),
+                jnp.asarray(qcls_np.reshape(nk, q_chunk)),
+                jnp.asarray(rows_np.reshape(nk, q_chunk)))
+
     if chunk_driver == "host":
         # host-loop driver: one jitted dispatch per chunk instead of one
         # giant scanned program. Pays per-chunk dispatch latency but
@@ -1012,10 +1020,10 @@ def retrieval_stats_chunked(features, video_ids, class_ids, *,
                  jnp.sum(acc5 * inc), jnp.sum(inc)])))
     elif mesh is not None:
         parts = _mesh_scan(mesh, _scan_partials_impl, method,
-                           exclude_same_video_shots, 1)(*chunk_args)
+                           exclude_same_video_shots, 1)(*chunk_args())
     else:
         parts = _scan_retrieval_partials(
-            *chunk_args, method, exclude_same_video_shots)
+            *chunk_args(), method, exclude_same_video_shots)
     sums = np.zeros(4, np.float64)
     for row in np.asarray(parts):
         sums += row.astype(np.float64)
@@ -1105,9 +1113,6 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     q_chunk = max(1, min(256, (1 << 25) // max(n, 1)))
     nk = (n + q_chunk - 1) // q_chunk
     chunk_driver = _resolve_chunk_driver(chunk_driver, n, mesh)
-    if chunk_driver == "host" and mesh is not None:
-        raise ValueError("chunk_driver='host' does not compose with mesh= "
-                         "(the sharded engines are scan-driven); drop one")
     if shard_gallery and mesh is None:
         raise ValueError("shard_gallery=True requires mesh=")
     if shard_gallery and method == "sort":
@@ -1124,20 +1129,25 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
     qcls_np = np.concatenate([cls_np, np.full(npad, -1, np.int32)])
     rows_np = np.concatenate([row_of_query,
                               np.full(npad, table.shape[0] - 1, np.int32)])
-    chunk_args = (feats_j, vids_j, cls_j, table_j,
-                  jnp.asarray(qpos_np.reshape(nk, q_chunk)),
-                  jnp.asarray(qcls_np.reshape(nk, q_chunk)),
-                  jnp.asarray(rows_np.reshape(nk, q_chunk)))
+    def chunk_args():
+        # built only by the scan/mesh drivers — the host loop transfers
+        # one chunk of indices per dispatch instead (no point shipping
+        # the full padded index arrays it would never read)
+        return (feats_j, vids_j, cls_j, table_j,
+                jnp.asarray(qpos_np.reshape(nk, q_chunk)),
+                jnp.asarray(qcls_np.reshape(nk, q_chunk)),
+                jnp.asarray(rows_np.reshape(nk, q_chunk)))
+
     if shard_gallery:
         feats_sh, vids_sh = _shard_gallery(mesh, feats_j, vids_np)
         ap_c, acc1_c, acc5_c, inc_c, top5_c, valid5_c = _gshard_scan(
             mesh, _scan_report_gshard_impl, n,
             exclude_same_video_shots, 6)(
-            feats_sh, vids_sh, *chunk_args[3:])
+            feats_sh, vids_sh, *chunk_args()[3:])
     elif mesh is not None:
         ap_c, acc1_c, acc5_c, inc_c, top5_c, valid5_c = _mesh_scan(
             mesh, _scan_report_impl, use_count,
-            exclude_same_video_shots, 6)(*chunk_args)
+            exclude_same_video_shots, 6)(*chunk_args())
     elif chunk_driver == "host":
         # host-loop driver: one jitted dispatch per chunk — bounds each
         # PROGRAM to a single chunk (see _SCAN_DRIVER_MAX_ROWS); the
@@ -1158,7 +1168,7 @@ def retrieval_stats_report(features, video_ids, class_ids, path: str, *,
             np.stack([p[i] for p in parts]) for i in range(6))
     else:
         ap_c, acc1_c, acc5_c, inc_c, top5_c, valid5_c = _scan_report_rows(
-            *chunk_args, use_count, exclude_same_video_shots)
+            *chunk_args(), use_count, exclude_same_video_shots)
     # per-chunk f32 partials accumulated in f64 in chunk order (the
     # host-loop accumulation semantics, preserved)
     ap_c, acc1_c, acc5_c, inc_c = (np.asarray(ap_c), np.asarray(acc1_c),
