@@ -99,26 +99,33 @@ def measure_tpu() -> float:
     # Params/state update every iteration, so nothing is loop-invariant.
     from jax import lax
 
-    def one_step(carry, k):
+    # batch is an ARGUMENT of the scanned program, never a closure: a
+    # closed-over device array is embedded as an HLO constant, and the
+    # axon tunnel ships the whole constant inside the remote-compile
+    # request (31.5 MB here, 252 MB for the frontier program — measured
+    # to dominate "compile" time at the relay's erratic 0.2-4 MB/s, and
+    # at B=2048 it exceeds the relay's body limit outright: HTTP 413)
+    def one_step(b, carry, k):
         p, s = carry
         (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, batch, k)
+            p, b, k)
         p2, s2 = solver_update(solver_cfg, p, g, s)
         return (p2, s2), loss
 
     @jax.jit
-    def run(p, s, keys):
-        (p, s), losses = lax.scan(one_step, (p, s), keys)
+    def run(p, s, keys, b):
+        (p, s), losses = lax.scan(lambda c, k: one_step(b, c, k), (p, s),
+                                  keys)
         return losses[-1]
 
     keys = jax.random.split(key, ITERS)
-    float(run(params, state, keys))           # compile + warm
+    float(run(params, state, keys, batch))    # compile + warm
     # best-of-3: the tunnel adds erratic per-call latency around the
     # device-pure scan; the fastest rep is the chip's true throughput
     reps = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(run(params, state, keys))
+        float(run(params, state, keys, batch))
         reps.append(time.perf_counter() - t0)
     best = min(reps)
     # within-run variance, visible in the captured bench tail (the
@@ -130,11 +137,13 @@ def measure_tpu() -> float:
 
 
 def measure_frontier(iters: int = 50) -> tuple[float, float]:
-    """The CHIP-RECORD schedule (not the headline): B=1024, role-major
-    feed, fused grad_microbatch=8 scan (PERF.md round-4 record — the
-    B=128 reference config is at its ~877 steps/s measured ceiling, so
-    round-over-round progress shows here). Returns (ms/step, triplets/s).
-    Logged to stderr only; the headline JSON keeps the reference config."""
+    """The CHIP-RECORD schedule (not the headline): B=8192, role-major
+    feed, fused grad_microbatch=64 scan (PERF.md round-5 frontier sweep
+    — the B=128 reference config is at its ~877 steps/s measured
+    ceiling, so round-over-round progress shows here; the record moved
+    1024→8192 when the sweep showed optimizer-pass amortization keeps
+    paying). Returns (ms/step, triplets/s). Logged to stderr only; the
+    headline JSON keeps the reference config."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -142,7 +151,7 @@ def measure_frontier(iters: int = 50) -> tuple[float, float]:
     from videovector_tpu.solver import SolverConfig, init_solver_state
     from videovector_tpu.solver.train import build_fused_step
 
-    B, GM = 1024, 8
+    B, GM = 8192, 64
     cfg = VideoEmbeddingConfig(feature_dim=FEAT, embed_dim=EMBED,
                                num_negatives=NUM_NEG,
                                compute_dtype="bfloat16")
@@ -161,22 +170,24 @@ def measure_frontier(iters: int = 50) -> tuple[float, float]:
     batch = {"data": jax.jit(lambda k: jax.random.normal(
         k, (cfg.num_roles, B, FEAT), jnp.float32))(jax.random.PRNGKey(0))}
 
-    def one(carry, k):
+    # batch as an argument, not a closure — see the HLO-constant note in
+    # measure_tpu (here the embedded constant would be 252 MB)
+    def one(b, carry, k):
         p, s = carry
-        p2, s2, m = fstep(p, s, (batch,), k)
+        p2, s2, m = fstep(p, s, (b,), k)
         return (p2, s2), m["loss"]
 
     @jax.jit
-    def run(p, s, keys):
-        (p, s), losses = lax.scan(one, (p, s), keys)
+    def run(p, s, keys, b):
+        (p, s), losses = lax.scan(lambda c, k: one(b, c, k), (p, s), keys)
         return losses[-1]
 
     keys = jax.random.split(jax.random.key(1, impl="rbg"), iters)
-    float(run(params, state, keys))  # compile + warm
+    float(run(params, state, keys, batch))  # compile + warm
     reps = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(run(params, state, keys))
+        float(run(params, state, keys, batch))
         reps.append(time.perf_counter() - t0)
     best = min(reps)
     print("frontier reps (s for %d iters): %s" % (iters,
@@ -232,7 +243,7 @@ def main():
     signal.alarm(remaining)
     try:
         ms, tps = measure_frontier()
-        print(f"bench frontier (stderr, not the headline): B=1024 gm=8 "
+        print(f"bench frontier (stderr, not the headline): B=8192 gm=64 "
               f"role-major fused step = {ms:.3f} ms/step, "
               f"{tps:,.0f} triplets/s", file=sys.stderr)
     except Exception as e:  # the headline already printed — never fail now
