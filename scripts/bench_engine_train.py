@@ -76,22 +76,27 @@ def main():
     def run_scan(fbody, params, state, batch, iters):
         from jax import lax
 
-        def one(carry, k):
+        # batch is an ARGUMENT of the jitted program, not a closure: a
+        # closed-over device array becomes an HLO constant shipped inside
+        # every remote-compile request (252 MB at B=1024 — DESIGN.md
+        # decision 20, PERF.md round-5 frontier sweep)
+        def one(b, carry, k):
             p, s = carry
-            p2, s2, m = fbody(p, s, (batch,), k)
+            p2, s2, m = fbody(p, s, (b,), k)
             return (p2, s2), m["loss"]
 
         @jax.jit
-        def run(p, s, keys):
-            (p, s), losses = lax.scan(one, (p, s), keys)
+        def run(p, s, keys, b):
+            (p, s), losses = lax.scan(lambda c, k: one(b, c, k), (p, s),
+                                      keys)
             return losses[-1]
 
         keys = jax.random.split(jax.random.key(1, impl=key_impl), iters)
-        float(run(params, state, keys))  # compile + warm
+        float(run(params, state, keys, batch))  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(params, state, keys))
+            float(run(params, state, keys, batch))
             best = min(best, time.perf_counter() - t0)
         return best / iters
 
