@@ -44,6 +44,15 @@ def main():
                         "came from a global flip the product didn't have)")
     p.add_argument("--workdir", default="/tmp/vvtpu_engine_bench")
     p.add_argument("--skip-native", action="store_true")
+    p.add_argument("--skip-gm1", action="store_true",
+                   help="skip the unmicrobatched (gm=1) measurement — at "
+                        "frontier batches (B>=2048) the full-batch "
+                        "program's activations are GB-scale for a number "
+                        "the gm ladder already showed is worse")
+    p.add_argument("--buffer-size", type=int, default=480,
+                   help="data-layer reservoir size in the emitted net "
+                        "(must be >= batch; only the net BUILD touches "
+                        "it — the measurement feeds a device batch)")
     p.add_argument("--role-major", action="store_true", dest="role_major",
                    help="also measure the engine with a role-major "
                         "(R, B, D, 1) device batch (no in-step relayout)")
@@ -65,12 +74,17 @@ def main():
     cd = None if args.dtype in ("f32", "float32") else args.dtype
     os.makedirs(args.workdir, exist_ok=True)
     rng = np.random.RandomState(0)
-    train_path = os.path.join(args.workdir, f"train_{args.feat}.vvr")
+    # the negative reservoir needs >= max batch DISTINCT shots (the
+    # reference CHECK-fails otherwise, video_shot_window_data_layer.cpp:338)
+    max_batch = max(int(b) for b in args.batches.split(","))
+    n_videos = max(40, -(-max_batch // 12) + 8)
+    train_path = os.path.join(args.workdir,
+                              f"train_{args.feat}_{n_videos}.vvr")
     if not os.path.exists(train_path):
         videos = [ShotVideo(v + 1, np.arange(12, dtype=np.int32),
                             np.abs(rng.randn(12, args.feat))
                             .astype(np.float32))
-                  for v in range(40)]
+                  for v in range(n_videos)]
         ShotDataset(videos).to_records(train_path)
 
     def run_scan(fbody, params, state, batch, iters):
@@ -105,7 +119,8 @@ def main():
         net_path = os.path.join(args.workdir, f"net_{bsz}.prototxt")
         with open(net_path, "w") as f:
             f.write(emit(train_path, train_path, batch=bsz, test_batch=8,
-                         negatives=10, embed=args.feat, buffer_size=480,
+                         negatives=10, embed=args.feat,
+                         buffer_size=max(args.buffer_size, bsz),
                          weight_std=0.001, dropout=0.9))
         solver = Message()
         solver.add("net", net_path)
@@ -127,7 +142,9 @@ def main():
             k, (bsz, 15, args.feat, 1), jnp.float32))(jax.random.PRNGKey(0))}
         gm = auto_grad_microbatch(batch, {"data": 0})
         row = {"batch": bsz, "gm": gm, "prng": args.prng}
-        for label, g in (("gm1", 1), (f"gm{gm}", gm)):
+        ladder = [(f"gm{gm}", gm)] if args.skip_gm1 \
+            else [("gm1", 1), (f"gm{gm}", gm)]
+        for label, g in ladder:
             if label in row:
                 continue
             fbody = build_fused_step(grad_fn, cfg, 1, g,

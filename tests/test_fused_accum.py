@@ -107,7 +107,8 @@ def test_auto_schedule_thresholds():
     assert auto_grad_microbatch(mk(256), bl) == 2
     assert auto_grad_microbatch(mk(512), bl) == 4
     assert auto_grad_microbatch(mk(1024), bl) == 8
-    assert auto_grad_microbatch(mk(4096), bl) == 8  # capped
+    assert auto_grad_microbatch(mk(4096), bl) == 32   # 128-row micros
+    assert auto_grad_microbatch(mk(8192), bl) == 64   # frontier (PERF r5)
     # odd batch: no power-of-two divisor → off
     assert auto_grad_microbatch(mk(300), bl) == 2  # 300/2=150>=128, /4 no
     # role-major declared axis

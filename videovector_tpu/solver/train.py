@@ -193,13 +193,16 @@ def build_fused_step(grad_fn, cfg: "SolverConfig", n_accum: int, gm: int, *,
 def auto_grad_microbatch(batch, batch_axes: dict | None = None) -> int:
     """Large-batch schedule: split so each microbatch carries ~128 batch
     rows (the v5e-measured good wgrad regime — B=256 dip gone, B=1024
-    record, PERF.md r3). Power-of-two divisor of EVERY top's batch length,
-    ≤8; 1 (off) below B=256 so small-batch runs keep bit-identical
-    trajectories, and 1 when batch_axes is None (the split axis must be
-    declared — build_fused_step refuses to guess it; see the
-    grad_microbatch ValueError there). Measured on v5e — other TPU
-    generations should re-run scripts/bench_engine_train.py and override
-    via the solver prototxt's `grad_microbatch` extension field."""
+    record, PERF.md r3; the round-5 frontier sweep showed 128-row micros
+    keep winning through gm=64 at B=8192, so the old ≤8 cap — an artifact
+    of B=1024 being the largest batch measured at the time — is gone).
+    Power-of-two divisor of EVERY top's batch length; 1 (off) below B=256
+    so small-batch runs keep bit-identical trajectories, and 1 when
+    batch_axes is None (the split axis must be declared —
+    build_fused_step refuses to guess it; see the grad_microbatch
+    ValueError there). Measured on v5e — other TPU generations should
+    re-run scripts/bench_engine_train.py and override via the solver
+    prototxt's `grad_microbatch` extension field."""
     if batch_axes is None:
         return 1
     axes = batch_axes or {}
@@ -211,7 +214,7 @@ def auto_grad_microbatch(batch, batch_axes: dict | None = None) -> int:
     if not lens or min(lens) < 256:
         return 1
     gm = 1
-    while (gm < 8 and all(n % (gm * 2) == 0 for n in lens)
+    while (all(n % (gm * 2) == 0 for n in lens)
            and min(lens) // (gm * 2) >= 128):
         gm *= 2
     return gm
